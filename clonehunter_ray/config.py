@@ -1,0 +1,136 @@
+"""Engine configuration.
+
+Mirrors the reference's layered frozen-dataclass config surface
+(reference: src/clonehunter/core/config.py:7-88) with an added
+signature/LSH section replacing the embedder/index sections — the new
+engine computes MinHash/SimHash signatures instead of transformer
+embeddings (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class WindowConfig:
+    """Sliding line-window snippet parameters (reference config.py:7-11).
+
+    The benchmark config uses window_lines=12 (reference README.md:135);
+    the library default there is 40 — we default to the benchmark value
+    because that is what the baseline numbers were produced with.
+    """
+
+    window_lines: int = 12
+    stride_lines: int = 6
+    min_nonempty: int = 4
+
+    def validate(self) -> None:
+        if self.window_lines <= 0:
+            raise ValueError("window_lines must be > 0")
+        if self.stride_lines <= 0:
+            raise ValueError("stride_lines must be > 0")
+        if self.min_nonempty < 0:
+            raise ValueError("min_nonempty must be >= 0")
+
+
+@dataclass(frozen=True)
+class Thresholds:
+    """Per-kind acceptance thresholds (reference config.py:21-28).
+
+    In the reference these gate a composite embedding+lexical score;
+    here they gate a composite Jaccard+lexical score with identical
+    blending semantics (reference similarity/candidates.py:146-148):
+    ``composite = (1-lexical_weight)*sim + lexical_weight*lexical``.
+    """
+
+    func: float = 0.92
+    win: float = 0.90
+    exp: float = 0.90
+    min_window_hits: int = 1
+    lexical_min_ratio: float = 0.5
+    lexical_weight: float = 0.3
+
+    def for_kind(self, kind: str) -> float:
+        # reference similarity/candidates.py:167-172
+        if kind == "FUNC":
+            return self.func
+        if kind == "WIN":
+            return self.win
+        return self.exp
+
+
+@dataclass(frozen=True)
+class SignatureConfig:
+    """MinHash / SimHash / LSH parameters (new in this engine).
+
+    num_perm = num_bands * band_rows. With band_rows=4, num_bands=32 the
+    probability that a pair with true Jaccard j collides in >=1 band is
+    1-(1-j^4)^32: 0.9998 at j=0.7, ~1-6e-8 at j=0.8 — comfortably above
+    the recall>=0.99 target of BASELINE.json at the verification
+    thresholds used here.
+    """
+
+    shingle_k: int = 3  # tokens per shingle
+    num_perm: int = 128
+    num_bands: int = 32
+    band_rows: int = 4
+    seed: int = 0x5EED_C0DE
+    # skew handling: buckets larger than this emit a star (hub-spoke)
+    # pair pattern instead of all O(n^2) pairs; capped buckets are
+    # counted in stage metrics so recall accounting stays honest.
+    max_bucket_pairs_full: int = 256
+
+    def validate(self) -> None:
+        if self.num_bands * self.band_rows != self.num_perm:
+            raise ValueError("num_bands * band_rows must equal num_perm")
+        if self.shingle_k <= 0:
+            raise ValueError("shingle_k must be > 0")
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Connected-component clustering (reference config.py:69-88,
+    similarity/clustering.py:8-55)."""
+
+    enabled: bool = True
+    min_size: int = 2
+    # findings edge lists above this size switch from driver-side
+    # union-find to the distributed hash-min label propagation loop.
+    driver_max_edges: int = 5_000_000
+
+
+@dataclass(frozen=True)
+class ExecConfig:
+    """Ray Data execution knobs, sized for a multi-node cluster but
+    testable single-node."""
+
+    batch_size: int = 2048
+    signature_actors: int = 4  # actor-pool size for the signature stage
+    shuffle_partitions: int = 0  # 0 = let Ray decide
+    checkpoint_dir: str | None = None  # None = no checkpointing
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    window: WindowConfig = field(default_factory=WindowConfig)
+    thresholds: Thresholds = field(default_factory=Thresholds)
+    signature: SignatureConfig = field(default_factory=SignatureConfig)
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    exec: ExecConfig = field(default_factory=ExecConfig)
+    include_langs: tuple[str, ...] = ()  # empty = all languages
+
+    def validate(self) -> None:
+        self.window.validate()
+        self.signature.validate()
+
+    def fingerprint(self) -> str:
+        """Stable hash of every semantics-affecting knob — keys the
+        signature checkpoints (analogue of the reference embed-cache key
+        recipe, io/fingerprints.py:10-14)."""
+        d = asdict(self)
+        d.pop("exec", None)  # execution knobs don't change results
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,249 @@
+"""Deterministic hashing kernels: sha256 columns, 64-bit token/shingle
+hashes, MinHash signatures, SimHash fingerprints.
+
+Everything here is process-independent (no Python ``hash()``) and
+vectorized with numpy where the data is already numeric. Token strings
+are hashed once per *unique* token per batch (blake2b-8) and shingle
+hashes are then derived by pure uint64 mixing — so the per-string
+Python cost is amortized over the batch.
+
+Reference parity notes:
+* sha256 text hash matches reference ``io/fingerprints.py:6-7``
+  (utf-8 encode -> hexdigest) — the per-row invariant from
+  BASELINE.json (`content sha256 equality`).
+* the token alphabet matches reference ``similarity/lexical.py:18-19``
+  (``[A-Za-z0-9_]+`` on lowercased text).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def sha256_hex(text: str) -> str:
+    """Reference ``hash_text`` (io/fingerprints.py:6-7)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def sha256_hex_many(texts) -> list[str]:
+    """Vectorized-ish column version; hashlib releases the GIL for
+    large inputs but the loop itself stays in C-call territory."""
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def hash_token_u64(token: str) -> int:
+    """Stable 64-bit hash of one token (blake2b, 8-byte digest)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def tokenize(text: str) -> list[str]:
+    """Reference tokenizer (similarity/lexical.py:18-19) but ordered
+    (the reference keeps only the set; we need order for shingles)."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def hash_tokens_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
+    """Hash every token of every row to uint64, amortizing string
+    hashing over the batch via a unique-token vocabulary."""
+    flat: list[str] = []
+    offsets = [0]
+    for toks in token_lists:
+        flat.extend(toks)
+        offsets.append(len(flat))
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in token_lists]
+    arr = np.asarray(flat, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uniq_hashes = np.fromiter(
+        (hash_token_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    all_hashes = uniq_hashes[inv]
+    return [
+        all_hashes[offsets[i] : offsets[i + 1]] for i in range(len(token_lists))
+    ]
+
+
+# -- shingles ---------------------------------------------------------------
+
+# odd multipliers for position mixing (splitmix64-derived constants)
+_SHINGLE_MIX = np.array(
+    [
+        0x9E3779B97F4A7C15,
+        0xBF58476D1CE4E5B9,
+        0x94D049BB133111EB,
+        0xD6E8FEB86659FD93,
+        0xA5A5A5A5A5A5A5A5 | 1,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+    ],
+    dtype=np.uint64,
+)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Distinct sorted uint64 hashes of the k-token shingles of one row.
+
+    Rows shorter than k fall back to a single shingle over all tokens
+    (so tiny snippets still have a non-empty signature basis).
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        for j in range(n):
+            h = (h * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j]
+        return np.asarray([_mix64(np.asarray([h], dtype=np.uint64))[0]], dtype=np.uint64)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j : j + m]
+    return np.unique(_mix64(acc))
+
+
+def token_set_hashes(token_hashes: np.ndarray) -> np.ndarray:
+    """Distinct sorted token hashes — the lexical-similarity basis
+    (reference tokenizes to a *set*, similarity/lexical.py:18-19)."""
+    return np.unique(token_hashes)
+
+
+# -- MinHash ----------------------------------------------------------------
+
+
+class MinHasher:
+    """num_perm-way MinHash over uint64 shingle hashes.
+
+    Permutations are multiply-add bijections on Z_2^64 (odd multiplier),
+    drawn from a fixed seed so every worker/actor computes identical
+    signatures. Batch API computes all rows' signatures with one
+    ``minimum.reduceat`` over the concatenated shingle array.
+    """
+
+    def __init__(self, num_perm: int, seed: int) -> None:
+        rng = np.random.RandomState(seed & 0x7FFFFFFF)
+        self.num_perm = num_perm
+        # odd multipliers => bijective mod 2^64
+        self.a = (
+            rng.randint(0, 2**62, size=num_perm).astype(np.uint64) * _U64(2)
+            + _U64(1)
+        )
+        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+        self.empty = np.full(num_perm, _MASK64, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return self.empty.copy()
+        vals = shingles[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def signatures_batch(self, shingle_lists: list[np.ndarray]) -> np.ndarray:
+        """(n_rows, num_perm) uint64 signatures for a batch of rows.
+
+        Rows are processed in chunks whose concatenated shingle count
+        keeps the (n_shingles, num_perm) intermediate ~64 MB; the
+        per-row min uses ``np.minimum.reduceat`` on row offsets.
+        """
+        n = len(shingle_lists)
+        out = np.full((n, self.num_perm), _MASK64, dtype=np.uint64)
+        budget = max(1, (8 << 20) // self.num_perm)  # shingles per chunk
+        i = 0
+        while i < n:
+            j = i
+            total = 0
+            rows: list[int] = []
+            while j < n and (total == 0 or total + len(shingle_lists[j]) <= budget):
+                if len(shingle_lists[j]) > 0:
+                    rows.append(j)
+                    total += len(shingle_lists[j])
+                j += 1
+            if rows:
+                concat = np.concatenate([shingle_lists[r] for r in rows])
+                vals = concat[:, None] * self.a[None, :] + self.b[None, :]
+                lens = np.asarray([len(shingle_lists[r]) for r in rows])
+                offsets = np.zeros(len(rows), dtype=np.intp)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                out[rows] = np.minimum.reduceat(vals, offsets, axis=0)
+            i = j
+        return out
+
+
+def band_hashes(signature: np.ndarray, num_bands: int, band_rows: int) -> np.ndarray:
+    """Hash each band of a signature to one uint64 (row version)."""
+    bands = signature.reshape(num_bands, band_rows)
+    acc = np.zeros(num_bands, dtype=np.uint64)
+    for j in range(band_rows):
+        acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ bands[:, j]
+    return _mix64(acc)
+
+
+def band_hashes_batch(
+    signatures: np.ndarray, num_bands: int, band_rows: int
+) -> np.ndarray:
+    """(n_rows, num_bands) band hashes from (n_rows, num_perm) sigs."""
+    n = signatures.shape[0]
+    bands = signatures.reshape(n, num_bands, band_rows)
+    acc = np.zeros((n, num_bands), dtype=np.uint64)
+    for j in range(band_rows):
+        acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ bands[:, :, j]
+    return _mix64(acc)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_batch(shingle_lists: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per row from its shingle-hash set."""
+    n = len(shingle_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, sh in enumerate(shingle_lists):
+        if len(sh) == 0:
+            continue
+        bits = ((sh[:, None] >> shifts[None, :]) & _U64(1)).sum(axis=0)
+        vote = bits * 2 > len(sh)
+        out[i] = np.bitwise_or.reduce(
+            (vote.astype(np.uint64) << shifts), axis=0
+        )
+    return out
+
+
+def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of xor over uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    # numpy >=1.24 lacks popcount on uint64; use byte view + table
+    bytes_view = x.view(np.uint8).reshape(*x.shape, 8)
+    return _POPCNT_TABLE[bytes_view].sum(axis=-1)
+
+
+_POPCNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+# -- exact set similarity ---------------------------------------------------
+
+
+def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 arrays."""
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    if union == 0:
+        return 0.0
+    return inter / union
