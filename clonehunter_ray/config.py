@@ -96,7 +96,12 @@ class ClusterConfig:
     similarity/clustering.py:8-55)."""
 
     enabled: bool = True
-    min_size: int = 2
+    # the reference ships cluster_findings=False / cluster_min_size=2
+    # (config.py:69-88); we always annotate cluster ids but default the
+    # min-size filter OFF (1) so findings match the reference's default
+    # unfiltered output. Set min_size=2 to reproduce its opt-in filter
+    # semantics (clustering.py:46-55: clusters need >= min_size FINDINGS).
+    min_size: int = 1
     # findings edge lists above this size switch from driver-side
     # union-find to the distributed hash-min label propagation loop.
     driver_max_edges: int = 5_000_000

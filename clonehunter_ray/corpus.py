@@ -37,66 +37,69 @@ import pyarrow as pa
 FAMILY_KINDS = ["exact", "rename", "docstring", "partial", "crossext", "renameheavy"]
 
 # 30-ish-line template so the rename family's single-token mutation
-# keeps composite similarity above the FUNC threshold (0.92).
-_LONG_TEMPLATE = '''def {fn}(items, factor):
+# keeps composite similarity above the FUNC threshold (0.92). Every
+# local identifier is a placeholder suffixed per family/filler so that
+# distinct instantiations share no window-level text (prevents
+# unintended cross-family clones).
+_LONG_TEMPLATE = '''def {fn}(items{u}, factor{u}):
     """{doc}"""
-    total = 0
-    count = 0
-    limit = {m1}
-    for value in items:
-        if value is None:
+    total{u} = 0
+    count{u} = 0
+    limit{u} = {m1}
+    for value{u} in items{u}:
+        if value{u} is None:
             continue
-        if value % {m2} == 0:
-            total += value * factor
-            count += 1
-        elif value % {m3} == 0:
-            total -= value
+        if value{u} % {m2} == 0:
+            total{u} += value{u} * factor{u}
+            count{u} += 1
+        elif value{u} % {m3} == 0:
+            total{u} -= value{u}
         else:
-            total += value // {m4}
-        if count > limit:
+            total{u} += value{u} // {m4}
+        if count{u} > limit{u}:
             break
-    scale = factor + {m5}
-    if total < 0:
-        total = -total
-    remainder = total % scale
-    if remainder > scale // 2:
-        total += scale - remainder
+    scale{u} = factor{u} + {m5}
+    if total{u} < 0:
+        total{u} = -total{u}
+    remainder{u} = total{u} % scale{u}
+    if remainder{u} > scale{u} // 2:
+        total{u} += scale{u} - remainder{u}
     else:
-        total -= remainder
-    result = total + count * {m6}
-    if result < 0:
-        result = 0
-    return result'''
+        total{u} -= remainder{u}
+    result{u} = total{u} + count{u} * {m6}
+    if result{u} < 0:
+        result{u} = 0
+    return result{u}'''
 
-_SHORT_TEMPLATE = '''def {fn}(data):
+_SHORT_TEMPLATE = '''def {fn}(data{u}):
     """{doc}"""
-    out = []
-    for key in sorted(data):
-        val = data[key]
-        if isinstance(val, str):
-            out.append(key + "=" + val)
+    out{u} = []
+    for key{u} in sorted(data{u}):
+        val{u} = data{u}[key{u}]
+        if isinstance(val{u}, str):
+            out{u}.append(key{u} + "={m2}" + val{u})
         else:
-            out.append(key + ":" + str(val * {m1}))
-    return out'''
+            out{u}.append(key{u} + ":{m3}" + str(val{u} * {m1}))
+    return out{u}'''
 
-_PARTIAL_BLOCK = """    acc = []
-    mark = {m1}
-    for item in seq:
-        node = item * mark
-        if node % 3 == 0:
-            acc.append(node - {m2})
-        elif node % 5 == 0:
-            acc.append(node + {m3})
+_PARTIAL_BLOCK = """    acc{u} = []
+    mark{u} = {m1}
+    for item{u} in seq{u}:
+        node{u} = item{u} * mark{u}
+        if node{u} % 3 == 0:
+            acc{u}.append(node{u} - {m2})
+        elif node{u} % 5 == 0:
+            acc{u}.append(node{u} + {m3})
         else:
-            acc.append(node)
-        if len(acc) > {m4}:
-            mark += 1
-            if mark > {m5}:
-                mark = 1
-        last = node
-        total = sum(acc)
-        if total > {m6}:
-            acc = acc[-4:]"""  # 18 lines, indented as a function body
+            acc{u}.append(node{u})
+        if len(acc{u}) > {m4}:
+            mark{u} += 1
+            if mark{u} > {m5}:
+                mark{u} = 1
+        last{u} = node{u}
+        bsum{u} = sum(acc{u})
+        if bsum{u} > {m6}:
+            acc{u} = acc{u}[-4:]"""  # 18 lines, indented as a function body
 
 _SKEW_HEADER = """Copyright (c) Example Project Contributors
 Licensed under the Example License Version 2 point 0
@@ -118,27 +121,13 @@ def _unique_fn(rng: random.Random, tag: str) -> str:
     return f"fn_{tag}_{rng.randrange(10**9):09d}"
 
 
-def _instantiate(template: str, rng: random.Random, fn: str, doc: str) -> str:
+def _instantiate(
+    template: str, rng: random.Random, fn: str, doc: str, u: str
+) -> str:
+    """Instantiate a template with per-instance identifier suffix ``u``
+    and per-instance numeric constants."""
     subs = {f"m{i}": rng.randrange(2, 97) for i in range(1, 8)}
-    return template.format(fn=fn, doc=doc, **subs)
-
-
-def _rename_all(code: str, rng: random.Random, tag: str) -> str:
-    """Heavy rename: remap every user identifier consistently."""
-    mapping = {}
-    for name in [
-        "items", "factor", "total", "count", "limit", "value", "scale",
-        "remainder", "result", "data", "out", "key", "val", "seq", "acc",
-        "mark", "item", "node", "last",
-    ]:
-        mapping[name] = f"{name[0]}{tag}{rng.randrange(1000):03d}"
-    import re
-
-    def sub(m):
-        return mapping.get(m.group(0), m.group(0))
-
-    return re.sub(r"\b[a-z_][a-z0-9_]*\b",
-                  lambda m: mapping.get(m.group(0), m.group(0)), code)
+    return template.format(fn=fn, doc=doc, u=u, **subs)
 
 
 class _PyFile:
@@ -200,38 +189,37 @@ def generate_corpus(
         kind = family_kinds[fam_idx % len(family_kinds)]
         tag = f"f{fam_idx:04d}"
         members: list[tuple[str, str, int, int]] = []  # (path, name, start, end)
+        u = f"_{tag}"
         if kind == "exact":
             fn = _unique_fn(rng, tag)
-            code = _instantiate(_LONG_TEMPLATE, rng, fn, f"compute {tag}")
+            code = _instantiate(_LONG_TEMPLATE, rng, fn, f"compute {tag}", u)
             for f in next_files(rng.randint(2, 3)):
                 name, s, e = f.add_function(code)
                 members.append((f.path, name, s, e))
         elif kind == "rename":
-            base_rng_state = rng.getstate()
             doc = f"process {tag}"
             # same body, different function name per member
-            subs_rng = random.Random(rng.randrange(2**31))
-            body_code = _instantiate(_LONG_TEMPLATE, subs_rng, "PLACEHOLDER", doc)
+            body_code = _instantiate(_LONG_TEMPLATE, rng, "PLACEHOLDER", doc, u)
             for j, f in enumerate(next_files(2)):
                 fn = f"fn_{tag}_v{j}"
                 name, s, e = f.add_function(body_code.replace("PLACEHOLDER", fn))
                 members.append((f.path, name, s, e))
         elif kind == "docstring":
             fn = _unique_fn(rng, tag)
-            subs_rng = random.Random(rng.randrange(2**31))
+            subs_seed = rng.randrange(2**31)
             for j, f in enumerate(next_files(2)):
-                subs_rng2 = random.Random(subs_rng.getstate()[1][0])
                 code = _instantiate(
                     _LONG_TEMPLATE,
-                    random.Random(fam_idx * 7 + 1),
+                    random.Random(subs_seed),  # same constants both members
                     fn,
                     f"different docstring variant {j} {tag}",
+                    u,
                 )
                 name, s, e = f.add_function(code)
                 members.append((f.path, name, s, e))
         elif kind == "partial":
             block = _PARTIAL_BLOCK.format(
-                **{f"m{i}": rng.randrange(2, 97) for i in range(1, 7)}
+                u=u, **{f"m{i}": rng.randrange(2, 97) for i in range(1, 7)}
             )
             for j, f in enumerate(next_files(2)):
                 fn = _unique_fn(rng, f"{tag}p{j}")
@@ -241,29 +229,39 @@ def generate_corpus(
                 # inside it at the same block offset.
                 uniq = rng.randrange(10**6)
                 prefix = (
-                    f"def {fn}(seq):\n"
-                    f"    base_{j} = {uniq}\n"
-                    f"    top_{j} = base_{j} * {rng.randrange(2, 9)}\n"
-                    f"    seq = [s + {rng.randrange(1, 9)} for s in seq]\n"
-                    f"    flag_{j} = len(seq) > {rng.randrange(2, 50)}\n"
-                    f"    pad_{j} = {rng.randrange(100)}\n"
+                    f"def {fn}(seq{u}):\n"
+                    f"    base_{tag}_{j} = {uniq}\n"
+                    f"    top_{tag}_{j} = base_{tag}_{j} * {rng.randrange(2, 9)}\n"
+                    f"    seq{u} = [s_{j} + {rng.randrange(1, 9)} for s_{j} in seq{u}]\n"
+                    f"    flag_{tag}_{j} = len(seq{u}) > {rng.randrange(2, 50)}\n"
+                    f"    pad_{tag}_{j} = {rng.randrange(100)}\n"
                 )
                 suffix = (
-                    f"    tail_{j} = sum(acc) + pad_{j}\n"
-                    f"    if flag_{j}:\n"
-                    f"        tail_{j} += top_{j}\n"
-                    f"    return tail_{j}"
+                    f"    tail_{tag}_{j} = sum(acc{u}) + pad_{tag}_{j}\n"
+                    f"    if flag_{tag}_{j}:\n"
+                    f"        tail_{tag}_{j} += top_{tag}_{j}\n"
+                    f"    return tail_{tag}_{j}"
                 )
                 code = prefix + block + "\n" + suffix
                 name, s, e = f.add_function(code)
                 members.append((f.path, name, s, e))
         elif kind == "renameheavy":
+            # same template + constants, all identifiers suffixed
+            # differently => consistent heavy rename, below threshold
             fn = _unique_fn(rng, tag)
-            subs_rng = random.Random(rng.randrange(2**31))
-            code = _instantiate(_LONG_TEMPLATE, subs_rng, fn, f"heavy {tag}")
+            subs_seed = rng.randrange(2**31)
+            code = _instantiate(
+                _LONG_TEMPLATE, random.Random(subs_seed), fn, f"heavy {tag}", u
+            )
+            renamed = _instantiate(
+                _LONG_TEMPLATE,
+                random.Random(subs_seed),
+                _unique_fn(rng, tag + "r"),
+                f"heavy {tag}",
+                f"_{tag}x",
+            )
             f0, f1 = next_files(2)
             name0, s0, e0 = f0.add_function(code)
-            renamed = _rename_all(code, rng, tag).replace(fn, _unique_fn(rng, tag + "r"))
             name1, s1, e1 = f1.add_function(renamed)
             members = []
             truth.append(
@@ -286,10 +284,12 @@ def generate_corpus(
     # ---- unique filler functions ---------------------------------------
     for i, f in enumerate(py_files):
         n_fill = rng.randint(1, 3)
-        for _ in range(n_fill):
+        for k in range(n_fill):
             tmpl = _LONG_TEMPLATE if rng.random() < 0.3 else _SHORT_TEMPLATE
             fn = _unique_fn(rng, f"u{i:05d}")
-            f.add_function(_instantiate(tmpl, rng, fn, f"unique helper {fn}"))
+            f.add_function(
+                _instantiate(tmpl, rng, fn, f"unique helper {fn}", f"_u{i:05d}{k}")
+            )
 
     rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
     for f in py_files:

@@ -185,9 +185,13 @@ class MinHasher:
 
 
 def band_hashes(signature: np.ndarray, num_bands: int, band_rows: int) -> np.ndarray:
-    """Hash each band of a signature to one uint64 (row version)."""
+    """Hash each band of a signature to one uint64 (row version).
+
+    The band index seeds the accumulator so identical row values in
+    different bands land in different LSH buckets.
+    """
     bands = signature.reshape(num_bands, band_rows)
-    acc = np.zeros(num_bands, dtype=np.uint64)
+    acc = _mix64(np.arange(1, num_bands + 1, dtype=np.uint64))
     for j in range(band_rows):
         acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ bands[:, j]
     return _mix64(acc)
@@ -199,7 +203,9 @@ def band_hashes_batch(
     """(n_rows, num_bands) band hashes from (n_rows, num_perm) sigs."""
     n = signatures.shape[0]
     bands = signatures.reshape(n, num_bands, band_rows)
-    acc = np.zeros((n, num_bands), dtype=np.uint64)
+    acc = np.broadcast_to(
+        _mix64(np.arange(1, num_bands + 1, dtype=np.uint64)), (n, num_bands)
+    ).copy()
     for j in range(band_rows):
         acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ bands[:, :, j]
     return _mix64(acc)

@@ -1,0 +1,228 @@
+"""The flagship scan pipeline: files -> findings (+ clusters).
+
+Logical DAG (the Ray-Data-first re-expression of the reference's
+sequential in-memory pipeline, core/pipeline.py:91-255):
+
+    read_parquet(files)                       # columns pruned at read
+      -> map_batches(add_content_sha256)      # per-row invariant
+      -> map_batches(extract_units)           # flat-map, stateless
+      -> map_batches(generate_snippets)       # flat-map, stateless
+      -> map_batches(SignatureStage, actors)  # stateful actor pool
+      [checkpoint: signatures]
+      -> map_batches(explode_bands)           # 1 row -> num_bands rows
+      -> groupby(band_key).map_groups(emit_pairs)     # THE shuffle
+      -> groupby(a_id,b_id).map_groups(first)          # pair dedup
+      -> join(signatures as a_*) -> join(signatures as b_*)
+      -> map_batches(verify_pairs)            # exact Jaccard + filters
+      [checkpoint: pairs]
+      -> groupby(pair_key).map_groups(rollup) # finding aggregation
+      [checkpoint: findings]
+      -> union-find clustering (driver; hash-min loop at scale)
+
+Only ids/hashes/shingle arrays cross the shuffles — raw ``content`` /
+``text`` columns never enter a wide stage (SURVEY.md §7 "wide rows").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray
+import ray.data
+
+from clonehunter_ray.config import EngineConfig
+from clonehunter_ray.stages import clustering as C
+from clonehunter_ray.stages.candidates import (
+    dedupe_pairs_group,
+    emit_pairs_group,
+    explode_bands,
+)
+from clonehunter_ray.stages.extract import add_content_sha256, extract_units_batch
+from clonehunter_ray.stages.rollup import rollup_group
+from clonehunter_ray.stages.signatures import SignatureStage
+from clonehunter_ray.stages.snippets import generate_snippets_batch
+from clonehunter_ray.stages.verify import verify_pairs_batch
+from clonehunter_ray.state import checkpoint as ckpt
+
+# columns each join side must carry into verification
+_JOIN_PAYLOAD = [
+    "snippet_id",
+    "kind",
+    "unit_id",
+    "path",
+    "qualified_name",
+    "unit_start",
+    "unit_end",
+    "start_line",
+    "end_line",
+    "shingles",
+    "tokens",
+]
+
+
+@dataclass
+class ScanResult:
+    files: "ray.data.Dataset"
+    units: "ray.data.Dataset"
+    snippets: "ray.data.Dataset"
+    signatures: "ray.data.Dataset"
+    pairs: "ray.data.Dataset"
+    findings: "ray.data.Dataset"
+    cluster_map: dict[str, int] = field(default_factory=dict)
+    stats: dict = field(default_factory=dict)
+
+
+def _prefixed(ds: "ray.data.Dataset", prefix: str) -> "ray.data.Dataset":
+    cols = _JOIN_PAYLOAD
+
+    def _rename(t):
+        t = t.select(cols)
+        return t.rename_columns([f"{prefix}{c}" for c in cols])
+
+    return ds.map_batches(_rename, batch_format="pyarrow")
+
+
+def build_signatures(
+    files_ds: "ray.data.Dataset", config: EngineConfig
+) -> "ray.data.Dataset":
+    """files -> signatures (the narrow, embarrassingly-parallel half)."""
+    hashed = files_ds.map_batches(add_content_sha256, batch_format="pyarrow")
+    if config.include_langs:
+        langs = set(config.include_langs)
+        import pyarrow as pa
+
+        hashed = hashed.map_batches(
+            lambda t: t.filter(
+                pa.array([l in langs for l in t["lang"].to_pylist()], pa.bool_())
+            ),
+            batch_format="pyarrow",
+        )
+    units = hashed.map_batches(extract_units_batch, batch_format="pyarrow")
+    snippets = units.map_batches(
+        generate_snippets_batch,
+        fn_kwargs={"window": config.window},
+        batch_format="pyarrow",
+        batch_size=config.exec.batch_size,
+    )
+    return snippets.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"config": config.signature},
+        concurrency=config.exec.signature_actors,
+        batch_size=config.exec.batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def build_pairs(
+    signatures: "ray.data.Dataset", config: EngineConfig
+) -> "ray.data.Dataset":
+    """signatures -> verified pairs (the wide half: LSH shuffle + joins)."""
+    nparts = config.exec.shuffle_partitions or 16
+    cap = config.signature.max_bucket_pairs_full
+
+    bands = signatures.select_columns(["snippet_id", "band_keys"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+    candidates = bands.groupby("band_key").map_groups(
+        lambda g: emit_pairs_group(g, cap), batch_format="pyarrow"
+    )
+    deduped = candidates.groupby(["a_id", "b_id"]).map_groups(
+        dedupe_pairs_group, batch_format="pyarrow"
+    )
+
+    sig_a = _prefixed(signatures, "a_")
+    sig_b = _prefixed(signatures, "b_")
+    joined = deduped.join(
+        sig_a, "inner", nparts, on=("a_id",), right_on=("a_snippet_id",)
+    ).join(sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",))
+
+    return joined.map_batches(
+        verify_pairs_batch,
+        fn_kwargs={"thresholds": config.thresholds},
+        batch_format="pyarrow",
+    )
+
+
+def build_findings(
+    pairs: "ray.data.Dataset", config: EngineConfig
+) -> "ray.data.Dataset":
+    thresholds = config.thresholds
+    return pairs.groupby("pair_key").map_groups(
+        lambda g: rollup_group(g, thresholds), batch_format="pyarrow"
+    )
+
+
+def scan(
+    files_ds: "ray.data.Dataset",
+    config: EngineConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> ScanResult:
+    """Run the full pipeline; heavy intermediates are checkpointed to
+    ``checkpoint_dir`` (or materialized in the object store when None).
+    """
+    config = config or EngineConfig()
+    config.validate()
+    fp = config.fingerprint()
+    root = checkpoint_dir or config.exec.checkpoint_dir
+
+    hashed = files_ds.map_batches(add_content_sha256, batch_format="pyarrow")
+    units = hashed.map_batches(extract_units_batch, batch_format="pyarrow")
+    snippets = units.map_batches(
+        generate_snippets_batch,
+        fn_kwargs={"window": config.window},
+        batch_format="pyarrow",
+        batch_size=config.exec.batch_size,
+    )
+
+    signatures = ckpt.checkpoint_or_compute(
+        lambda: build_signatures(files_ds, config), root, "signatures", fp
+    )
+    pairs = ckpt.checkpoint_or_compute(
+        lambda: build_pairs(signatures, config), root, "pairs", fp
+    )
+    findings = ckpt.checkpoint_or_compute(
+        lambda: build_findings(pairs, config), root, "findings", fp
+    )
+
+    cluster_map: dict[str, int] = {}
+    if config.cluster.enabled:
+        n_edges = findings.count()
+        if n_edges <= config.cluster.driver_max_edges:
+            findings, cluster_map = C.add_cluster_ids(findings, config.cluster)
+        else:
+            labels_ds = C.hashmin_labels(
+                findings.select_columns(["unit_a", "unit_b"])
+            )
+            lab = {
+                r["unit_id"]: r["label"] for r in labels_ds.iter_rows()
+            }
+            dense: dict[str, int] = {}
+            for i, root_label in enumerate(sorted(set(lab.values())), start=1):
+                dense[root_label] = i
+            cluster_map = {u: dense[l] for u, l in lab.items()}
+            ref = ray.put(cluster_map)
+
+            def _add(batch):
+                import pyarrow as pa
+
+                m = ray.get(ref)
+                ids = [m.get(u, -1) for u in batch["unit_a"].to_pylist()]
+                return batch.append_column(
+                    "cluster_id", pa.array(ids, pa.int64())
+                )
+
+            findings = findings.map_batches(_add, batch_format="pyarrow")
+        if config.cluster.min_size > 1:
+            findings = C.filter_min_cluster_size(
+                findings, config.cluster.min_size
+            )
+
+    return ScanResult(
+        files=hashed,
+        units=units,
+        snippets=snippets,
+        signatures=signatures,
+        pairs=pairs,
+        findings=findings,
+        cluster_map=cluster_map,
+    )

@@ -1,0 +1,168 @@
+"""Pair verification: exact Jaccard + lexical similarity + structural
+filters + threshold gating.
+
+Consumes candidate pairs joined with both sides' signature payloads
+(columns prefixed ``a_`` / ``b_``). Semantics reproduce the reference:
+
+* lexical similarity = Jaccard over distinct lowercase ``[A-Za-z0-9_]+``
+  tokens (reference similarity/lexical.py:6-19) — computed here over
+  the pre-hashed token sets.
+* composite = ``(1-lexical_weight)*sim + lexical_weight*lexical``
+  (reference similarity/candidates.py:146-148) with ``sim`` = exact
+  shingle Jaccard instead of embedding cosine.
+* lexical_min_ratio gate (reference candidates.py:149-150 and
+  rollup.py:123-133).
+* per-kind threshold: the reference tests each direction of the k-NN
+  retrieval against the *neighbor's* kind threshold
+  (candidates.py:167-172); an undirected pair therefore passes if it
+  clears the smaller of the two kind thresholds.
+* overlap filters (reference rollup.py:86-120): self-pairs of one
+  function kept only when the matched snippet ranges are disjoint;
+  pairs of distinct functions in the same file dropped when the
+  function spans overlap (structural containment).
+
+Stateless ``map_batches`` stage; per-row work is numpy set
+intersection over the carried shingle/token arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from clonehunter_ray.config import Thresholds
+from clonehunter_ray.functions.hashing import jaccard_sorted
+
+PAIRS_SCHEMA = pa.schema(
+    [
+        ("pair_key", pa.string()),
+        ("a_id", pa.string()),
+        ("b_id", pa.string()),
+        ("unit_a", pa.string()),
+        ("unit_b", pa.string()),
+        ("kind_a", pa.string()),
+        ("kind_b", pa.string()),
+        ("path_a", pa.string()),
+        ("path_b", pa.string()),
+        ("qual_a", pa.string()),
+        ("qual_b", pa.string()),
+        ("ua_start", pa.int32()),
+        ("ua_end", pa.int32()),
+        ("ub_start", pa.int32()),
+        ("ub_end", pa.int32()),
+        ("a_start", pa.int32()),
+        ("a_end", pa.int32()),
+        ("b_start", pa.int32()),
+        ("b_end", pa.int32()),
+        ("jaccard", pa.float64()),
+        ("lexical", pa.float64()),
+        ("composite", pa.float64()),
+        ("evidence", pa.string()),
+    ]
+)
+
+
+def _overlap_len(a_start: int, a_end: int, b_start: int, b_end: int) -> int:
+    """Reference rollup.py:115-120."""
+    start = max(a_start, b_start)
+    end = min(a_end, b_end)
+    return 0 if start > end else end - start + 1
+
+
+def verify_pairs_batch(batch: pa.Table, thresholds: Thresholds) -> pa.Table:
+    """Joined candidate batch -> verified pair rows (canonical sides)."""
+    cols = {name: [] for name in PAIRS_SCHEMA.names}
+    n = batch.num_rows
+    if n == 0:
+        return pa.Table.from_pydict(cols, schema=PAIRS_SCHEMA)
+
+    d = {c: batch[c] for c in batch.column_names}
+
+    def val(col, i):
+        return d[col][i].as_py()
+
+    # binary-encoded sorted uint64 sets (see stages/signatures.py)
+    a_shingles = d["a_shingles"].to_pylist()
+    b_shingles = d["b_shingles"].to_pylist()
+    a_tokens = d["a_tokens"].to_pylist()
+    b_tokens = d["b_tokens"].to_pylist()
+
+    for i in range(n):
+        unit_a, unit_b = val("a_unit_id", i), val("b_unit_id", i)
+        a_s, a_e = val("a_start_line", i), val("a_end_line", i)
+        b_s, b_e = val("b_start_line", i), val("b_end_line", i)
+        path_a, path_b = val("a_path", i), val("b_path", i)
+        ua_s, ua_e = val("a_unit_start", i), val("a_unit_end", i)
+        ub_s, ub_e = val("b_unit_start", i), val("b_unit_end", i)
+
+        # structural filters (reference rollup.py:86-120)
+        if unit_a == unit_b:
+            if _overlap_len(a_s, a_e, b_s, b_e):
+                continue
+        elif path_a == path_b and _overlap_len(ua_s, ua_e, ub_s, ub_e):
+            continue
+
+        sa = np.frombuffer(a_shingles[i], dtype=np.uint64)
+        sb = np.frombuffer(b_shingles[i], dtype=np.uint64)
+        jac = jaccard_sorted(sa, sb)
+        ta = np.frombuffer(a_tokens[i], dtype=np.uint64)
+        tb = np.frombuffer(b_tokens[i], dtype=np.uint64)
+        lex = jaccard_sorted(ta, tb)
+        if thresholds.lexical_min_ratio > 0 and lex < thresholds.lexical_min_ratio:
+            continue
+        composite = (1.0 - thresholds.lexical_weight) * jac + (
+            thresholds.lexical_weight * lex
+        )
+        kind_a, kind_b = val("a_kind", i), val("b_kind", i)
+        gate = min(thresholds.for_kind(kind_a), thresholds.for_kind(kind_b))
+        if composite < gate:
+            continue
+
+        # canonical side order by (unit_id, start, end) — replaces the
+        # reference's list-order dependence (rollup.py:45-62) with an
+        # order-free canonical form for distributed determinism.
+        a_key = (unit_a, a_s, a_e)
+        b_key = (unit_b, b_s, b_e)
+        if a_key > b_key:
+            unit_a, unit_b = unit_b, unit_a
+            a_s, b_s = b_s, a_s
+            a_e, b_e = b_e, a_e
+            path_a, path_b = path_b, path_a
+            ua_s, ub_s = ub_s, ua_s
+            ua_e, ub_e = ub_e, ua_e
+            kind_a, kind_b = kind_b, kind_a
+            ida, idb = val("b_id", i), val("a_id", i)
+            qa, qb = val("b_qualified_name", i), val("a_qualified_name", i)
+        else:
+            ida, idb = val("a_id", i), val("b_id", i)
+            qa, qb = val("a_qualified_name", i), val("b_qualified_name", i)
+
+        pair_key = (
+            f"{unit_a}||{unit_b}" if unit_a <= unit_b else f"{unit_b}||{unit_a}"
+        )
+        cols["pair_key"].append(pair_key)
+        cols["a_id"].append(ida)
+        cols["b_id"].append(idb)
+        cols["unit_a"].append(unit_a)
+        cols["unit_b"].append(unit_b)
+        cols["kind_a"].append(kind_a)
+        cols["kind_b"].append(kind_b)
+        cols["path_a"].append(path_a)
+        cols["path_b"].append(path_b)
+        cols["qual_a"].append(qa)
+        cols["qual_b"].append(qb)
+        cols["ua_start"].append(ua_s)
+        cols["ua_end"].append(ua_e)
+        cols["ub_start"].append(ub_s)
+        cols["ub_end"].append(ub_e)
+        cols["a_start"].append(a_s)
+        cols["a_end"].append(a_e)
+        cols["b_start"].append(b_s)
+        cols["b_end"].append(b_e)
+        cols["jaccard"].append(jac)
+        cols["lexical"].append(lex)
+        cols["composite"].append(composite)
+        cols["evidence"].append(
+            f"{kind_a}->{kind_b}|jac={jac:.3f}|lex={lex:.3f}|comp={composite:.3f}"
+        )
+    return pa.Table.from_pydict(cols, schema=PAIRS_SCHEMA)

@@ -1,0 +1,134 @@
+"""Per-stage partitioned Parquet checkpoints with lineage + metrics.
+
+Replaces the reference's SQLite embedding cache (reference
+embedding/cache.py:18-137) with a design that works on a multi-node
+cluster: each stage's output is written as a directory of Parquet part
+files plus a ``_lineage.json`` manifest recording the stage name, the
+semantics-affecting config fingerprint, row count, and wall time; a
+``_SUCCESS`` marker makes completion atomic-enough for resume (write
+to ``<dir>.tmp``, rename).
+
+Resume semantics (north_rule "resumes mid-pipeline"):
+
+* a stage dir with ``_SUCCESS`` and a matching config fingerprint is
+  read back with ``ray.data.read_parquet`` instead of recomputed;
+* a partial signature checkpoint can be resumed with an anti-join —
+  ``resume_missing`` filters the input to rows whose key is absent
+  from the checkpoint (the analogue of the reference's cache
+  ``get_many``-then-embed-misses flow, core/pipeline.py:50-88).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import ray.data
+
+
+def stage_dir(root: str, stage: str) -> str:
+    return os.path.join(root, stage)
+
+
+def is_complete(root: str, stage: str, config_fp: str) -> bool:
+    d = stage_dir(root, stage)
+    marker = os.path.join(d, "_SUCCESS")
+    lineage = os.path.join(d, "_lineage.json")
+    if not (os.path.exists(marker) and os.path.exists(lineage)):
+        return False
+    try:
+        with open(lineage) as fh:
+            meta = json.load(fh)
+        return meta.get("config_fp") == config_fp
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def write_stage(
+    ds: "ray.data.Dataset", root: str, stage: str, config_fp: str
+) -> "ray.data.Dataset":
+    """Write ``ds`` as the checkpoint for ``stage`` and return a fresh
+    Dataset reading it back (so downstream consumers stream from disk
+    instead of re-executing the upstream pipeline)."""
+    d = stage_dir(root, stage)
+    tmp = d + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.monotonic()
+    ds.write_parquet(tmp)
+    wall = time.monotonic() - t0
+    out = ray.data.read_parquet(tmp)
+    rows = out.count()
+    with open(os.path.join(tmp, "_lineage.json"), "w") as fh:
+        json.dump(
+            {
+                "stage": stage,
+                "config_fp": config_fp,
+                "rows": rows,
+                "wall_sec": round(wall, 3),
+            },
+            fh,
+        )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    os.rename(tmp, d)
+    return ray.data.read_parquet(d)
+
+
+def read_stage(root: str, stage: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(stage_dir(root, stage))
+
+
+def read_lineage(root: str, stage: str) -> dict:
+    with open(os.path.join(stage_dir(root, stage), "_lineage.json")) as fh:
+        return json.load(fh)
+
+
+def checkpoint_or_compute(
+    make_ds, root: str | None, stage: str, config_fp: str
+) -> "ray.data.Dataset":
+    """Return the checkpointed stage if complete, else compute + write.
+
+    ``make_ds`` is a zero-arg callable producing the stage Dataset so
+    the upstream pipeline is only constructed when actually needed.
+    Without a checkpoint root the Dataset is materialized in the object
+    store instead (test-scale convenience; checkpoints are the scale
+    path).
+    """
+    if root is None:
+        return make_ds().materialize()
+    if is_complete(root, stage, config_fp):
+        return read_stage(root, stage)
+    return write_stage(make_ds(), root, stage, config_fp)
+
+
+def resume_missing(
+    input_ds: "ray.data.Dataset",
+    checkpoint_ds: "ray.data.Dataset",
+    key: str,
+) -> "ray.data.Dataset":
+    """Anti-join: rows of ``input_ds`` whose ``key`` is not present in
+    ``checkpoint_ds`` (broadcast key set; the checkpoint key column is
+    small relative to payloads)."""
+    import ray
+
+    done = set()
+    for batch in checkpoint_ds.select_columns([key]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        done.update(batch[key].to_pylist())
+    done_ref = ray.put(done)
+
+    def _filter(batch):
+        import pyarrow as pa
+
+        have = ray.get(done_ref)
+        mask = [k not in have for k in batch[key].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return input_ds.map_batches(_filter, batch_format="pyarrow")
