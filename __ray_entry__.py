@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-duplicate scan pipeline on a
+deterministic synthetic source-code corpus (BASELINE.json input_hint
+shape); ``queries()`` / ``oracle_sql()`` expose the SQL-checkable
+operator inventory over the driver's testdata tables plus rows-only
+entries for the non-SQL pipelines (MinHash dedup, SimHash, LSH-ANN,
+language ID, the full scan itself).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code.
 """
 
 from __future__ import annotations
@@ -20,25 +18,188 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic files corpus -> clone findings."""
+    import ray.data
+
+    from clonehunter_ray.config import EngineConfig
+    from clonehunter_ray.corpus import generate_corpus
+    from clonehunter_ray.pipelines.scan import scan
+
+    files, _truth = generate_corpus(200, 42)
+    res = scan(ray.data.from_arrow(files), EngineConfig())
+    return res.findings.to_pandas().sort_values(["unit_a", "unit_b"]).reset_index(
+        drop=True
+    )
+
+
+def _scan_documents(sf_dir: str):
+    """Rows-only: run the full clone-scan pipeline with the documents
+    table adapted to the files schema (all docs are 'text' language)."""
+    import pyarrow as pa
+    import ray.data
+
+    from clonehunter_ray.config import EngineConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    def to_files(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "repo": pa.array([s for s in batch["source"].to_pylist()], pa.string()),
+                "path": pa.array([f"doc_{i}.txt" for i in ids], pa.string()),
+                "commit": pa.array(["0" * 40] * len(ids), pa.string()),
+                "lang": pa.array(["text"] * len(ids), pa.string()),
+                "content": batch["text"],
+            }
+        )
+
+    files_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(to_files, batch_format="pyarrow")
+    res = scan(files_ds, EngineConfig())
+    return res.findings
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from clonehunter_ray.pipelines import dedup, queries as Q, similarity, text_analysis
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    return {
+        # SQL-checkable (oracle below)
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "doc_counts_by_lang": Q.doc_counts_by_lang,
+        "top_k_longest_docs": Q.top_k_longest_docs,
+        "changed_scope_semijoin": Q.changed_scope_semijoin,
+        "token_count_documents": Q.token_count_documents,
+        "doc_quality_counts": Q.doc_quality_counts,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "knn_cosine_topk": Q.knn_cosine_topk,
+        "lineitem_pricing_summary": Q.lineitem_pricing_summary,
+        "events_daily_counts": Q.events_daily_counts,
+        "top_users_by_value": Q.top_users_by_value,
+        "revenue_by_nation": Q.revenue_by_nation,
+        # rows-only (non-SQL-expressible)
+        "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
+            _docs(sf), threshold=0.8
+        ),
+        "simhash_dup_documents": lambda sf: dedup.simhash_dup_pairs(
+            _docs(sf), max_hamming=3
+        ),
+        "lsh_knn_cosine": lambda sf: similarity.lsh_knn_cosine(
+            _emb(sf), query_ids=[0, 1, 2, 3, 4], k=10
+        ),
+        "embedding_near_dup_pairs": lambda sf: similarity.embedding_near_dup_pairs(
+            _emb(sf), threshold=0.9
+        ),
+        "language_id_documents": lambda sf: text_analysis.language_id(_docs(sf)),
+        "doc_quality_scores": lambda sf: text_analysis.quality_scores(_docs(sf)),
+        "fingerprint_documents": lambda sf: text_analysis.fingerprint_documents(
+            _docs(sf)
+        ),
+        "scan_documents_pipeline": _scan_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_documents": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "doc_counts_by_lang": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "top_k_longest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "changed_scope_semijoin": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 37 = 0
+        """,
+        "token_count_documents": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        """,
+        "doc_quality_counts": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_len,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+                FROM documents WHERE doc_id < 500
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6)
+                     AS jac6
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(a.ts) > 0 AND len(b.ts) > 0
+              AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+        """,
+        "knn_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, rank, round(cos, 5) AS cos5
+            FROM scored WHERE rank <= 10
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_daily_counts": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users_by_value": """
+            SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+    }

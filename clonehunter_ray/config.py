@@ -116,6 +116,12 @@ class ExecConfig:
     signature_actors: int = 4  # actor-pool size for the signature stage
     shuffle_partitions: int = 0  # 0 = let Ray decide
     checkpoint_dir: str | None = None  # None = no checkpointing
+    # pair verification joins the candidate list back to signature
+    # payloads. When the signature table is small enough to broadcast
+    # (<= this many snippets) we ray.put one payload dict and look up
+    # inside map_batches — no shuffle. Above it, two partitioned hash
+    # joins (the scale path). 0 forces the join path.
+    broadcast_signatures_limit: int = 200_000
 
 
 @dataclass(frozen=True)

@@ -107,15 +107,33 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n < k:
-        h = np.uint64(0)
+        h = np.zeros(1, dtype=np.uint64)
         for j in range(n):
-            h = (h * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j]
-        return np.asarray([_mix64(np.asarray([h], dtype=np.uint64))[0]], dtype=np.uint64)
+            h = (h * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j : j + 1]
+        return _mix64(h)
     m = n - k + 1
     acc = np.zeros(m, dtype=np.uint64)
     for j in range(k):
         acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j : j + m]
     return np.unique(_mix64(acc))
+
+
+def shingle_hashes_seq(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Positional (non-deduped, document-order) k-token shingle hashes —
+    the winnowing/fingerprinting basis (order matters there)."""
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = (h * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j : j + 1]
+        return _mix64(h)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ token_hashes[j : j + m]
+    return _mix64(acc)
 
 
 def token_set_hashes(token_hashes: np.ndarray) -> np.ndarray:

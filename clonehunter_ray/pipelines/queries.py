@@ -1,0 +1,398 @@
+"""Driver-harness query pipelines over /root/testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame
+/ pyarrow Table; the matching DuckDB oracle SQL lives in
+``__ray_entry__.oracle_sql``. Column names are kept identical between
+the Ray result and the SQL so the driver's order-insensitive value-hash
+comparison matches.
+
+These exercise the operator inventory of SURVEY.md §2 on generic
+tables: exact dedup (fs.py:54-63 analogue), groupby counts
+(pipeline.py:239-247 ScanStats analogue), top-k (brute_index.py:42-45
+analogue), semi-join scoping (cli/commands/diff.py:62-68 analogue),
+token Jaccard (similarity/lexical.py:6-19), plus the training-data
+extras (MinHash dedup, SimHash, ANN search, language ID, quality
+scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from clonehunter_ray.functions import hashing as H
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational / SQL-checkable operators
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_documents(sf_dir: str):
+    """Exact dedup: group by content hash, keep first (min doc_id).
+
+    Ray shape: vectorized sha256 column -> groupby(hash) aggregate —
+    the text itself never enters the shuffle (only the 64-char hash).
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = H.sha256_hex_many(batch["text"].to_pylist())
+        return pa.table(
+            {"text_sha": pa.array(hashes, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+    out = ds.groupby("text_sha").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return out.select_columns(["doc_id", "n_dups"])
+
+
+def doc_counts_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def top_k_longest_docs(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def changed_scope_semijoin(sf_dir: str):
+    """Broadcast semi-join: keep documents whose doc_id is in a small
+    'changed' key set (diff-scope semantics, reference diff.py:62-68)."""
+    keys = frozenset(range(0, 100000, 37))
+    keys_ref = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [d in ks for d in batch["doc_id"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def token_count_documents(sf_dir: str):
+    """Token counting with the reference token alphabet."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(H.TOKEN_RE.findall((t or "").lower())) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+def doc_quality_counts(sf_dir: str):
+    """Quality-scoring inputs as exact integer counts (ratios are
+    derived client-side; integers hash exactly across engines)."""
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_alpha, n_digit, n_space, n_len = [], [], [], []
+        for t in texts:
+            t = t or ""
+            n_len.append(len(t))
+            n_alpha.append(sum(c.isalpha() and c.isascii() for c in t))
+            n_digit.append(sum(c.isdigit() and c.isascii() for c in t))
+            n_space.append(t.count(" "))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_len": pa.array(n_len, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "n_digit": pa.array(n_digit, pa.int64()),
+                "n_space": pa.array(n_space, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        metrics, batch_format="pyarrow"
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
+    """Token-set Jaccard >= threshold pairs among doc_id < max_id.
+
+    Ray shape: MinHash-LSH candidate generation + exact verification
+    over token STRINGS (so the result is bit-identical to the SQL
+    cross-join oracle) — LSH params chosen for ~certain recall at the
+    threshold ((1-0.6^4)^32 ≈ 1e-2 miss ... so we use band_rows=2,
+    num_bands=64: miss (1-0.36)^64 ≈ 4e-13).
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {max_id}"
+    )
+    hasher = H.MinHasher(128, 0xD00D)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        tok_lists = [sorted(set(H.tokenize(t or ""))) for t in texts]
+        th = H.hash_tokens_batch(tok_lists)
+        sets = [H.token_set_hashes(x) for x in th]
+        sigs = hasher.signatures_batch(sets)
+        bands = H.band_hashes_batch(sigs, 64, 2)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "toks": pa.array([" ".join(t) for t in tok_lists], pa.string()),
+                "band_keys": pa.array(bands.tolist(), pa.list_(pa.uint64())),
+            }
+        )
+
+    sig = docs.map_batches(signatures, batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "toks": pa.array([], pa.string())})
+        flat = batch["band_keys"].combine_chunks().flatten()
+        nb = len(flat) // n
+        ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64), nb)
+        toks = np.repeat(np.asarray(batch["toks"].to_pylist(), dtype=object), nb)
+        return pa.table(
+            {"band_key": flat, "doc_id": pa.array(ids), "toks": pa.array(toks)}
+        )
+
+    bands = sig.map_batches(explode, batch_format="pyarrow")
+
+    def emit(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(zip(group["doc_id"].to_pylist(), group["toks"].to_pylist()))
+        )
+        a_ids, b_ids, jacs = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                sa = set(rows[i][1].split())
+                sb = set(rows[j][1].split())
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= threshold:
+                    a_ids.append(rows[i][0])
+                    b_ids.append(rows[j][0])
+                    jacs.append(round(jac, 6))
+        return pa.table(
+            {
+                "a_id": pa.array(a_ids, pa.int64()),
+                "b_id": pa.array(b_ids, pa.int64()),
+                "jac6": pa.array(jacs, pa.float64()),
+            }
+        )
+
+    pairs = bands.groupby("band_key").map_groups(emit, batch_format="pyarrow")
+    deduped = pairs.groupby(["a_id", "b_id"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    return deduped
+
+
+def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k ANN baseline: query matrix broadcast
+    once via ray.put, per-batch numpy matmul + per-batch top-k, final
+    exact top-k per query on the (tiny) candidate union."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, qn = ray.get(q_ref)
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ qn.T  # (batch, n_queries)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(vec_ids))
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([ids[qi]] * len(top))
+            out_v.extend(vec_ids[top].tolist())
+            out_s.extend(col[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        g["cos5"] = g["cos"].round(5)
+        return g[["query_id", "vec_id", "rank", "cos5"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate with map-side partial
+    aggregation before the shuffle (SURVEY §2.5 pattern)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        g = (
+            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base=("l_extendedprice", "sum"),
+                sum_disc=("disc_price", "sum"),
+                n=("l_quantity", "size"),
+            )
+        )
+        return g
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pandas")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="s_qty"),
+        Sum("sum_base", alias_name="s_base"),
+        Sum("sum_disc", alias_name="s_disc"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["s_qty"].round(2),
+                "sum_base_price": batch["s_base"].round(2),
+                "sum_disc_price": batch["s_disc"].round(2),
+                "count_order": batch["count_order"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def events_daily_counts(sf_dir: str):
+    """Time-bucketed aggregate: day x event_type counts + value sums."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(day=batch["ts"].dt.strftime("%Y-%m-%d"))
+        return batch.groupby(["day", "event_type"], as_index=False).agg(
+            n=("value", "size"), v=("value", "sum")
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = ds.groupby(["day", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("v", alias_name="v_sum")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": batch["day"],
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"].astype("int64"),
+                "sum_value": batch["v_sum"].round(2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def top_users_by_value(sf_dir: str, k: int = 10):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("user_id", as_index=False).agg(v=("value", "sum"))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("v", alias_name="v_sum"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "total_value": batch["v_sum"].round(2),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pandas")
+    return out.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
+
+
+def revenue_by_nation(sf_dir: str):
+    """Multi-table star join done the Ray-Data way: the dimension
+    chain (customer -> nation) is broadcast as plain dicts via
+    ray.put; the fact tables join map-side inside map_batches — only
+    the final tiny groupby shuffles."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    maps_ref = ray.put((cust_nation, nation_name, order_cust))
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        cn, nn, oc = ray.get(maps_ref)
+        ok = batch["l_orderkey"].to_numpy()
+        nat = [nn.get(cn.get(oc.get(o))) for o in ok]
+        rev = batch["l_extendedprice"].to_numpy() * (
+            1 - batch["l_discount"].to_numpy()
+        )
+        df = pd.DataFrame({"n_name": nat, "rev": rev})
+        return df.groupby("n_name", as_index=False).agg(
+            v=("rev", "sum"), n=("rev", "size")
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(join_batch, batch_format="pandas")
+    agg = ds.groupby("n_name").aggregate(
+        Sum("v", alias_name="v_sum"), Sum("n", alias_name="n_sum")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": batch["n_name"],
+                "revenue": batch["v_sum"].round(2),
+                "n_items": batch["n_sum"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

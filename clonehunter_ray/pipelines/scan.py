@@ -116,8 +116,8 @@ def build_signatures(
 def build_pairs(
     signatures: "ray.data.Dataset", config: EngineConfig
 ) -> "ray.data.Dataset":
-    """signatures -> verified pairs (the wide half: LSH shuffle + joins)."""
-    nparts = config.exec.shuffle_partitions or 16
+    """signatures -> verified pairs (the wide half: LSH shuffle, then
+    payload attachment by broadcast lookup or partitioned hash join)."""
     cap = config.signature.max_bucket_pairs_full
 
     bands = signatures.select_columns(["snippet_id", "band_keys"]).map_batches(
@@ -130,17 +130,69 @@ def build_pairs(
         dedupe_pairs_group, batch_format="pyarrow"
     )
 
-    sig_a = _prefixed(signatures, "a_")
-    sig_b = _prefixed(signatures, "b_")
-    joined = deduped.join(
-        sig_a, "inner", nparts, on=("a_id",), right_on=("a_snippet_id",)
-    ).join(sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",))
+    limit = config.exec.broadcast_signatures_limit
+    if limit and signatures.count() <= limit:
+        joined = _attach_payload_broadcast(deduped, signatures)
+    else:
+        joined = _attach_payload_join(deduped, signatures, config)
 
     return joined.map_batches(
         verify_pairs_batch,
         fn_kwargs={"thresholds": config.thresholds},
         batch_format="pyarrow",
     )
+
+
+def _attach_payload_join(
+    deduped: "ray.data.Dataset",
+    signatures: "ray.data.Dataset",
+    config: EngineConfig,
+) -> "ray.data.Dataset":
+    """Scale path: two partitioned hash joins pull each side's
+    signature payload onto the pair rows."""
+    nparts = config.exec.shuffle_partitions or 16
+    sig_a = _prefixed(signatures, "a_")
+    sig_b = _prefixed(signatures, "b_")
+    return deduped.join(
+        sig_a, "inner", nparts, on=("a_id",), right_on=("a_snippet_id",)
+    ).join(sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",))
+
+
+def _attach_payload_broadcast(
+    deduped: "ray.data.Dataset", signatures: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Small-side path: the whole signature payload table fits in the
+    object store once — ray.put a snippet_id -> row dict and attach
+    payloads with a per-batch lookup (no shuffle)."""
+    import pyarrow as pa
+
+    lookup: dict[str, tuple] = {}
+    for b in signatures.select_columns(_JOIN_PAYLOAD).iter_batches(
+        batch_format="pyarrow"
+    ):
+        cols = [b[c].to_pylist() for c in _JOIN_PAYLOAD]
+        for row in zip(*cols):
+            lookup[row[0]] = row
+    ref = ray.put(lookup)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        a_rows = [table.get(x) for x in batch["a_id"].to_pylist()]
+        b_rows = [table.get(x) for x in batch["b_id"].to_pylist()]
+        keep = [i for i, (x, y) in enumerate(zip(a_rows, b_rows)) if x and y]
+        out = {
+            "a_id": [a_rows[i][0] for i in keep],
+            "b_id": [b_rows[i][0] for i in keep],
+            "capped": [batch["capped"][i].as_py() for i in keep],
+        }
+        for ci, cname in enumerate(_JOIN_PAYLOAD):
+            if cname == "snippet_id":
+                continue
+            out[f"a_{cname}"] = [a_rows[i][ci] for i in keep]
+            out[f"b_{cname}"] = [b_rows[i][ci] for i in keep]
+        return pa.table(out)
+
+    return deduped.map_batches(_attach, batch_format="pyarrow")
 
 
 def build_findings(

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (training-data extras).
+
+* brute-force cosine top-k (queries.knn_cosine_topk is the
+  SQL-checkable instance) — broadcast query matrix, per-batch matmul.
+* LSH-bucketed variant (random-hyperplane signs) — the scale path: a
+  query only probes its bucket +/- multi-probe neighbors instead of
+  the full corpus.
+* embedding-cosine near-dup pairs — all-pairs above a cosine threshold
+  via the same hyperplane-LSH bucketing (used as a dedup signal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    h = rng.normal(size=(n_bits, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    out = np.zeros(len(mat), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+def lsh_knn_cosine(
+    emb_ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 17,
+):
+    """Approximate top-k: random-hyperplane LSH buckets; each corpus
+    vector lands in 1 bucket, each query probes its own bucket plus all
+    1-bit-flip neighbors (multi-probe). Returns
+    (query_id, vec_id, rank, cos5) like the brute-force baseline."""
+    queries = emb_ds.filter(
+        expr=f"vec_id in {tuple(query_ids)}"
+    ).to_pandas()
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    planes = _hyperplanes(q_mat.shape[1], n_bits, seed)
+    q_buckets = _bucket_of(q_mat, planes)
+    probe: dict[int, list[int]] = {}
+    for qi, qb in enumerate(q_buckets):
+        buckets = [int(qb)] + [int(qb) ^ (1 << b) for b in range(n_bits)]
+        for bkt in buckets:
+            probe.setdefault(bkt, []).append(qi)
+    ref = ray.put((queries["vec_id"].to_numpy(), q_mat, probe, planes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, qm, probe_map, pl = ray.get(ref)
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        buckets = _bucket_of(matn, pl)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for bkt in np.unique(buckets):
+            qis = probe_map.get(int(bkt))
+            if not qis:
+                continue
+            rows = np.flatnonzero(buckets == bkt)
+            sims = matn[rows] @ qm[qis].T
+            for c, qi in enumerate(qis):
+                out_q.extend([int(q_ids[qi])] * len(rows))
+                out_v.extend(vec_ids[rows].tolist())
+                out_s.extend(sims[:, c].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        g["cos5"] = g["cos"].round(5)
+        return g[["query_id", "vec_id", "rank", "cos5"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def embedding_near_dup_pairs(
+    emb_ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    seed: int = 23,
+):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket groupby,
+    exact cosine verification within buckets (a vector is assigned to
+    its bucket and every 1-bit-flip neighbor so pairs within hamming 1
+    of each other collide)."""
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        planes = _hyperplanes(matn.shape[1], n_bits, seed)
+        buckets = _bucket_of(matn, planes)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_b, out_i, out_v = [], [], []
+        for row in range(len(ids)):
+            variants = [int(buckets[row])] + [
+                int(buckets[row]) ^ (1 << b) for b in range(n_bits)
+            ]
+            for v in variants:
+                out_b.append(v)
+                out_i.append(int(ids[row]))
+                out_v.append(matn[row].tobytes())
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "vec_id": pa.array(out_i, pa.int64()),
+                "vec": pa.array(out_v, pa.binary()),
+            }
+        )
+
+    bands = emb_ds.map_batches(assign, batch_format="pyarrow")
+
+    def emit(group: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(group["vec_id"].to_pylist(), group["vec"].to_pylist())))
+        a, b, c = [], [], []
+        for x in range(len(rows)):
+            vx = np.frombuffer(rows[x][1], dtype=np.float64)
+            for y in range(x + 1, len(rows)):
+                vy = np.frombuffer(rows[y][1], dtype=np.float64)
+                cos = float(vx @ vy)
+                if cos >= threshold:
+                    a.append(rows[x][0])
+                    b.append(rows[y][0])
+                    c.append(round(cos, 5))
+        return pa.table(
+            {
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "cos5": pa.array(c, pa.float64()),
+            }
+        )
+
+    pairs = bands.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    return pairs.groupby(["a_id", "b_id"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,96 @@
+"""Unit tests for the hashing kernels (tokenize/shingle/minhash/simhash)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from clonehunter_ray.functions import hashing as H
+
+
+def test_sha256_matches_reference_recipe():
+    # reference io/fingerprints.py:6-7 — utf-8 encode, hexdigest
+    assert H.sha256_hex("abc") == hashlib.sha256(b"abc").hexdigest()
+    assert H.sha256_hex("héllo") == hashlib.sha256("héllo".encode()).hexdigest()
+
+
+def test_tokenize_matches_reference_alphabet():
+    # reference similarity/lexical.py:18-19
+    assert H.tokenize("Foo_bar baz-42 Qux!") == ["foo_bar", "baz", "42", "qux"]
+    assert H.tokenize("") == []
+
+
+def test_token_hashing_is_deterministic_and_batch_consistent():
+    lists = [["a", "b", "a"], ["b", "c"], []]
+    out1 = H.hash_tokens_batch(lists)
+    out2 = H.hash_tokens_batch(lists)
+    for a, b in zip(out1, out2):
+        assert (a == b).all()
+    # same token -> same hash across rows
+    assert out1[0][1] == out1[1][0]
+    # matches the scalar function
+    assert out1[0][0] == H.hash_token_u64("a")
+    assert len(out1[2]) == 0
+
+
+def test_shingles_distinct_sorted_and_short_row_fallback():
+    th = H.hash_tokens_batch([["a", "b", "c", "d"], ["a", "b"]])
+    sh = H.shingle_hashes(th[0], 3)
+    assert len(sh) == 2  # abc, bcd
+    assert (np.sort(sh) == sh).all()
+    short = H.shingle_hashes(th[1], 3)
+    assert len(short) == 1  # fallback single shingle
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(7)
+    A = np.unique(rng.randint(0, 2**63, 2000).astype(np.uint64))
+    B = np.unique(
+        np.concatenate([A[:1200], rng.randint(0, 2**63, 800).astype(np.uint64)])
+    )
+    true_j = H.jaccard_sorted(A, B)
+    mh = H.MinHasher(256, 123)
+    sa, sb = mh.signatures_batch([A, B])
+    est = float((sa == sb).mean())
+    assert abs(est - true_j) < 0.08
+    # batch API == row API
+    assert (mh.signature(A) == sa).all()
+
+
+def test_minhash_identical_sets_identical_signatures():
+    mh = H.MinHasher(128, 1)
+    x = np.unique(np.arange(100, dtype=np.uint64) * np.uint64(7919))
+    s1, s2 = mh.signatures_batch([x, x.copy()])
+    assert (s1 == s2).all()
+
+
+def test_band_hashes_differ_across_band_index():
+    mh = H.MinHasher(128, 1)
+    sig = mh.signature(np.arange(1, 50, dtype=np.uint64))
+    bh = H.band_hashes(sig, 32, 4)
+    assert len(set(bh.tolist())) == 32  # band idx mixed in
+    batch = H.band_hashes_batch(sig[None, :], 32, 4)
+    assert (batch[0] == bh).all()
+
+
+def test_simhash_similar_sets_small_hamming():
+    rng = np.random.RandomState(3)
+    A = np.unique(rng.randint(0, 2**63, 500).astype(np.uint64))
+    B = np.unique(
+        np.concatenate([A[:480], rng.randint(0, 2**63, 20).astype(np.uint64)])
+    )
+    C = np.unique(rng.randint(0, 2**63, 500).astype(np.uint64))
+    sim = H.simhash_batch([A, B, C])
+    d_ab = H.hamming_distance_u64(sim[0:1], sim[1:2])[0]
+    d_ac = H.hamming_distance_u64(sim[0:1], sim[2:3])[0]
+    assert d_ab < d_ac
+    assert d_ab <= 10
+
+
+def test_jaccard_sorted_edges():
+    e = np.empty(0, dtype=np.uint64)
+    x = np.array([1, 2, 3], dtype=np.uint64)
+    assert H.jaccard_sorted(e, x) == 0.0
+    assert H.jaccard_sorted(x, x) == 1.0
+    y = np.array([2, 3, 4], dtype=np.uint64)
+    assert H.jaccard_sorted(x, y) == pytest.approx(0.5)
