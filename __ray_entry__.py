@@ -38,7 +38,12 @@ def _scan_documents(sf_dir: str):
     import pyarrow as pa
     import ray.data
 
-    from clonehunter_ray.config import EngineConfig
+    from clonehunter_ray.config import (
+        EngineConfig,
+        SignatureConfig,
+        Thresholds,
+        WindowConfig,
+    )
     from clonehunter_ray.pipelines.scan import scan
 
     def to_files(batch: pa.Table) -> pa.Table:
@@ -56,7 +61,16 @@ def _scan_documents(sf_dir: str):
     files_ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     ).map_batches(to_files, batch_format="pyarrow")
-    res = scan(files_ds, EngineConfig())
+    # documents are single-line bags of words: windows must accept
+    # 1-line texts, thresholds tuned for prose-level overlap, and the
+    # LSH re-banded (64 bands x 2 rows) so candidate recall holds at
+    # the lower Jaccard operating point
+    cfg = EngineConfig(
+        window=WindowConfig(window_lines=12, stride_lines=6, min_nonempty=1),
+        thresholds=Thresholds(func=0.5, win=0.35, exp=0.5, lexical_min_ratio=0.3),
+        signature=SignatureConfig(shingle_k=2, num_perm=128, num_bands=64, band_rows=2),
+    )
+    res = scan(files_ds, cfg)
     return res.findings
 
 
@@ -98,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), query_ids=[0, 1, 2, 3, 4], k=10
         ),
         "embedding_near_dup_pairs": lambda sf: similarity.embedding_near_dup_pairs(
-            _emb(sf), threshold=0.9
+            _emb(sf), threshold=0.4, n_bits=4
         ),
         "language_id_documents": lambda sf: text_analysis.language_id(_docs(sf)),
         "doc_quality_scores": lambda sf: text_analysis.quality_scores(_docs(sf)),
@@ -169,7 +183,7 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM embeddings e CROSS JOIN q
             )
-            SELECT query_id, vec_id, rank, round(cos, 5) AS cos5
+            SELECT query_id, vec_id, rank
             FROM scored WHERE rank <= 10
         """,
         "lineitem_pricing_summary": """

@@ -1,0 +1,174 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS (default 32) and
+prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "corpus_files": N, "findings": N, "files_per_sec": N}
+
+Headline = the flagship near-duplicate code scan over a synthetic
+source-code corpus sized to the scale factor (sf0.1 -> 20,000 files;
+BASELINE.json metric is files/sec end-to-end dedup throughput).
+
+``--scaling``: run the headline twice in fresh processes at 8 and 32
+CPUs on the same input and report throughputs + scaling efficiency
+(the sandbox proxy for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_CACHE = "/tmp/clonehunter_bench"
+
+
+def sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(n_files: int) -> str:
+    """Deterministic synthetic corpus, cached on disk per size."""
+    os.makedirs(CORPUS_CACHE, exist_ok=True)
+    path = os.path.join(CORPUS_CACHE, f"corpus_{n_files}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from clonehunter_ray.corpus import write_corpus
+
+        write_corpus(path, n_files=n_files, seed=42)
+        with open(marker, "w") as fh:
+            fh.write("")
+    return os.path.join(path, "files.parquet")
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from clonehunter_ray.config import EngineConfig, ExecConfig
+    from clonehunter_ray.pipelines import dedup, queries as Q
+    from clonehunter_ray.pipelines.scan import scan
+
+    sf = sf_of(SF_DIR)
+    n_files = max(200, int(20000 * sf / 0.1))
+    files_path = corpus_path(n_files)
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    with open(files_path, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
+
+    timings: dict[str, float] = {}
+
+    def read_corpus():
+        return ray.data.read_parquet(
+            files_path, override_num_blocks=max(16, NUM_CPUS * 2)
+        )
+
+    # ---- headline: flagship clone scan --------------------------------
+    cfg = EngineConfig(
+        exec=ExecConfig(signature_actors=max(2, NUM_CPUS // 4))
+    )
+    t0 = time.monotonic()
+    res = scan(read_corpus(), cfg)
+    n_findings = res.findings.count()
+    headline = time.monotonic() - t0
+    timings["clone_scan"] = round(headline, 3)
+
+    # ---- supporting pipelines over the sf tables ----------------------
+    def timed(name, fn):
+        t = time.monotonic()
+        out = fn(SF_DIR)
+        # consume
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.monotonic() - t, 3)
+
+    timed("exact_dedup_documents", Q.exact_dedup_documents)
+    timed("lineitem_pricing_summary", Q.lineitem_pricing_summary)
+    timed("events_daily_counts", Q.events_daily_counts)
+    timed("knn_cosine_topk", Q.knn_cosine_topk)
+    timed(
+        "minhash_dedup_documents",
+        lambda sf_dir: dedup.minhash_dedup_pairs(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.8
+        ),
+    )
+
+    result = {
+        "metric": "end-to-end near-dup code scan (files/sec) + query suite",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "corpus_files": n_files,
+        "findings": n_findings,
+        "files_per_sec": round(n_files / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "files_per_sec_8": r_lo["files_per_sec"],
+                "files_per_sec_32": r_hi["files_per_sec"],
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_hi["sf"],
+                "corpus_files": r_hi["corpus_files"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

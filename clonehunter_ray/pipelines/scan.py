@@ -33,8 +33,10 @@ import ray.data
 from clonehunter_ray.config import EngineConfig
 from clonehunter_ray.stages import clustering as C
 from clonehunter_ray.stages.candidates import (
-    dedupe_pairs_group,
-    emit_pairs_group,
+    add_pair_partition_column,
+    add_partition_column,
+    dedupe_pairs_partition,
+    emit_pairs_partition,
     explode_bands,
 )
 from clonehunter_ray.stages.extract import add_content_sha256, extract_units_batch
@@ -119,15 +121,29 @@ def build_pairs(
     """signatures -> verified pairs (the wide half: LSH shuffle, then
     payload attachment by broadcast lookup or partitioned hash join)."""
     cap = config.signature.max_bucket_pairs_full
+    nparts = config.exec.shuffle_partitions or 64
 
-    bands = signatures.select_columns(["snippet_id", "band_keys"]).map_batches(
-        explode_bands, batch_format="pyarrow"
+    # explicit hash-partitioned shuffle: band rows -> P coarse
+    # partitions -> vectorized per-partition bucket detection (avoids
+    # per-bucket UDF overhead over millions of mostly-singleton buckets)
+    bands = (
+        signatures.select_columns(["snippet_id", "band_keys"])
+        .map_batches(explode_bands, batch_format="pyarrow")
+        .map_batches(
+            add_partition_column,
+            fn_kwargs={"num_partitions": nparts},
+            batch_format="pyarrow",
+        )
     )
-    candidates = bands.groupby("band_key").map_groups(
-        lambda g: emit_pairs_group(g, cap), batch_format="pyarrow"
+    candidates = bands.groupby("part").map_groups(
+        lambda g: emit_pairs_partition(g, cap), batch_format="pyarrow"
     )
-    deduped = candidates.groupby(["a_id", "b_id"]).map_groups(
-        dedupe_pairs_group, batch_format="pyarrow"
+    deduped = candidates.map_batches(
+        add_pair_partition_column,
+        fn_kwargs={"num_partitions": nparts},
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        dedupe_pairs_partition, batch_format="pyarrow"
     )
 
     limit = config.exec.broadcast_signatures_limit
@@ -161,36 +177,48 @@ def _attach_payload_join(
 def _attach_payload_broadcast(
     deduped: "ray.data.Dataset", signatures: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
-    """Small-side path: the whole signature payload table fits in the
-    object store once — ray.put a snippet_id -> row dict and attach
-    payloads with a per-batch lookup (no shuffle)."""
+    """Small-side path: broadcast the signature payload ONCE as an
+    Arrow table (zero-copy in the object store) plus a snippet_id ->
+    row-index dict; attach payloads per batch with vectorized
+    ``Table.take`` — no shuffle."""
     import pyarrow as pa
 
-    lookup: dict[str, tuple] = {}
-    for b in signatures.select_columns(_JOIN_PAYLOAD).iter_batches(
-        batch_format="pyarrow"
-    ):
-        cols = [b[c].to_pylist() for c in _JOIN_PAYLOAD]
-        for row in zip(*cols):
-            lookup[row[0]] = row
-    ref = ray.put(lookup)
+    parts = [
+        b
+        for b in signatures.select_columns(_JOIN_PAYLOAD).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    payload = pa.concat_tables(parts) if parts else pa.table(
+        {c: [] for c in _JOIN_PAYLOAD}
+    )
+    index = {sid: i for i, sid in enumerate(payload["snippet_id"].to_pylist())}
+    ref = ray.put((payload, index))
 
     def _attach(batch: pa.Table) -> pa.Table:
-        table = ray.get(ref)
-        a_rows = [table.get(x) for x in batch["a_id"].to_pylist()]
-        b_rows = [table.get(x) for x in batch["b_id"].to_pylist()]
-        keep = [i for i, (x, y) in enumerate(zip(a_rows, b_rows)) if x and y]
-        out = {
-            "a_id": [a_rows[i][0] for i in keep],
-            "b_id": [b_rows[i][0] for i in keep],
-            "capped": [batch["capped"][i].as_py() for i in keep],
+        table, idx = ray.get(ref)
+        a_ids = batch["a_id"].to_pylist()
+        b_ids = batch["b_id"].to_pylist()
+        a_idx, b_idx, keep = [], [], []
+        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+            ia, ib = idx.get(x), idx.get(y)
+            if ia is not None and ib is not None:
+                a_idx.append(ia)
+                b_idx.append(ib)
+                keep.append(i)
+        a_side = table.take(pa.array(a_idx, pa.int64()))
+        b_side = table.take(pa.array(b_idx, pa.int64()))
+        cols: dict[str, pa.Array] = {
+            "a_id": a_side["snippet_id"],
+            "b_id": b_side["snippet_id"],
+            "capped": batch["capped"].take(pa.array(keep, pa.int64())),
         }
-        for ci, cname in enumerate(_JOIN_PAYLOAD):
+        for cname in _JOIN_PAYLOAD:
             if cname == "snippet_id":
                 continue
-            out[f"a_{cname}"] = [a_rows[i][ci] for i in keep]
-            out[f"b_{cname}"] = [b_rows[i][ci] for i in keep]
-        return pa.table(out)
+            cols[f"a_{cname}"] = a_side[cname]
+            cols[f"b_{cname}"] = b_side[cname]
+        return pa.table(cols)
 
     return deduped.map_batches(_attach, batch_format="pyarrow")
 

@@ -43,9 +43,13 @@ def lsh_knn_cosine(
     vector lands in 1 bucket, each query probes its own bucket plus all
     1-bit-flip neighbors (multi-probe). Returns
     (query_id, vec_id, rank, cos5) like the brute-force baseline."""
-    queries = emb_ds.filter(
-        expr=f"vec_id in {tuple(query_ids)}"
-    ).to_pandas()
+    wanted = set(query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        mask = [v in wanted for v in batch["vec_id"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
     q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     planes = _hyperplanes(q_mat.shape[1], n_bits, seed)

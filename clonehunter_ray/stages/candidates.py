@@ -58,6 +58,19 @@ def emit_pairs_group(
 ) -> pa.Table:
     """One LSH bucket -> canonical candidate pairs (a_id < b_id)."""
     ids = sorted(set(group["snippet_id"].to_pylist()))
+    out_a, out_b, capped = _bucket_pairs(ids, max_bucket_pairs_full)
+    return pa.Table.from_pydict(
+        {
+            "a_id": pa.array(out_a, pa.string()),
+            "b_id": pa.array(out_b, pa.string()),
+            "capped": pa.array([capped] * len(out_a), pa.bool_()),
+        }
+    )
+
+
+def _bucket_pairs(
+    ids: list[str], max_bucket_pairs_full: int
+) -> tuple[list[str], list[str], bool]:
     n = len(ids)
     out_a: list[str] = []
     out_b: list[str] = []
@@ -74,13 +87,83 @@ def emit_pairs_group(
             for other in ids[1:]:
                 out_a.append(hub)
                 out_b.append(other)
+    return out_a, out_b, capped
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Add ``part = band_key % P`` — the explicit shuffle key. Grouping
+    by the coarse partition (P groups instead of millions of buckets)
+    turns the per-bucket UDF overhead into one vectorized pass per
+    partition; skew within a partition stays bounded because hot
+    *buckets* are still capped individually."""
+    import numpy as np
+
+    keys = batch["band_key"].to_numpy(zero_copy_only=False)
+    part = (keys % np.uint64(num_partitions)).astype(np.int64)
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def emit_pairs_partition(
+    partition: pa.Table, max_bucket_pairs_full: int = 256
+) -> pa.Table:
+    """One hash partition of band rows (MANY buckets) -> candidate
+    pairs. Buckets are detected as runs of the sorted band_key with
+    numpy (vectorized); only multi-member buckets touch Python."""
+    import numpy as np
+
+    keys = partition["band_key"].to_numpy(zero_copy_only=False)
+    ids = np.asarray(partition["snippet_id"].to_pylist(), dtype=object)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    ids = ids[order]
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    out_a: list[str] = []
+    out_b: list[str] = []
+    out_c: list[bool] = []
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        bucket_ids = sorted(set(ids[s : s + c].tolist()))
+        a, b, capped = _bucket_pairs(bucket_ids, max_bucket_pairs_full)
+        out_a.extend(a)
+        out_b.extend(b)
+        out_c.extend([capped] * len(a))
     return pa.Table.from_pydict(
         {
             "a_id": pa.array(out_a, pa.string()),
             "b_id": pa.array(out_b, pa.string()),
-            "capped": pa.array([capped] * len(out_a), pa.bool_()),
+            "capped": pa.array(out_c, pa.bool_()),
         }
     )
+
+
+def add_pair_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Partition key for cross-band pair dedup: hash of (a_id, b_id)."""
+    import numpy as np
+
+    a = batch["a_id"].to_pylist()
+    b = batch["b_id"].to_pylist()
+    part = np.asarray(
+        [hash_pair_to_partition(x, y, num_partitions) for x, y in zip(a, b)],
+        dtype=np.int64,
+    )
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def hash_pair_to_partition(a_id: str, b_id: str, num_partitions: int) -> int:
+    import zlib
+
+    return zlib.crc32(f"{a_id}|{b_id}".encode()) % num_partitions
+
+
+def dedupe_pairs_partition(partition: pa.Table) -> pa.Table:
+    """Vectorized cross-band pair dedup within one partition: keep one
+    row per (a_id, b_id); capped = any occurrence capped."""
+    import pandas as pd
+
+    df = partition.select(["a_id", "b_id", "capped"]).to_pandas()
+    out = df.groupby(["a_id", "b_id"], as_index=False, sort=False).agg(
+        capped=("capped", "any")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def dedupe_pairs_group(group: pa.Table) -> pa.Table:

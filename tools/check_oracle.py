@@ -1,0 +1,95 @@
+"""Simulate the driver's DuckDB-oracle comparison for every query in
+__ray_entry__ (row count + schema names + order-insensitive value
+comparison). Usage: python tools/check_oracle.py [sf_dir]."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import ray
+
+sys.path.insert(0, ".")
+
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        try:
+            got = normalize(to_pandas(fn(sf_dir)))
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"query raised: {exc!r}"))
+            print(f"FAIL  {name}: query raised {exc!r}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(got)} rows (rows-only check)")
+            continue
+        want = normalize(con.execute(oracles[name]).fetchdf())
+        if list(got.columns) != list(want.columns):
+            failures.append((name, f"schema {list(got.columns)} != {list(want.columns)}"))
+            print(f"FAIL  {name}: schema {list(got.columns)} vs {list(want.columns)}")
+            continue
+        if len(got) != len(want):
+            failures.append((name, f"rows {len(got)} != {len(want)}"))
+            print(f"FAIL  {name}: rows {len(got)} vs {len(want)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+            )
+            print(f"OK    {name}: {len(got)} rows")
+        except AssertionError as exc:
+            failures.append((name, "values differ"))
+            print(f"FAIL  {name}: values differ\n{str(exc)[:500]}")
+    ray.shutdown()
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
