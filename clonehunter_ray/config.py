@@ -91,6 +91,31 @@ class SignatureConfig:
 
 
 @dataclass(frozen=True)
+class SubstringConfig:
+    """Suffix-array longest-common-substring rescue channel (new in
+    this engine; BASELINE.json north_star "suffix-array substring
+    matching for harder clone patterns").
+
+    Pairs that fail the composite Jaccard gate but whose exact shingle
+    Jaccard is at least ``floor`` get a suffix-array LCS check over
+    their ordered token-hash sequences; the pair is kept when
+    ``LCS_tokens / min(len_a, len_b) >= min_ratio`` (a long verbatim
+    token run embedded in otherwise-different code — the Type-3 case
+    shingle Jaccard dilutes).
+    """
+
+    enabled: bool = False
+    floor: float = 0.2
+    min_ratio: float = 0.8
+
+    def validate(self) -> None:
+        if not (0.0 <= self.floor <= 1.0):
+            raise ValueError("floor must be in [0, 1]")
+        if not (0.0 < self.min_ratio <= 1.0):
+            raise ValueError("min_ratio must be in (0, 1]")
+
+
+@dataclass(frozen=True)
 class ClusterConfig:
     """Connected-component clustering (reference config.py:69-88,
     similarity/clustering.py:8-55)."""
@@ -129,6 +154,7 @@ class EngineConfig:
     window: WindowConfig = field(default_factory=WindowConfig)
     thresholds: Thresholds = field(default_factory=Thresholds)
     signature: SignatureConfig = field(default_factory=SignatureConfig)
+    substring: SubstringConfig = field(default_factory=SubstringConfig)
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     exec: ExecConfig = field(default_factory=ExecConfig)
     include_langs: tuple[str, ...] = ()  # empty = all languages
@@ -136,6 +162,7 @@ class EngineConfig:
     def validate(self) -> None:
         self.window.validate()
         self.signature.validate()
+        self.substring.validate()
 
     def fingerprint(self) -> str:
         """Stable hash of every semantics-affecting knob — keys the

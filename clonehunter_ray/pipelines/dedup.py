@@ -52,27 +52,60 @@ class DocSignatureStage:
         )
 
 
-def _explode_doc_bands(batch: pa.Table) -> pa.Table:
+def _explode_doc_bands_ids(batch: pa.Table) -> pa.Table:
+    """(doc_id, band_keys) -> (band_key, doc_id) rows — ids only; the
+    shingle payload never rides the band shuffle (x num_bands blow-up)."""
     n = batch.num_rows
     if n == 0:
         return pa.table(
             {
                 "band_key": pa.array([], pa.uint64()),
                 "doc_id": pa.array([], pa.int64()),
-                "shingles": pa.array([], pa.binary()),
             }
         )
     flat = batch["band_keys"].combine_chunks().flatten()
     nb = len(flat) // n
     ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64), nb)
-    sh = np.repeat(np.asarray(batch["shingles"].to_pylist(), dtype=object), nb)
+    return pa.table({"band_key": flat, "doc_id": pa.array(ids)})
+
+
+def _emit_doc_pairs_partition(
+    partition: pa.Table, max_bucket_pairs_full: int = 1024
+) -> pa.Table:
+    """One hash partition of band rows (many buckets) -> candidate doc
+    pairs, vectorized: buckets are runs of the sorted band_key; hot
+    buckets collapse to hub-spoke (skew cap, connectivity preserved)."""
+    keys = partition["band_key"].to_numpy(zero_copy_only=False)
+    ids = partition["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        bucket = np.unique(ids[s : s + c])
+        n = len(bucket)
+        if n < 2:
+            continue
+        if n * (n - 1) // 2 <= max_bucket_pairs_full:
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.extend(bucket[ii].tolist())
+            out_b.extend(bucket[jj].tolist())
+        else:  # hub-spoke under the cap
+            out_a.extend([int(bucket[0])] * (n - 1))
+            out_b.extend(bucket[1:].tolist())
     return pa.table(
         {
-            "band_key": flat,
-            "doc_id": pa.array(ids),
-            "shingles": pa.array(sh, pa.binary()),
+            "a_id": pa.array(out_a, pa.int64()),
+            "b_id": pa.array(out_b, pa.int64()),
         }
     )
+
+
+def _dedupe_int_pairs_partition(partition: pa.Table) -> pa.Table:
+    df = partition.select(["a_id", "b_id"]).to_pandas()
+    out = df.drop_duplicates(["a_id", "b_id"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def minhash_dedup_pairs(
@@ -80,11 +113,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     config: SignatureConfig | None = None,
     concurrency: int = 4,
+    num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Verified near-duplicate pairs (jaccard >= threshold) via
-    MinHash-LSH. Carries the (small, doc-level) shingle blobs through
-    the band shuffle so verification happens inside the bucket group —
-    one shuffle total for candidate generation + verification.
+    MinHash-LSH, mirroring the scan pipeline's shape: ids-only band
+    shuffle -> hash-partitioned vectorized pair generation -> pair
+    dedup -> shingle payload attach (broadcast below
+    ``broadcast_limit`` docs, partitioned hash join above) -> exact
+    Jaccard verification in ``map_batches``.
     """
     config = config or SignatureConfig(shingle_k=5)
     sig = docs_ds.map_batches(
@@ -92,37 +129,121 @@ def minhash_dedup_pairs(
         fn_constructor_kwargs={"config": config},
         concurrency=concurrency,
         batch_format="pyarrow",
-    )
-    bands = sig.map_batches(_explode_doc_bands, batch_format="pyarrow")
+    ).materialize()  # reused by the band shuffle AND the payload attach
 
-    def emit_verified(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group["doc_id"].to_pylist(), group["shingles"].to_pylist()))
+    bands = (
+        sig.select_columns(["doc_id", "band_keys"])
+        .map_batches(_explode_doc_bands_ids, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "part",
+                pa.array(
+                    (
+                        t["band_key"].to_numpy(zero_copy_only=False)
+                        % np.uint64(num_partitions)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
         )
-        a, b, j = [], [], []
-        for x in range(len(rows)):
-            sx = np.frombuffer(rows[x][1], dtype=np.uint64)
-            for y in range(x + 1, len(rows)):
-                sy = np.frombuffer(rows[y][1], dtype=np.uint64)
+    )
+    cand = bands.groupby("part").map_groups(
+        _emit_doc_pairs_partition, batch_format="pyarrow"
+    )
+    deduped = cand.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    (
+                        t["a_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                        ^ t["b_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        _dedupe_int_pairs_partition, batch_format="pyarrow"
+    )
+
+    n_docs = sig.count()
+    if n_docs <= broadcast_limit:
+        shingle_map = {}
+        for b in sig.select_columns(["doc_id", "shingles"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            shingle_map.update(
+                zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist())
+            )
+        ref = ray.put(shingle_map)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            a = batch["a_id"].to_pylist()
+            b = batch["b_id"].to_pylist()
+            ka, kb, kj = [], [], []
+            for x, y in zip(a, b):
+                sx = np.frombuffer(m[x], dtype=np.uint64)
+                sy = np.frombuffer(m[y], dtype=np.uint64)
                 jac = H.jaccard_sorted(sx, sy)
                 if jac >= threshold:
-                    a.append(rows[x][0])
-                    b.append(rows[y][0])
-                    j.append(jac)
+                    ka.append(x)
+                    kb.append(y)
+                    kj.append(jac)
+            return pa.table(
+                {
+                    "a_id": pa.array(ka, pa.int64()),
+                    "b_id": pa.array(kb, pa.int64()),
+                    "jaccard": pa.array(kj, pa.float64()),
+                }
+            )
+
+        return deduped.map_batches(verify, batch_format="pyarrow")
+
+    # scale path: two partitioned hash joins to attach each side's blob
+    from clonehunter_ray.util import safe_join_partitions
+
+    num_partitions = safe_join_partitions(num_partitions)
+    payload = sig.select_columns(["doc_id", "shingles"])
+    a_side = payload.map_batches(
+        lambda t: t.rename_columns(["a_id", "a_shingles"]), batch_format="pyarrow"
+    )
+    b_side = payload.map_batches(
+        lambda t: t.rename_columns(["b_id", "b_shingles"]), batch_format="pyarrow"
+    )
+    joined = deduped.select_columns(["a_id", "b_id"]).join(
+        a_side, "inner", num_partitions, on=("a_id",)
+    ).join(b_side, "inner", num_partitions, on=("b_id",))
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_pylist()
+        b = batch["b_id"].to_pylist()
+        sa = batch["a_shingles"].to_pylist()
+        sb = batch["b_shingles"].to_pylist()
+        ka, kb, kj = [], [], []
+        for x, y, bx, by in zip(a, b, sa, sb):
+            jac = H.jaccard_sorted(
+                np.frombuffer(bx, dtype=np.uint64),
+                np.frombuffer(by, dtype=np.uint64),
+            )
+            if jac >= threshold:
+                ka.append(x)
+                kb.append(y)
+                kj.append(jac)
         return pa.table(
             {
-                "a_id": pa.array(a, pa.int64()),
-                "b_id": pa.array(b, pa.int64()),
-                "jaccard": pa.array(j, pa.float64()),
+                "a_id": pa.array(ka, pa.int64()),
+                "b_id": pa.array(kb, pa.int64()),
+                "jaccard": pa.array(kj, pa.float64()),
             }
         )
 
-    pairs = bands.groupby("band_key").map_groups(
-        emit_verified, batch_format="pyarrow"
-    )
-    return pairs.groupby(["a_id", "b_id"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(
@@ -209,23 +330,46 @@ def simhash_dup_pairs(
             }
         )
 
-    bands = sig.map_batches(explode, batch_format="pyarrow")
+    num_partitions = 64
+    bands = sig.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    t["chunk_key"].to_numpy(zero_copy_only=False)
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
 
-    def emit(group: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist())))
+    def emit_partition(partition: pa.Table) -> pa.Table:
+        """Buckets = runs of the sorted chunk_key; in-bucket hamming
+        verification is vectorized per bucket member (popcount table)."""
+        keys = partition["chunk_key"].to_numpy(zero_copy_only=False)
+        ids = partition["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = partition["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, sh = keys[order], ids[order], sh[order]
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
         a, b, d = [], [], []
-        for x in range(len(rows)):
-            for y in range(x + 1, len(rows)):
-                ham = int(
-                    H.hamming_distance_u64(
-                        np.asarray([rows[x][1]], dtype=np.uint64),
-                        np.asarray([rows[y][1]], dtype=np.uint64),
-                    )[0]
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            bid = ids[s : s + c]
+            bsh = sh[s : s + c]
+            uniq_idx = np.unique(bid, return_index=True)[1]
+            bid, bsh = bid[uniq_idx], bsh[uniq_idx]
+            for x in range(len(bid) - 1):
+                hams = H.hamming_distance_u64(
+                    np.full(len(bid) - x - 1, bsh[x], dtype=np.uint64),
+                    bsh[x + 1 :],
                 )
-                if ham <= max_hamming:
-                    a.append(rows[x][0])
-                    b.append(rows[y][0])
-                    d.append(ham)
+                hits = np.nonzero(hams <= max_hamming)[0]
+                for h in hits:
+                    a.append(int(bid[x]))
+                    b.append(int(bid[x + 1 + h]))
+                    d.append(int(hams[h]))
         return pa.table(
             {
                 "a_id": pa.array(a, pa.int64()),
@@ -234,7 +378,30 @@ def simhash_dup_pairs(
             }
         )
 
-    pairs = bands.groupby("chunk_key").map_groups(emit, batch_format="pyarrow")
-    return pairs.groupby(["a_id", "b_id"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    pairs = bands.groupby("part").map_groups(emit_partition, batch_format="pyarrow")
+    return pairs.map_batches(
+        lambda t: t.append_column(
+            "dpart",
+            pa.array(
+                (
+                    (
+                        t["a_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                        ^ t["b_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).groupby("dpart").map_groups(
+        lambda t: pa.Table.from_pandas(
+            t.select(["a_id", "b_id", "hamming"])
+            .to_pandas()
+            .sort_values("hamming")
+            .drop_duplicates(["a_id", "b_id"]),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
     )

@@ -62,6 +62,14 @@ _JOIN_PAYLOAD = [
 ]
 
 
+def _join_payload(config: EngineConfig) -> list[str]:
+    # token_seq (ordered token hashes) only rides the shuffle when the
+    # suffix-array substring rescue needs it
+    if config.substring.enabled:
+        return _JOIN_PAYLOAD + ["token_seq"]
+    return _JOIN_PAYLOAD
+
+
 @dataclass
 class ScanResult:
     files: "ray.data.Dataset"
@@ -74,9 +82,9 @@ class ScanResult:
     stats: dict = field(default_factory=dict)
 
 
-def _prefixed(ds: "ray.data.Dataset", prefix: str) -> "ray.data.Dataset":
-    cols = _JOIN_PAYLOAD
-
+def _prefixed(
+    ds: "ray.data.Dataset", prefix: str, cols: list[str]
+) -> "ray.data.Dataset":
     def _rename(t):
         t = t.select(cols)
         return t.rename_columns([f"{prefix}{c}" for c in cols])
@@ -108,7 +116,10 @@ def build_signatures(
     )
     return snippets.map_batches(
         SignatureStage,
-        fn_constructor_kwargs={"config": config.signature},
+        fn_constructor_kwargs={
+            "config": config.signature,
+            "emit_token_seq": config.substring.enabled,
+        },
         concurrency=config.exec.signature_actors,
         batch_size=config.exec.batch_size,
         batch_format="pyarrow",
@@ -147,14 +158,18 @@ def build_pairs(
     )
 
     limit = config.exec.broadcast_signatures_limit
+    payload_cols = _join_payload(config)
     if limit and signatures.count() <= limit:
-        joined = _attach_payload_broadcast(deduped, signatures)
+        joined = _attach_payload_broadcast(deduped, signatures, payload_cols)
     else:
-        joined = _attach_payload_join(deduped, signatures, config)
+        joined = _attach_payload_join(deduped, signatures, config, payload_cols)
 
     return joined.map_batches(
         verify_pairs_batch,
-        fn_kwargs={"thresholds": config.thresholds},
+        fn_kwargs={
+            "thresholds": config.thresholds,
+            "substring": config.substring,
+        },
         batch_format="pyarrow",
     )
 
@@ -163,19 +178,24 @@ def _attach_payload_join(
     deduped: "ray.data.Dataset",
     signatures: "ray.data.Dataset",
     config: EngineConfig,
+    payload_cols: list[str],
 ) -> "ray.data.Dataset":
     """Scale path: two partitioned hash joins pull each side's
     signature payload onto the pair rows."""
-    nparts = config.exec.shuffle_partitions or 16
-    sig_a = _prefixed(signatures, "a_")
-    sig_b = _prefixed(signatures, "b_")
+    from clonehunter_ray.util import safe_join_partitions
+
+    nparts = safe_join_partitions(config.exec.shuffle_partitions or 16)
+    sig_a = _prefixed(signatures, "a_", payload_cols)
+    sig_b = _prefixed(signatures, "b_", payload_cols)
     return deduped.join(
         sig_a, "inner", nparts, on=("a_id",), right_on=("a_snippet_id",)
     ).join(sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",))
 
 
 def _attach_payload_broadcast(
-    deduped: "ray.data.Dataset", signatures: "ray.data.Dataset"
+    deduped: "ray.data.Dataset",
+    signatures: "ray.data.Dataset",
+    payload_cols: list[str],
 ) -> "ray.data.Dataset":
     """Small-side path: broadcast the signature payload ONCE as an
     Arrow table (zero-copy in the object store) plus a snippet_id ->
@@ -185,12 +205,12 @@ def _attach_payload_broadcast(
 
     parts = [
         b
-        for b in signatures.select_columns(_JOIN_PAYLOAD).iter_batches(
+        for b in signatures.select_columns(payload_cols).iter_batches(
             batch_format="pyarrow"
         )
     ]
     payload = pa.concat_tables(parts) if parts else pa.table(
-        {c: [] for c in _JOIN_PAYLOAD}
+        {c: [] for c in payload_cols}
     )
     index = {sid: i for i, sid in enumerate(payload["snippet_id"].to_pylist())}
     ref = ray.put((payload, index))
@@ -213,7 +233,7 @@ def _attach_payload_broadcast(
             "b_id": b_side["snippet_id"],
             "capped": batch["capped"].take(pa.array(keep, pa.int64())),
         }
-        for cname in _JOIN_PAYLOAD:
+        for cname in payload_cols:
             if cname == "snippet_id":
                 continue
             cols[f"a_{cname}"] = a_side[cname]

@@ -111,6 +111,10 @@ def hashmin_labels(
     """
     import pyarrow as pa
 
+    from clonehunter_ray.util import safe_join_partitions
+
+    num_partitions = safe_join_partitions(num_partitions)
+
     def _init(batch: pa.Table) -> pa.Table:
         a = batch["unit_a"].to_pylist()
         b = batch["unit_b"].to_pylist()

@@ -102,6 +102,11 @@ def rollup_group(group: pa.Table, thresholds: Thresholds) -> pa.Table:
         reasons.append("exp_threshold")
     if len(win_hits) >= thresholds.min_window_hits:
         reasons.append("min_window_hits")
+    # suffix-array rescue channel (stages/verify.py): substr_ratio is
+    # only non-zero when a pair passed the LCS gate below the composite
+    # threshold — a reason of its own, additive to the reference set.
+    if any((r.get("substr_ratio") or 0.0) > 0.0 for r in deduped):
+        reasons.append("substring_match")
 
     empty = pa.Table.from_pydict(
         {n: [] for n in FINDINGS_SCHEMA.names}, schema=FINDINGS_SCHEMA

@@ -50,10 +50,19 @@ SIGNATURE_META_COLS = [
 class SignatureStage:
     """Stateful per-actor signature computer (one MinHasher per actor)."""
 
-    def __init__(self, config: SignatureConfig | None = None) -> None:
+    def __init__(
+        self,
+        config: SignatureConfig | None = None,
+        emit_token_seq: bool = False,
+    ) -> None:
         self.config = config or SignatureConfig()
         self.config.validate()
         self.hasher = H.MinHasher(self.config.num_perm, self.config.seed)
+        # ordered (non-deduped) token hashes power the suffix-array
+        # substring rescue (stages/verify.py); only emitted when that
+        # channel is on so the extra bytes never ride the shuffle
+        # otherwise.
+        self.emit_token_seq = emit_token_seq
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -82,6 +91,10 @@ class SignatureStage:
         cols["tokens"] = pa.array(
             [t.tobytes() for t in token_sets], pa.binary()
         )
+        if self.emit_token_seq:
+            cols["token_seq"] = pa.array(
+                [th.tobytes() for th in token_hashes], pa.binary()
+            )
         cols["minhash"] = pa.array(sigs.tolist(), pa.list_(pa.uint64()))
         cols["band_keys"] = pa.array(bands.tolist(), pa.list_(pa.uint64()))
         cols["simhash"] = pa.array(simhashes.tolist(), pa.uint64())

@@ -30,8 +30,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from clonehunter_ray.config import Thresholds
+from clonehunter_ray.config import SubstringConfig, Thresholds
 from clonehunter_ray.functions.hashing import jaccard_sorted
+from clonehunter_ray.functions.substring import lcs_ratio
 
 PAIRS_SCHEMA = pa.schema(
     [
@@ -57,6 +58,7 @@ PAIRS_SCHEMA = pa.schema(
         ("jaccard", pa.float64()),
         ("lexical", pa.float64()),
         ("composite", pa.float64()),
+        ("substr_ratio", pa.float64()),
         ("evidence", pa.string()),
     ]
 )
@@ -69,12 +71,27 @@ def _overlap_len(a_start: int, a_end: int, b_start: int, b_end: int) -> int:
     return 0 if start > end else end - start + 1
 
 
-def verify_pairs_batch(batch: pa.Table, thresholds: Thresholds) -> pa.Table:
-    """Joined candidate batch -> verified pair rows (canonical sides)."""
+def verify_pairs_batch(
+    batch: pa.Table,
+    thresholds: Thresholds,
+    substring: SubstringConfig | None = None,
+) -> pa.Table:
+    """Joined candidate batch -> verified pair rows (canonical sides).
+
+    When ``substring`` is enabled, pairs failing the composite gate but
+    with shingle Jaccard >= ``substring.floor`` get a suffix-array LCS
+    rescue over the carried ``token_seq`` columns
+    (functions/substring.py).
+    """
     cols = {name: [] for name in PAIRS_SCHEMA.names}
     n = batch.num_rows
     if n == 0:
         return pa.Table.from_pydict(cols, schema=PAIRS_SCHEMA)
+    substr_on = (
+        substring is not None
+        and substring.enabled
+        and "a_token_seq" in batch.column_names
+    )
 
     d = {c: batch[c] for c in batch.column_names}
 
@@ -115,8 +132,15 @@ def verify_pairs_batch(batch: pa.Table, thresholds: Thresholds) -> pa.Table:
         )
         kind_a, kind_b = val("a_kind", i), val("b_kind", i)
         gate = min(thresholds.for_kind(kind_a), thresholds.for_kind(kind_b))
+        substr = 0.0
         if composite < gate:
-            continue
+            if not (substr_on and jac >= substring.floor):
+                continue
+            seq_a = np.frombuffer(val("a_token_seq", i), dtype=np.uint64)
+            seq_b = np.frombuffer(val("b_token_seq", i), dtype=np.uint64)
+            substr = lcs_ratio(seq_a, seq_b)
+            if substr < substring.min_ratio:
+                continue
 
         # canonical side order by (unit_id, start, end) — replaces the
         # reference's list-order dependence (rollup.py:45-62) with an
@@ -162,7 +186,9 @@ def verify_pairs_batch(batch: pa.Table, thresholds: Thresholds) -> pa.Table:
         cols["jaccard"].append(jac)
         cols["lexical"].append(lex)
         cols["composite"].append(composite)
+        cols["substr_ratio"].append(substr)
+        tag = f"|substr={substr:.3f}" if substr else ""
         cols["evidence"].append(
-            f"{kind_a}->{kind_b}|jac={jac:.3f}|lex={lex:.3f}|comp={composite:.3f}"
+            f"{kind_a}->{kind_b}|jac={jac:.3f}|lex={lex:.3f}|comp={composite:.3f}{tag}"
         )
     return pa.Table.from_pydict(cols, schema=PAIRS_SCHEMA)
