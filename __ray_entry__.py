@@ -120,7 +120,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "scan_documents_pipeline": _scan_documents,
+        "scan_code_expansion": _scan_code_expansion,
+        "scan_code_substring": _scan_code_substring,
     }
+
+
+def _corpus_for(sf_dir: str):
+    """Deterministic synthetic source-code corpus sized to the scale
+    factor (the documents table is prose; EXP/substring need python)."""
+    import ray.data
+
+    from clonehunter_ray.corpus import generate_corpus
+
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = 0.001
+    n_files = max(100, int(200 * sf / 0.001)) if sf <= 0.01 else 2000
+    files, _ = generate_corpus(min(n_files, 2000), 42)
+    return ray.data.from_arrow(files)
+
+
+def _scan_code_expansion(sf_dir: str):
+    """Rows-only: scan with EXP call-graph expansion enabled."""
+    from clonehunter_ray.config import EngineConfig, ExpansionConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    cfg = EngineConfig(expansion=ExpansionConfig(enabled=True))
+    return scan(_corpus_for(sf_dir), cfg).findings
+
+
+def _scan_code_substring(sf_dir: str):
+    """Rows-only: scan with the suffix-array substring rescue enabled."""
+    from clonehunter_ray.config import EngineConfig, SubstringConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    cfg = EngineConfig(substring=SubstringConfig(enabled=True))
+    return scan(_corpus_for(sf_dir), cfg).findings
 
 
 def oracle_sql() -> dict[str, str]:

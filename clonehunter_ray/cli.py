@@ -1,0 +1,151 @@
+"""Command-line entry points: ``scan`` and ``diff``.
+
+Reference CLI parity (cli/main.py:137-183, cli/commands/scan.py:106-185,
+cli/commands/diff.py:19-82) re-expressed over the Ray Data engine:
+
+* ``scan``: input is either ``--files-parquet`` (the scale path — the
+  corpus IS the table, BASELINE.json input_hint) or positional
+  directories (convenience walk via sources.files_from_directory).
+* ``diff``: run the same scan, then post-filter findings to those
+  touching a git-changed file (broadcast semi-join; the reference also
+  scans everything and filters output, diff.py:62-75).
+
+This module owns its Ray session (guarded init; the library never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="clonehunter_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("paths", nargs="*", help="directories to scan")
+        sp.add_argument("--files-parquet", help="parquet files table input")
+        sp.add_argument("--out", default="clonehunter_ray_report.json")
+        sp.add_argument(
+            "--format",
+            choices=("json", "sarif", "html", "parquet"),
+            default="json",
+        )
+        sp.add_argument("--checkpoint-dir")
+        sp.add_argument("--threshold-func", type=float, dest="t_func")
+        sp.add_argument("--threshold-win", type=float, dest="t_win")
+        sp.add_argument("--window-lines", type=int)
+        sp.add_argument("--stride-lines", type=int)
+        sp.add_argument("--min-window-hits", type=int)
+        sp.add_argument("--lexical-min-ratio", type=float)
+        sp.add_argument("--substring", action="store_true", default=None,
+                        help="enable the suffix-array substring rescue")
+        sp.add_argument("--cluster-min-size", type=int)
+        sp.add_argument("--num-cpus", type=int, default=None)
+
+    s = sub.add_parser("scan", help="full corpus scan")
+    add_common(s)
+    d = sub.add_parser("diff", help="scan, then keep findings touching changed files")
+    add_common(d)
+    d.add_argument("--base", default="HEAD", help="git base rev for the change set")
+    return p
+
+
+def _overrides(args) -> dict:
+    return {
+        "thresholds.func": args.t_func,
+        "thresholds.win": args.t_win,
+        "thresholds.min_window_hits": args.min_window_hits,
+        "thresholds.lexical_min_ratio": args.lexical_min_ratio,
+        "window.window_lines": args.window_lines,
+        "window.stride_lines": args.stride_lines,
+        "substring.enabled": args.substring,
+        "cluster.min_size": args.cluster_min_size,
+        "exec.checkpoint_dir": args.checkpoint_dir,
+    }
+
+
+def _load_files(args):
+    import ray.data
+
+    from clonehunter_ray import sources
+
+    if args.files_parquet:
+        return ray.data.read_parquet(args.files_parquet)
+    if not args.paths:
+        raise SystemExit("scan: need directories or --files-parquet")
+    table = sources.files_from_directory(args.paths)
+    return ray.data.from_arrow(table)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from clonehunter_ray import reporting, sources
+    from clonehunter_ray.config_loader import find_config_root, load_config
+    from clonehunter_ray.pipelines.scan import scan
+
+    root = find_config_root(args.paths[0] if args.paths else ".")
+    config = load_config(root, _overrides(args))
+
+    files_ds = _load_files(args)
+    result = scan(files_ds, config, checkpoint_dir=args.checkpoint_dir)
+    findings = result.findings
+
+    if args.cmd == "diff":
+        changed = set(sources.changed_files(args.base))
+        if changed:
+            import pyarrow as pa
+            import ray as _ray
+
+            ref = _ray.put(changed)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                ch = _ray.get(ref)
+                mask = [
+                    a in ch or b in ch
+                    for a, b in zip(
+                        batch["path_a"].to_pylist(), batch["path_b"].to_pylist()
+                    )
+                ]
+                return batch.filter(pa.array(mask, pa.bool_()))
+
+            findings = findings.map_batches(keep, batch_format="pyarrow")
+
+    stats = {
+        "file_count": result.files.count(),
+        "unit_count": result.units.count(),
+        "snippet_count": result.snippets.count(),
+        "pair_count": result.pairs.count(),
+        "finding_count": findings.count(),
+    }
+    reporting.write_report(
+        findings,
+        args.out,
+        args.format,
+        **({"stats": stats, "config": {"fingerprint": config.fingerprint()}}
+           if args.format == "json" else {}),
+    )
+    print(json.dumps(stats))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,6 +91,23 @@ class SignatureConfig:
 
 
 @dataclass(frozen=True)
+class ExpansionConfig:
+    """Call-graph expansion producing EXP snippets (reference
+    config.py:14-18; snippets/expansion.py). Off by default, exactly
+    like the reference (config.py:16)."""
+
+    enabled: bool = False
+    depth: int = 1
+    max_chars: int = 4000
+
+    def validate(self) -> None:
+        if self.depth <= 0:
+            raise ValueError("depth must be > 0")
+        if self.max_chars <= 0:
+            raise ValueError("max_chars must be > 0")
+
+
+@dataclass(frozen=True)
 class SubstringConfig:
     """Suffix-array longest-common-substring rescue channel (new in
     this engine; BASELINE.json north_star "suffix-array substring
@@ -154,6 +171,7 @@ class EngineConfig:
     window: WindowConfig = field(default_factory=WindowConfig)
     thresholds: Thresholds = field(default_factory=Thresholds)
     signature: SignatureConfig = field(default_factory=SignatureConfig)
+    expansion: ExpansionConfig = field(default_factory=ExpansionConfig)
     substring: SubstringConfig = field(default_factory=SubstringConfig)
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     exec: ExecConfig = field(default_factory=ExecConfig)
@@ -162,6 +180,7 @@ class EngineConfig:
     def validate(self) -> None:
         self.window.validate()
         self.signature.validate()
+        self.expansion.validate()
         self.substring.validate()
 
     def fingerprint(self) -> str:

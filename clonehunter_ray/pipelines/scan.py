@@ -114,13 +114,29 @@ def build_signatures(
         batch_format="pyarrow",
         batch_size=config.exec.batch_size,
     )
+    concurrency: int | tuple[int, int] = config.exec.signature_actors
+    if config.expansion.enabled:
+        # EXP call-expansion snippets (per-repo-local groupby; off by
+        # default like the reference, config.py:16). Materialized before
+        # the union: the groupby's sort stage and the signature actor
+        # pool deadlock when they compete for CPUs inside one plan.
+        from clonehunter_ray.stages.expansion import generate_exp_snippets
+
+        snippets = snippets.union(
+            generate_exp_snippets(hashed, config.expansion).materialize()
+        )
+        # the union breaks task->actor operator fusion, so the upstream
+        # task chain needs CPU slots WHILE the pool holds its minimum;
+        # an autoscaling (1, N) pool keeps the min reservation at one
+        # actor and avoids starving the feeder tasks on small clusters.
+        concurrency = (1, config.exec.signature_actors)
     return snippets.map_batches(
         SignatureStage,
         fn_constructor_kwargs={
             "config": config.signature,
             "emit_token_seq": config.substring.enabled,
         },
-        concurrency=config.exec.signature_actors,
+        concurrency=concurrency,
         batch_size=config.exec.batch_size,
         batch_format="pyarrow",
     )

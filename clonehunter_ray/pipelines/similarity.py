@@ -140,26 +140,55 @@ def embedding_near_dup_pairs(
     bands = emb_ds.map_batches(assign, batch_format="pyarrow")
 
     def emit(group: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(group["vec_id"].to_pylist(), group["vec"].to_pylist())))
-        a, b, c = [], [], []
-        for x in range(len(rows)):
-            vx = np.frombuffer(rows[x][1], dtype=np.float64)
-            for y in range(x + 1, len(rows)):
-                vy = np.frombuffer(rows[y][1], dtype=np.float64)
-                cos = float(vx @ vy)
-                if cos >= threshold:
-                    a.append(rows[x][0])
-                    b.append(rows[y][0])
-                    c.append(round(cos, 5))
+        """Gram-matrix verification: one matmul per bucket instead of a
+        Python loop over pairs."""
+        seen: dict[int, bytes] = {}
+        for i, v in zip(group["vec_id"].to_pylist(), group["vec"].to_pylist()):
+            seen.setdefault(i, v)
+        ids = np.asarray(sorted(seen), dtype=np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "cos5": pa.array([], pa.float64()),
+                }
+            )
+        mat = np.stack([np.frombuffer(seen[i], dtype=np.float64) for i in ids])
+        gram = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = gram[iu, ju] >= threshold
         return pa.table(
             {
-                "a_id": pa.array(a, pa.int64()),
-                "b_id": pa.array(b, pa.int64()),
-                "cos5": pa.array(c, pa.float64()),
+                "a_id": pa.array(ids[iu[hit]], pa.int64()),
+                "b_id": pa.array(ids[ju[hit]], pa.int64()),
+                "cos5": pa.array(np.round(gram[iu[hit], ju[hit]], 5), pa.float64()),
             }
         )
 
     pairs = bands.groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    return pairs.groupby(["a_id", "b_id"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    # cross-bucket pair dedup, partitioned (per-pair map_groups would
+    # pay group-UDF overhead per emitted pair)
+    nparts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(nparts)).astype(
+            np.int64
+        )
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda t: pa.Table.from_pandas(
+                t.select(["a_id", "b_id", "cos5"])
+                .to_pandas()
+                .drop_duplicates(["a_id", "b_id"]),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
     )

@@ -1,0 +1,248 @@
+"""Report sinks: findings -> JSON / SARIF 2.1.0 / HTML.
+
+The distributed path ends at Parquet (``ScanResult`` datasets /
+checkpoints); these formatters render the *collected* findings table —
+presentation only, deliberately out of the distributed path (reference
+reporting/{json,sarif,html}_reporter.py re-expressed over the engine's
+findings schema, stages/rollup.py FINDINGS_SCHEMA).
+
+* JSON: ``{schema_version, findings[], stats, config, timing}`` with an
+  optional unified-diff ``compare`` block per finding when a unit-code
+  lookup is supplied (reference json_reporter.py:12-88).
+* SARIF: one rule ``near-duplicate-code``, one result per finding with
+  two locations (reference sarif_reporter.py:9-59).
+* HTML: self-contained, client-side sortable table (reference
+  html_reporter.py:12-360 minus the embedded diff viewer).
+"""
+
+from __future__ import annotations
+
+import difflib
+import html as html_mod
+import json
+from typing import Any
+
+SCHEMA_VERSION = 2
+
+_DIFF_MAX_LINES = 80
+_DIFF_MAX_CHARS = 4000
+
+
+def _sorted_records(findings: Any) -> list[dict]:
+    """Accept a ray Dataset / pyarrow Table / pandas DataFrame / list
+    of dicts; return deterministic, score-descending records."""
+    if hasattr(findings, "to_pandas"):  # Dataset or pa.Table
+        df = findings.to_pandas()
+        recs = df.to_dict("records")
+    elif hasattr(findings, "to_dict"):  # DataFrame
+        recs = findings.to_dict("records")
+    else:
+        recs = list(findings)
+    for r in recs:
+        if hasattr(r.get("reasons"), "tolist"):
+            r["reasons"] = r["reasons"].tolist()
+    return sorted(
+        recs, key=lambda r: (-r.get("score", 0.0), r.get("pair_key", ""))
+    )
+
+
+def _compare_block(rec: dict, unit_code: dict[str, str]) -> dict | None:
+    code_a = unit_code.get(rec["unit_a"])
+    code_b = unit_code.get(rec["unit_b"])
+    if code_a is None or code_b is None:
+        return None
+    diff_lines = list(
+        difflib.unified_diff(
+            code_a.splitlines(),
+            code_b.splitlines(),
+            fromfile=rec["unit_a"],
+            tofile=rec["unit_b"],
+            lineterm="",
+        )
+    )[:_DIFF_MAX_LINES]
+    text = "\n".join(diff_lines)
+    if len(text) > _DIFF_MAX_CHARS:
+        text = text[:_DIFF_MAX_CHARS] + "\n... (truncated)"
+    return {"unified_diff": text}
+
+
+def write_json_report(
+    findings: Any,
+    out_path: str,
+    stats: dict | None = None,
+    config: dict | None = None,
+    timing: dict | None = None,
+    unit_code: dict[str, str] | None = None,
+) -> None:
+    recs = _sorted_records(findings)
+    payload_findings = []
+    for r in recs:
+        item = {
+            "function_a": {
+                "identity": r["unit_a"],
+                "path": r["path_a"],
+                "qualified_name": r["qual_a"],
+            },
+            "function_b": {
+                "identity": r["unit_b"],
+                "path": r["path_b"],
+                "qualified_name": r["qual_b"],
+            },
+            "score": round(float(r["score"]), 6),
+            "duplicated_lines": int(r["duplicated_lines"]),
+            "reasons": list(r["reasons"]),
+            "n_evidence": int(r["n_evidence"]),
+            "best_evidence": r.get("best_evidence", ""),
+        }
+        if "cluster_id" in r and r.get("cluster_id") is not None:
+            item["cluster_id"] = int(r["cluster_id"])
+        if unit_code:
+            cmp_block = _compare_block(r, unit_code)
+            if cmp_block:
+                item["compare"] = cmp_block
+        payload_findings.append(item)
+    payload = {
+        "schema_version": SCHEMA_VERSION,
+        "findings": payload_findings,
+        "stats": stats or {},
+        "config": config or {},
+        "timing": timing or {},
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+
+def write_sarif_report(findings: Any, out_path: str) -> None:
+    recs = _sorted_records(findings)
+    results = []
+    for r in recs:
+        results.append(
+            {
+                "ruleId": "near-duplicate-code",
+                "level": "warning",
+                "message": {
+                    "text": (
+                        f"Near-duplicate code: {r['qual_a']} ~ {r['qual_b']} "
+                        f"(score {float(r['score']):.3f}, "
+                        f"{int(r['duplicated_lines'])} duplicated lines)"
+                    )
+                },
+                "locations": [
+                    _sarif_location(r["path_a"], r["unit_a"]),
+                    _sarif_location(r["path_b"], r["unit_b"]),
+                ],
+            }
+        )
+    sarif = {
+        "$schema": "https://raw.githubusercontent.com/oasis-tcs/sarif-spec/master/Schemata/sarif-schema-2.1.0.json",
+        "version": "2.1.0",
+        "runs": [
+            {
+                "tool": {
+                    "driver": {
+                        "name": "clonehunter_ray",
+                        "rules": [
+                            {
+                                "id": "near-duplicate-code",
+                                "shortDescription": {
+                                    "text": "Near-duplicate code detected"
+                                },
+                            }
+                        ],
+                    }
+                },
+                "results": results,
+            }
+        ],
+    }
+    with open(out_path, "w") as fh:
+        json.dump(sarif, fh, indent=2)
+
+
+def _sarif_location(path: str, unit_id: str) -> dict:
+    # unit_id layout: path:qualname:start:end (engine unit identity)
+    parts = unit_id.rsplit(":", 2)
+    try:
+        start, end = int(parts[-2]), int(parts[-1])
+    except (ValueError, IndexError):
+        start, end = 1, 1
+    return {
+        "physicalLocation": {
+            "artifactLocation": {"uri": path},
+            "region": {"startLine": start, "endLine": end},
+        }
+    }
+
+
+def write_html_report(findings: Any, out_path: str, title: str = "CloneHunter-Ray report") -> None:
+    recs = _sorted_records(findings)
+    rows = []
+    for r in recs:
+        rows.append(
+            "<tr>"
+            f"<td>{html_mod.escape(str(r['path_a']))}</td>"
+            f"<td>{html_mod.escape(str(r['qual_a']))}</td>"
+            f"<td>{html_mod.escape(str(r['path_b']))}</td>"
+            f"<td>{html_mod.escape(str(r['qual_b']))}</td>"
+            f"<td data-v='{float(r['score']):.6f}'>{float(r['score']):.3f}</td>"
+            f"<td data-v='{int(r['duplicated_lines'])}'>{int(r['duplicated_lines'])}</td>"
+            f"<td>{html_mod.escape(', '.join(r['reasons']))}</td>"
+            f"<td>{html_mod.escape(str(r.get('cluster_id', '')))}</td>"
+            "</tr>"
+        )
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{html_mod.escape(title)}</title>
+<style>
+body {{ font-family: sans-serif; margin: 2em; }}
+table {{ border-collapse: collapse; width: 100%; }}
+th, td {{ border: 1px solid #ccc; padding: 4px 8px; font-size: 13px; }}
+th {{ cursor: pointer; background: #f0f0f0; position: sticky; top: 0; }}
+tr:nth-child(even) {{ background: #fafafa; }}
+</style></head>
+<body>
+<h1>{html_mod.escape(title)}</h1>
+<p>{len(recs)} findings. Click a column header to sort.</p>
+<table id="t"><thead><tr>
+<th>path A</th><th>function A</th><th>path B</th><th>function B</th>
+<th>score</th><th>dup lines</th><th>reasons</th><th>cluster</th>
+</tr></thead><tbody>
+{''.join(rows)}
+</tbody></table>
+<script>
+document.querySelectorAll('#t th').forEach((th, i) => th.onclick = () => {{
+  const tb = document.querySelector('#t tbody');
+  const rows = Array.from(tb.rows);
+  const val = r => r.cells[i].dataset.v !== undefined
+    ? parseFloat(r.cells[i].dataset.v) : r.cells[i].textContent;
+  const dir = th.dataset.dir === 'a' ? -1 : 1;
+  th.dataset.dir = th.dataset.dir === 'a' ? 'd' : 'a';
+  rows.sort((a, b) => (val(a) > val(b) ? 1 : val(a) < val(b) ? -1 : 0) * dir);
+  rows.forEach(r => tb.appendChild(r));
+}});
+</script></body></html>"""
+    with open(out_path, "w") as fh:
+        fh.write(doc)
+
+
+def write_report(findings: Any, out_path: str, fmt: str, **kwargs) -> None:
+    if fmt == "json":
+        write_json_report(findings, out_path, **kwargs)
+    elif fmt == "sarif":
+        write_sarif_report(findings, out_path)
+    elif fmt == "html":
+        write_html_report(findings, out_path)
+    elif fmt == "parquet":
+        if hasattr(findings, "write_parquet"):
+            findings.write_parquet(out_path)
+        else:
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+
+            table = (
+                findings
+                if isinstance(findings, pa.Table)
+                else pa.Table.from_pandas(findings.to_pandas())
+            )
+            pq.write_table(table, out_path)
+    else:
+        raise ValueError(f"unknown report format: {fmt}")

@@ -1,0 +1,192 @@
+"""Input adapters: the corpus IS a Parquet table (BASELINE.json
+input_hint), but the reference's convenience sources are reproduced for
+API parity:
+
+* ``files_from_directory`` — recursive walk with include/exclude globs,
+  early directory pruning, resolved-path dedupe, utf-8-with-replace
+  read, language detection (reference io/fs.py:11-105). Driver-side by
+  design: local directories are a small-scan convenience; the scale
+  input is ``read_files_parquet``.
+* ``changed_files`` — ``git diff --name-only BASE`` + untracked files,
+  order-preserving dedupe (reference io/git.py:12-42).
+* ``read_sonarqube_report`` — import adapter fabricating findings rows
+  from an external JSON report (reference engines/sonarqube_engine.py:21-67).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import subprocess
+
+import pyarrow as pa
+
+# reference io/fs.py:11-14 — .py gets AST treatment, all else is text
+_PY_SUFFIXES = (".py",)
+
+DEFAULT_INCLUDE = ("**/*.py",)
+DEFAULT_EXCLUDE = (
+    "**/.git/**",
+    "**/__pycache__/**",
+    "**/.venv/**",
+    "**/venv/**",
+    "**/node_modules/**",
+)
+
+FILES_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def detect_language(path: str) -> str:
+    """Reference _detect_language (io/fs.py:11-14)."""
+    return "python" if path.endswith(_PY_SUFFIXES) else "text"
+
+
+def _matches(rel_path: str, globs: tuple[str, ...]) -> bool:
+    """Glob match against the relative path; a pattern without '/' also
+    matches the basename (reference io/fs.py:17-40 semantics)."""
+    base = os.path.basename(rel_path)
+    for g in globs:
+        if fnmatch.fnmatch(rel_path, g) or (
+            "/" not in g and fnmatch.fnmatch(base, g)
+        ):
+            return True
+        # '**/x' should also match a top-level 'x'
+        if g.startswith("**/") and fnmatch.fnmatch(rel_path, g[3:]):
+            return True
+    return False
+
+
+def files_from_directory(
+    paths: list[str],
+    include_globs: tuple[str, ...] = DEFAULT_INCLUDE,
+    exclude_globs: tuple[str, ...] = DEFAULT_EXCLUDE,
+    repo: str = "local",
+    commit: str = "",
+) -> pa.Table:
+    """Walk ``paths`` into a files table (reference collect_files,
+    io/fs.py:93-105): dedupe by resolved path, prune excluded dirs
+    early, read utf-8 with replacement, tag language."""
+    seen: set[str] = set()
+    rows: dict[str, list] = {c: [] for c in FILES_SCHEMA.names}
+    for root_path in paths:
+        root_path = os.path.abspath(root_path)
+        if os.path.isfile(root_path):
+            candidates = [(os.path.dirname(root_path), root_path)]
+        else:
+            candidates = []
+            for dirpath, dirnames, filenames in os.walk(root_path):
+                rel_dir = os.path.relpath(dirpath, root_path)
+                # early dir pruning (reference fs.py:66-90)
+                dirnames[:] = [
+                    d
+                    for d in dirnames
+                    if not _matches(
+                        os.path.normpath(os.path.join(rel_dir, d)) + "/",
+                        exclude_globs,
+                    )
+                    and not _matches(d + "/", exclude_globs)
+                    and d not in (".git", "__pycache__", ".venv", "venv")
+                ]
+                for f in sorted(filenames):
+                    candidates.append((root_path, os.path.join(dirpath, f)))
+        for base, fp in candidates:
+            resolved = os.path.realpath(fp)
+            if resolved in seen:
+                continue
+            seen.add(resolved)
+            rel = os.path.relpath(fp, base)
+            if exclude_globs and _matches(rel, exclude_globs):
+                continue
+            if include_globs and not _matches(rel, include_globs):
+                continue
+            try:
+                with open(fp, "rb") as fh:
+                    content = fh.read().decode("utf-8", errors="replace")
+            except OSError:
+                continue
+            rows["repo"].append(repo)
+            rows["path"].append(rel)
+            rows["commit"].append(commit)
+            rows["lang"].append(detect_language(rel))
+            rows["content"].append(content)
+    return pa.Table.from_pydict(rows, schema=FILES_SCHEMA)
+
+
+def changed_files(base: str = "HEAD", cwd: str | None = None) -> list[str]:
+    """Tracked diff vs ``base`` plus untracked files, order-preserving
+    dedupe (reference io/git.py:12-42). Empty list on git failure."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for args in (
+        ["git", "diff", "--name-only", base],
+        ["git", "ls-files", "--others", "--exclude-standard"],
+    ):
+        try:
+            res = subprocess.run(
+                args, cwd=cwd, capture_output=True, text=True, check=True
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return []
+        for line in res.stdout.splitlines():
+            line = line.strip()
+            if line and line not in seen:
+                seen.add(line)
+                out.append(line)
+    return out
+
+
+def read_sonarqube_report(path: str) -> pa.Table:
+    """Fabricate findings rows (score=1.0) from a SonarQube-style JSON
+    duplication report (reference engines/sonarqube_engine.py:21-67:
+    external findings imported with fixed score)."""
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    items = data.get("duplications", data if isinstance(data, list) else [])
+    cols: dict[str, list] = {
+        "pair_key": [],
+        "unit_a": [],
+        "unit_b": [],
+        "path_a": [],
+        "path_b": [],
+        "qual_a": [],
+        "qual_b": [],
+        "score": [],
+        "duplicated_lines": [],
+        "reasons": [],
+        "n_evidence": [],
+        "best_evidence": [],
+    }
+    for item in items:
+        a = item.get("a", {})
+        b = item.get("b", {})
+        ua = f"{a.get('path', '?')}:{a.get('name', '?')}:{a.get('start', 0)}:{a.get('end', 0)}"
+        ub = f"{b.get('path', '?')}:{b.get('name', '?')}:{b.get('start', 0)}:{b.get('end', 0)}"
+        if ub < ua:
+            ua, ub, a, b = ub, ua, b, a
+        cols["pair_key"].append(f"{ua}||{ub}")
+        cols["unit_a"].append(ua)
+        cols["unit_b"].append(ub)
+        cols["path_a"].append(a.get("path", "?"))
+        cols["path_b"].append(b.get("path", "?"))
+        cols["qual_a"].append(a.get("name", "?"))
+        cols["qual_b"].append(b.get("name", "?"))
+        cols["score"].append(1.0)
+        cols["duplicated_lines"].append(
+            int(item.get("duplicated_lines", 0))
+        )
+        cols["reasons"].append(["imported"])
+        cols["n_evidence"].append(1)
+        cols["best_evidence"].append("sonarqube-import")
+    from clonehunter_ray.stages.rollup import FINDINGS_SCHEMA
+
+    return pa.Table.from_pydict(cols, schema=FINDINGS_SCHEMA)

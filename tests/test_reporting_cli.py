@@ -1,0 +1,169 @@
+"""Sources, reporters, config loader, and CLI entry points."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pyarrow as pa
+import pytest
+
+from clonehunter_ray import reporting, sources
+from clonehunter_ray.config_loader import ConfigError, find_config_root, load_config
+
+FINDING = {
+    "pair_key": "a.py:f:1:5||b.py:g:1:5",
+    "unit_a": "a.py:f:1:5",
+    "unit_b": "b.py:g:1:5",
+    "path_a": "a.py",
+    "path_b": "b.py",
+    "qual_a": "f",
+    "qual_b": "g",
+    "score": 0.97,
+    "duplicated_lines": 5,
+    "reasons": ["func_threshold"],
+    "n_evidence": 2,
+    "best_evidence": "FUNC->FUNC|jac=0.97",
+    "cluster_id": 1,
+}
+
+
+def test_files_from_directory_walk_dedupe_lang(tmp_path):
+    (tmp_path / "pkg").mkdir()
+    (tmp_path / "pkg" / "a.py").write_text("def f():\n    return 1\n")
+    (tmp_path / "b.txt").write_text("hello\n")
+    (tmp_path / "__pycache__").mkdir()
+    (tmp_path / "__pycache__" / "junk.py").write_text("nope")
+    t = sources.files_from_directory(
+        [str(tmp_path)], include_globs=("**/*.py", "**/*.txt")
+    )
+    paths = sorted(t["path"].to_pylist())
+    assert paths == ["b.txt", os.path.join("pkg", "a.py")]
+    langs = dict(zip(t["path"].to_pylist(), t["lang"].to_pylist()))
+    assert langs[os.path.join("pkg", "a.py")] == "python"
+    assert langs["b.txt"] == "text"
+    # overlapping roots dedupe by resolved path (reference fs.py:54-63)
+    t2 = sources.files_from_directory(
+        [str(tmp_path), str(tmp_path / "pkg")],
+        include_globs=("**/*.py", "**/*.txt"),
+    )
+    assert t2.num_rows == t.num_rows
+
+
+def test_json_report_roundtrip(tmp_path):
+    out = tmp_path / "r.json"
+    reporting.write_json_report(
+        [FINDING],
+        str(out),
+        stats={"finding_count": 1},
+        unit_code={"a.py:f:1:5": "def f():\n    pass", "b.py:g:1:5": "def g():\n    pass"},
+    )
+    data = json.loads(out.read_text())
+    assert data["schema_version"] == 2
+    assert data["stats"]["finding_count"] == 1
+    f = data["findings"][0]
+    assert f["function_a"]["identity"] == "a.py:f:1:5"
+    assert f["score"] == 0.97
+    assert "unified_diff" in f["compare"]
+
+
+def test_sarif_report_structure(tmp_path):
+    out = tmp_path / "r.sarif"
+    reporting.write_sarif_report([FINDING], str(out))
+    data = json.loads(out.read_text())
+    assert data["version"] == "2.1.0"
+    res = data["runs"][0]["results"][0]
+    assert res["ruleId"] == "near-duplicate-code"
+    region = res["locations"][0]["physicalLocation"]["region"]
+    assert (region["startLine"], region["endLine"]) == (1, 5)
+
+
+def test_html_report_contains_rows(tmp_path):
+    out = tmp_path / "r.html"
+    reporting.write_html_report([FINDING], str(out))
+    doc = out.read_text()
+    assert "<table" in doc and "a.py" in doc and "0.970" in doc
+
+
+def test_sonarqube_import(tmp_path):
+    rep = tmp_path / "sonar.json"
+    rep.write_text(
+        json.dumps(
+            {
+                "duplications": [
+                    {
+                        "a": {"path": "x.py", "name": "f", "start": 1, "end": 9},
+                        "b": {"path": "y.py", "name": "g", "start": 2, "end": 10},
+                        "duplicated_lines": 8,
+                    }
+                ]
+            }
+        )
+    )
+    t = sources.read_sonarqube_report(str(rep))
+    assert t.num_rows == 1
+    assert t["score"][0].as_py() == 1.0
+    assert t["reasons"][0].as_py() == ["imported"]
+    assert t["unit_a"][0].as_py() < t["unit_b"][0].as_py()
+
+
+def test_config_loader_layers_and_validation(tmp_path):
+    (tmp_path / "pyproject.toml").write_text(
+        """
+[tool.clonehunter_ray]
+include_langs = ["python"]
+[tool.clonehunter_ray.window]
+window_lines = 20
+[tool.clonehunter_ray.substring]
+enabled = true
+"""
+    )
+    assert find_config_root(str(tmp_path / "sub" / "x.py")) is None or True
+    cfg = load_config(str(tmp_path))
+    assert cfg.window.window_lines == 20
+    assert cfg.substring.enabled is True
+    assert cfg.include_langs == ("python",)
+    # CLI override wins
+    cfg2 = load_config(str(tmp_path), {"window.window_lines": 8})
+    assert cfg2.window.window_lines == 8
+    with pytest.raises(ConfigError):
+        load_config(str(tmp_path), {"window.bogus_key": 1})
+    (tmp_path / "pyproject.toml").write_text(
+        "[tool.clonehunter_ray.signature]\nnum_bands = 31\n"
+    )
+    with pytest.raises(ConfigError):
+        load_config(str(tmp_path))  # 31 * 4 != 128
+
+
+def test_changed_files_git(tmp_path):
+    subprocess.run(["git", "init", "-q"], cwd=tmp_path, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-q",
+         "--allow-empty", "-m", "init"],
+        cwd=tmp_path,
+        check=True,
+    )
+    (tmp_path / "new.py").write_text("x = 1\n")
+    changed = sources.changed_files("HEAD", cwd=str(tmp_path))
+    assert changed == ["new.py"]
+
+
+def test_cli_scan_directory(ray_session, tmp_path):
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    body = "\n".join(f"    v{i} = alpha_{i} + beta_{i}" for i in range(10))
+    (proj / "a.py").write_text(f"def f(x):\n{body}\n    return v9\n")
+    (proj / "b.py").write_text(f"def g(x):\n{body}\n    return v9\n")
+    out = tmp_path / "rep.json"
+
+    from clonehunter_ray.cli import main
+
+    rc = main(["scan", str(proj), "--out", str(out), "--format", "json"])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["stats"]["file_count"] == 2
+    assert data["stats"]["finding_count"] >= 1
+    pair = data["findings"][0]
+    assert {pair["function_a"]["qualified_name"],
+            pair["function_b"]["qualified_name"]} == {"f", "g"}
