@@ -88,9 +88,7 @@ def run_bench() -> dict:
         )
 
     # ---- headline: flagship clone scan --------------------------------
-    cfg = EngineConfig(
-        exec=ExecConfig(signature_actors=max(2, NUM_CPUS // 4))
-    )
+    cfg = EngineConfig()  # signature_actors auto-sizes to the cluster
     t0 = time.monotonic()
     res = scan(read_corpus(), cfg)
     n_findings = res.findings.count()
@@ -98,7 +96,11 @@ def run_bench() -> dict:
     timings["clone_scan"] = round(headline, 3)
 
     # ---- supporting pipelines over the sf tables ----------------------
+    scan_only = os.environ.get("GRAFT_SCAN_ONLY") == "1"
+
     def timed(name, fn):
+        if scan_only:
+            return
         t = time.monotonic()
         out = fn(SF_DIR)
         # consume
@@ -133,8 +135,22 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    """Same headline job at 8 and 32 CPUs in fresh processes.
+
+    The runs are interleaved (hi, lo, hi, lo) and the best time per
+    level is reported: the sandbox's effective CPU availability
+    fluctuates with co-tenant load, so a single sample per level can
+    invert the comparison entirely. ``--scaling-runs`` (env
+    GRAFT_SCALING_RUNS, default 2) controls repetitions.
+    """
+
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_SCAN_ONLY="1",  # skip the query suite: scaling measures the scan
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -146,22 +162,30 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run_at(lo)
-    r_hi = run_at(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+    lo_times, hi_times = [], []
+    last_lo = last_hi = None
+    for _ in range(n_runs):
+        last_hi = run_at(hi)
+        hi_times.append(last_hi["value"])
+        last_lo = run_at(lo)
+        lo_times.append(last_lo["value"])
+    t_lo, t_hi = min(lo_times), min(hi_times)
     eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+                "metric": "scaling efficiency (8 -> 32 cpus, same input, best of interleaved runs)",
                 "sec_8": t_lo,
                 "sec_32": t_hi,
-                "files_per_sec_8": r_lo["files_per_sec"],
-                "files_per_sec_32": r_hi["files_per_sec"],
+                "sec_8_runs": lo_times,
+                "sec_32_runs": hi_times,
+                "files_per_sec_8": round(last_lo["corpus_files"] / t_lo, 1),
+                "files_per_sec_32": round(last_hi["corpus_files"] / t_hi, 1),
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round(eff, 3),
-                "sf": r_hi["sf"],
-                "corpus_files": r_hi["corpus_files"],
+                "sf": last_hi["sf"],
+                "corpus_files": last_hi["corpus_files"],
             }
         )
     )

@@ -45,6 +45,18 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="enable the suffix-array substring rescue")
         sp.add_argument("--cluster-min-size", type=int)
         sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument(
+            "--repotype",
+            action="append",
+            default=None,
+            help="language preset(s) for include globs; 'monorepo' = all",
+        )
+        sp.add_argument(
+            "--include",
+            action="append",
+            default=None,
+            help="explicit include glob(s); overrides presets (CLI wins)",
+        )
 
     s = sub.add_parser("scan", help="full corpus scan")
     add_common(s)
@@ -77,7 +89,11 @@ def _load_files(args):
         return ray.data.read_parquet(args.files_parquet)
     if not args.paths:
         raise SystemExit("scan: need directories or --files-parquet")
-    table = sources.files_from_directory(args.paths)
+    repotype_globs = sources.resolve_repotype_globs(args.repotype or ["python"])
+    include = sources.merge_globs(
+        (), repotype_globs, tuple(args.include or ())
+    )
+    table = sources.files_from_directory(args.paths, include_globs=include)
     return ray.data.from_arrow(table)
 
 

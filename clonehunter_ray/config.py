@@ -155,7 +155,11 @@ class ExecConfig:
     testable single-node."""
 
     batch_size: int = 2048
-    signature_actors: int = 4  # actor-pool size for the signature stage
+    # actor-pool size for the signature stage; 0 = auto (cluster CPUs
+    # minus a couple of slots for the feeding read tasks). The whole
+    # stateless prefix (sha256/extract/snippets) fuses INTO this pool,
+    # so undersizing it leaves most of the cluster idle.
+    signature_actors: int = 0
     shuffle_partitions: int = 0  # 0 = let Ray decide
     checkpoint_dir: str | None = None  # None = no checkpointing
     # pair verification joins the candidate list back to signature

@@ -114,7 +114,13 @@ def build_signatures(
         batch_format="pyarrow",
         batch_size=config.exec.batch_size,
     )
-    concurrency: int | tuple[int, int] = config.exec.signature_actors
+    n_actors = config.exec.signature_actors
+    if n_actors <= 0:  # auto: the fused chain should own the cluster
+        try:
+            n_actors = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        except Exception:  # noqa: BLE001 - not initialised yet
+            n_actors = 4
+    concurrency: int | tuple[int, int] = n_actors
     if config.expansion.enabled:
         # EXP call-expansion snippets (per-repo-local groupby; off by
         # default like the reference, config.py:16). Materialized before
@@ -129,7 +135,7 @@ def build_signatures(
         # task chain needs CPU slots WHILE the pool holds its minimum;
         # an autoscaling (1, N) pool keeps the min reservation at one
         # actor and avoids starving the feeder tasks on small clusters.
-        concurrency = (1, config.exec.signature_actors)
+        concurrency = (1, n_actors)
     return snippets.map_batches(
         SignatureStage,
         fn_constructor_kwargs={

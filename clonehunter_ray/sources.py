@@ -33,6 +33,54 @@ DEFAULT_EXCLUDE = (
     "**/node_modules/**",
 )
 
+# repotype include-glob presets (reference cli/commands/scan.py:15-74:
+# 13 language presets; "monorepo" = the union of all of them)
+REPOTYPE_GLOBS: dict[str, tuple[str, ...]] = {
+    "python": ("**/*.py",),
+    "javascript": ("**/*.js", "**/*.jsx", "**/*.mjs"),
+    "typescript": ("**/*.ts", "**/*.tsx"),
+    "java": ("**/*.java",),
+    "go": ("**/*.go",),
+    "rust": ("**/*.rs",),
+    "c": ("**/*.c", "**/*.h"),
+    "cpp": ("**/*.cc", "**/*.cpp", "**/*.cxx", "**/*.hpp", "**/*.hh"),
+    "csharp": ("**/*.cs",),
+    "ruby": ("**/*.rb",),
+    "php": ("**/*.php",),
+    "swift": ("**/*.swift",),
+    "kotlin": ("**/*.kt", "**/*.kts"),
+}
+REPOTYPE_GLOBS["monorepo"] = tuple(
+    dict.fromkeys(g for globs in REPOTYPE_GLOBS.values() for g in globs)
+)
+
+
+def resolve_repotype_globs(repotypes: list[str]) -> tuple[str, ...]:
+    """Union of the presets, order-preserving dedupe (reference
+    scan.py:205-226)."""
+    out: dict[str, None] = {}
+    for rt in repotypes:
+        if rt not in REPOTYPE_GLOBS:
+            raise ValueError(
+                f"unknown repotype {rt!r}; available: {sorted(REPOTYPE_GLOBS)}"
+            )
+        for g in REPOTYPE_GLOBS[rt]:
+            out[g] = None
+    return tuple(out)
+
+
+def merge_globs(
+    config_globs: tuple[str, ...],
+    repotype_globs: tuple[str, ...],
+    cli_globs: tuple[str, ...],
+) -> tuple[str, ...]:
+    """Layered merge config -> repotype -> CLI with CLI-wins conflict
+    removal and order-preserving dedupe (reference scan.py:188-202:
+    explicit CLI globs replace the earlier layers entirely when given)."""
+    if cli_globs:
+        return tuple(dict.fromkeys(cli_globs))
+    return tuple(dict.fromkeys((*config_globs, *repotype_globs)))
+
 FILES_SCHEMA = pa.schema(
     [
         ("repo", pa.string()),
