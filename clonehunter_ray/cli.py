@@ -57,6 +57,11 @@ def _build_parser() -> argparse.ArgumentParser:
             default=None,
             help="explicit include glob(s); overrides presets (CLI wins)",
         )
+        sp.add_argument(
+            "--save-tables",
+            metavar="DIR",
+            help="also write signatures/pairs/findings as Parquet under DIR",
+        )
 
     s = sub.add_parser("scan", help="full corpus scan")
     add_common(s)
@@ -142,6 +147,18 @@ def main(argv: list[str] | None = None) -> int:
                 return batch.filter(pa.array(mask, pa.bool_()))
 
             findings = findings.map_batches(keep, batch_format="pyarrow")
+
+    if args.save_tables:
+        import os
+
+        for name, ds in (
+            ("signatures", result.signatures),
+            ("pairs", result.pairs),
+            ("findings", findings),
+        ):
+            out_dir = os.path.join(args.save_tables, name)
+            os.makedirs(out_dir, exist_ok=True)
+            ds.write_parquet(out_dir)
 
     stats = {
         "file_count": result.files.count(),

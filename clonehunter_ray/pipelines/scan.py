@@ -268,9 +268,23 @@ def _attach_payload_broadcast(
 def build_findings(
     pairs: "ray.data.Dataset", config: EngineConfig
 ) -> "ray.data.Dataset":
+    """Partitioned rollup: hash(pair_key) -> P groups, every pair group
+    processed inside its partition pass (stages/rollup.py — avoids one
+    Ray-level UDF call per function pair, which is millions at scale)."""
+    from clonehunter_ray.stages.rollup import add_rollup_partition, rollup_partition
+
     thresholds = config.thresholds
-    return pairs.groupby("pair_key").map_groups(
-        lambda g: rollup_group(g, thresholds), batch_format="pyarrow"
+    nparts = config.exec.shuffle_partitions or 64
+    return (
+        pairs.map_batches(
+            add_rollup_partition,
+            fn_kwargs={"num_partitions": nparts},
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: rollup_partition(g, thresholds), batch_format="pyarrow"
+        )
     )
 
 

@@ -102,6 +102,100 @@ def lsh_knn_cosine(
     )
 
 
+def ivf_knn_cosine(
+    emb_ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 29,
+    train_sample: int = 2048,
+):
+    """IVF-flavored approximate top-k (reference FaissIndex IVFFlat
+    semantics, index/faiss_index.py:11-62): k-means coarse quantizer
+    trained driver-side on a bounded sample, centroids broadcast via
+    ray.put, every corpus vector assigned to its nearest cell inside
+    ``map_batches``, and each query scored only against vectors in its
+    ``nprobe`` closest cells. Returns (query_id, vec_id, rank)."""
+    wanted = set(query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        mask = [v in wanted for v in batch["vec_id"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    # train the coarse quantizer on a bounded sample (driver-side —
+    # the sample is small by construction; the corpus never collects)
+    sample = emb_ds.limit(train_sample).to_pandas()
+    s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    s_mat = s_mat / np.maximum(
+        np.linalg.norm(s_mat, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(s_mat))
+    centroids = s_mat[rng.choice(len(s_mat), n_cells, replace=False)]
+    for _ in range(10):  # spherical k-means
+        assign = np.argmax(s_mat @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = s_mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+
+    # per-query probe set
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, q_mat, centroids, cell_to_queries))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_, qm, cents, c2q = ray.get(ref)
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        cells = np.argmax(matn @ cents.T, axis=1)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(cells):
+            qis = c2q.get(int(c))
+            if not qis:
+                continue
+            rows = np.flatnonzero(cells == c)
+            sims = matn[rows] @ qm[qis].T
+            for col, qi in enumerate(qis):
+                out_q.extend([int(ids_[qi])] * len(rows))
+                out_v.extend(vec_ids[rows].tolist())
+                out_s.extend(sims[:, col].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
 def embedding_near_dup_pairs(
     emb_ds: "ray.data.Dataset",
     threshold: float = 0.95,

@@ -69,6 +69,52 @@ def _covered_lines(spans: list[tuple[int, int]]) -> int:
     return sum(end - start + 1 for start, end in merged)
 
 
+def add_rollup_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Shuffle key for the partitioned rollup: hash(pair_key) % P.
+
+    Grouping by the coarse partition instead of by pair_key turns
+    millions of per-pair ``map_groups`` UDF calls into P vectorizable
+    partition passes (same trick as candidates.add_partition_column).
+    """
+    import zlib
+
+    part = [
+        zlib.crc32(k.encode()) % num_partitions
+        for k in batch["pair_key"].to_pylist()
+    ]
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def rollup_partition(partition: pa.Table, thresholds: Thresholds) -> pa.Table:
+    """One hash partition (MANY pair groups) -> finding rows."""
+    if partition.num_rows == 0:
+        return pa.Table.from_pydict(
+            {n: [] for n in FINDINGS_SCHEMA.names}, schema=FINDINGS_SCHEMA
+        )
+    if "part" in partition.column_names:
+        partition = partition.drop_columns(["part"])
+    keys = partition["pair_key"].to_pylist()
+    order = sorted(range(len(keys)), key=keys.__getitem__)
+    sorted_tbl = partition.take(pa.array(order, pa.int64()))
+    skeys = [keys[i] for i in order]
+    out: list[pa.Table] = []
+    start = 0
+    for i in range(1, len(skeys) + 1):
+        if i == len(skeys) or skeys[i] != skeys[start]:
+            out.append(
+                rollup_group(sorted_tbl.slice(start, i - start), thresholds)
+            )
+            start = i
+    return pa.concat_tables(
+        [t for t in out if t.num_rows]
+        or [
+            pa.Table.from_pydict(
+                {n: [] for n in FINDINGS_SCHEMA.names}, schema=FINDINGS_SCHEMA
+            )
+        ]
+    )
+
+
 def rollup_group(group: pa.Table, thresholds: Thresholds) -> pa.Table:
     """One unit-pair group of verified matches -> 0 or 1 finding row."""
     rows = group.to_pylist()
