@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_counts": Q.events_daily_counts,
         "top_users_by_value": Q.top_users_by_value,
         "revenue_by_nation": Q.revenue_by_nation,
+        "suppliers_per_region": Q.suppliers_per_region,
+        "parts_by_brand": Q.parts_by_brand,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -255,5 +257,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "suppliers_per_region": """
+            SELECT r.r_name,
+                   count(*) AS n_suppliers,
+                   round(sum(s.s_acctbal), 2) AS total_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS sum_retail,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
         """,
     }

@@ -356,6 +356,75 @@ def top_users_by_value(sf_dir: str, k: int = 10):
     return out.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
 
 
+def suppliers_per_region(sf_dir: str):
+    """Dimension-chain rollup exercising region/nation/supplier: count
+    suppliers and sum account balance per region, dimensions broadcast
+    (map-side join — no shuffle until the tiny final groupby)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    region_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    maps_ref = ray.put((nat_region, region_name))
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        nr, rn = ray.get(maps_ref)
+        rname = [rn.get(nr.get(k)) for k in batch["s_nationkey"]]
+        df = pd.DataFrame({"r_name": rname, "bal": batch["s_acctbal"]})
+        return df.groupby("r_name", as_index=False).agg(
+            n=("bal", "size"), b=("bal", "sum")
+        )
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        join_batch, batch_format="pandas"
+    )
+    agg = ds.groupby("r_name").aggregate(
+        Sum("n", alias_name="n_sum"), Sum("b", alias_name="b_sum")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": batch["r_name"],
+                "n_suppliers": batch["n_sum"].astype("int64"),
+                "total_acctbal": batch["b_sum"].round(2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def parts_by_brand(sf_dir: str):
+    """Grouped aggregate over the part table (map-side partial agg)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("p_brand", as_index=False).agg(
+            n=("p_retailprice", "size"),
+            p=("p_retailprice", "sum"),
+            mx=("p_size", "max"),
+        )
+
+    ds = _read(
+        sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]
+    ).map_batches(partial, batch_format="pandas")
+    agg = ds.groupby("p_brand").aggregate(
+        Sum("n", alias_name="n_sum"),
+        Sum("p", alias_name="p_sum"),
+        Max("mx", alias_name="mx_max"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": batch["p_brand"],
+                "n_parts": batch["n_sum"].astype("int64"),
+                "sum_retail": batch["p_sum"].round(2),
+                "max_size": batch["mx_max"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def revenue_by_nation(sf_dir: str):
     """Multi-table star join done the Ray-Data way: the dimension
     chain (customer -> nation) is broadcast as plain dicts via
