@@ -127,7 +127,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,
+        "media_feature_extract": _media_features,
     }
+
+
+def _media_features(sf_dir: str):
+    """Rows-only: multimodal actor-pool feature extraction over a
+    deterministic synthetic media table (binary payload column; the
+    decode kernel is a deterministic fake — no codecs here)."""
+    import ray.data
+
+    from clonehunter_ray.pipelines.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = ray.data.from_arrow(synthesize_media_table(128, seed=42))
+    return extract_media_features(media, dim=16)
 
 
 def _corpus_for(sf_dir: str):
