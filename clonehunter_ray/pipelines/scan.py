@@ -112,7 +112,7 @@ def build_signatures(
         generate_snippets_batch,
         fn_kwargs={"window": config.window},
         batch_format="pyarrow",
-        batch_size=config.exec.batch_size,
+        batch_size=config.exec.file_batch_size,
     )
     n_actors = config.exec.signature_actors
     if n_actors <= 0:  # auto: the fused chain should own the cluster
@@ -143,7 +143,11 @@ def build_signatures(
             "emit_token_seq": config.substring.enabled,
         },
         concurrency=concurrency,
-        batch_size=config.exec.batch_size,
+        # the fused files->signatures operator bundles tasks by ITS
+        # INPUT rows (files); a small bundle keeps task count >> actor
+        # count so the pool actually fills (observed: 2048 capped a
+        # 20k-file corpus at 10 tasks regardless of actors)
+        batch_size=config.exec.file_batch_size,
         batch_format="pyarrow",
     )
 
@@ -152,13 +156,23 @@ def build_pairs(
     signatures: "ray.data.Dataset", config: EngineConfig
 ) -> "ray.data.Dataset":
     """signatures -> verified pairs (the wide half: LSH shuffle, then
-    payload attachment by broadcast lookup or partitioned hash join)."""
+    payload attachment by broadcast lookup or partitioned hash join).
+
+    Below ``broadcast_signatures_limit`` snippets the payload table is
+    broadcast ONCE and the band shuffle moves (band_key:u64, sid:i32)
+    rows — ~12 bytes instead of a ~64-byte snippet-id string, the
+    pipeline's dominant shuffle volume. Above the limit, string ids
+    flow and two partitioned hash joins attach the payloads.
+    """
     cap = config.signature.max_bucket_pairs_full
     nparts = config.exec.shuffle_partitions or 64
+    limit = config.exec.broadcast_signatures_limit
+    payload_cols = _join_payload(config)
 
-    # explicit hash-partitioned shuffle: band rows -> P coarse
-    # partitions -> vectorized per-partition bucket detection (avoids
-    # per-bucket UDF overhead over millions of mostly-singleton buckets)
+    if limit and signatures.count() <= limit:
+        return _pairs_broadcast(signatures, config, cap, nparts, payload_cols)
+
+    # scale path: string ids + partitioned hash joins
     bands = (
         signatures.select_columns(["snippet_id", "band_keys"])
         .map_batches(explode_bands, batch_format="pyarrow")
@@ -178,15 +192,111 @@ def build_pairs(
     ).groupby("part").map_groups(
         dedupe_pairs_partition, batch_format="pyarrow"
     )
-
-    limit = config.exec.broadcast_signatures_limit
-    payload_cols = _join_payload(config)
-    if limit and signatures.count() <= limit:
-        joined = _attach_payload_broadcast(deduped, signatures, payload_cols)
-    else:
-        joined = _attach_payload_join(deduped, signatures, config, payload_cols)
-
+    joined = _attach_payload_join(deduped, signatures, config, payload_cols)
     return joined.map_batches(
+        verify_pairs_batch,
+        fn_kwargs={
+            "thresholds": config.thresholds,
+            "substring": config.substring,
+        },
+        batch_format="pyarrow",
+    )
+
+
+def _pairs_broadcast(
+    signatures: "ray.data.Dataset",
+    config: EngineConfig,
+    cap: int,
+    nparts: int,
+    payload_cols: list[str],
+) -> "ray.data.Dataset":
+    """Broadcast path: int-sid band shuffle + Table.take payload attach.
+
+    The payload never funnels through the driver: the materialized
+    signature BLOCKS stay in the object store (``to_arrow_refs``) and
+    each worker process assembles (table, id->row index) once, caching
+    it per broadcast key (plasma reads are zero-copy; concat_tables
+    only chains chunk references).
+    """
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+
+    from clonehunter_ray.stages.candidates import (
+        dedupe_pairs_partition_indexed,
+        emit_pairs_partition_indexed,
+        explode_bands_indexed,
+    )
+
+    block_refs = signatures.select_columns(payload_cols).to_arrow_refs()
+    ref = (str(uuid.uuid4()), list(block_refs), tuple(payload_cols))
+
+    bands = (
+        signatures.select_columns(["snippet_id", "band_keys"])
+        .map_batches(
+            explode_bands_indexed,
+            fn_kwargs={"index_ref": ref},
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "part",
+                pa.array(
+                    (
+                        t["band_key"].to_numpy(zero_copy_only=False)
+                        % np.uint64(nparts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    candidates = bands.groupby("part").map_groups(
+        lambda g: emit_pairs_partition_indexed(g, cap), batch_format="pyarrow"
+    )
+    deduped = candidates.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    (
+                        t["a_sid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                        ^ t["b_sid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                    % np.uint64(nparts)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        dedupe_pairs_partition_indexed, batch_format="pyarrow"
+    )
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        from clonehunter_ray.stages.candidates import get_broadcast_payload
+
+        table, _idx = get_broadcast_payload(ref)
+        a_idx = batch["a_sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_idx = batch["b_sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_side = table.take(pa.array(a_idx, pa.int64()))
+        b_side = table.take(pa.array(b_idx, pa.int64()))
+        cols: dict[str, pa.Array] = {
+            "a_id": a_side["snippet_id"],
+            "b_id": b_side["snippet_id"],
+            "capped": batch["capped"],
+        }
+        for cname in payload_cols:
+            if cname == "snippet_id":
+                continue
+            cols[f"a_{cname}"] = a_side[cname]
+            cols[f"b_{cname}"] = b_side[cname]
+        return pa.table(cols)
+
+    return deduped.map_batches(_attach, batch_format="pyarrow").map_batches(
         verify_pairs_batch,
         fn_kwargs={
             "thresholds": config.thresholds,
@@ -212,57 +322,6 @@ def _attach_payload_join(
     return deduped.join(
         sig_a, "inner", nparts, on=("a_id",), right_on=("a_snippet_id",)
     ).join(sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",))
-
-
-def _attach_payload_broadcast(
-    deduped: "ray.data.Dataset",
-    signatures: "ray.data.Dataset",
-    payload_cols: list[str],
-) -> "ray.data.Dataset":
-    """Small-side path: broadcast the signature payload ONCE as an
-    Arrow table (zero-copy in the object store) plus a snippet_id ->
-    row-index dict; attach payloads per batch with vectorized
-    ``Table.take`` — no shuffle."""
-    import pyarrow as pa
-
-    parts = [
-        b
-        for b in signatures.select_columns(payload_cols).iter_batches(
-            batch_format="pyarrow"
-        )
-    ]
-    payload = pa.concat_tables(parts) if parts else pa.table(
-        {c: [] for c in payload_cols}
-    )
-    index = {sid: i for i, sid in enumerate(payload["snippet_id"].to_pylist())}
-    ref = ray.put((payload, index))
-
-    def _attach(batch: pa.Table) -> pa.Table:
-        table, idx = ray.get(ref)
-        a_ids = batch["a_id"].to_pylist()
-        b_ids = batch["b_id"].to_pylist()
-        a_idx, b_idx, keep = [], [], []
-        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
-            ia, ib = idx.get(x), idx.get(y)
-            if ia is not None and ib is not None:
-                a_idx.append(ia)
-                b_idx.append(ib)
-                keep.append(i)
-        a_side = table.take(pa.array(a_idx, pa.int64()))
-        b_side = table.take(pa.array(b_idx, pa.int64()))
-        cols: dict[str, pa.Array] = {
-            "a_id": a_side["snippet_id"],
-            "b_id": b_side["snippet_id"],
-            "capped": batch["capped"].take(pa.array(keep, pa.int64())),
-        }
-        for cname in payload_cols:
-            if cname == "snippet_id":
-                continue
-            cols[f"a_{cname}"] = a_side[cname]
-            cols[f"b_{cname}"] = b_side[cname]
-        return pa.table(cols)
-
-    return deduped.map_batches(_attach, batch_format="pyarrow")
 
 
 def build_findings(

@@ -135,6 +135,108 @@ def emit_pairs_partition(
     )
 
 
+# one assembled broadcast payload per worker process, keyed by the
+# broadcast id (cleared when a new broadcast arrives)
+_PAYLOAD_CACHE: dict[str, tuple[pa.Table, dict]] = {}
+
+
+def get_broadcast_payload(ref) -> tuple[pa.Table, dict]:
+    """ref = (key, [block ObjectRefs], payload_cols). Assembles the
+    payload table + snippet_id->row index ONCE per worker process from
+    object-store blocks (zero-copy plasma reads; the driver never holds
+    the full table)."""
+    key, block_refs, cols = ref
+    if key not in _PAYLOAD_CACHE:
+        import ray
+
+        tables = ray.get(list(block_refs))
+        payload = (
+            pa.concat_tables(tables)
+            if tables
+            else pa.table({c: [] for c in cols})
+        )
+        index = {
+            sid: i for i, sid in enumerate(payload["snippet_id"].to_pylist())
+        }
+        _PAYLOAD_CACHE.clear()
+        _PAYLOAD_CACHE[key] = (payload, index)
+    return _PAYLOAD_CACHE[key]
+
+
+def explode_bands_indexed(
+    batch: pa.Table, index_ref
+) -> pa.Table:
+    """signatures batch -> (band_key, sid:int32) rows, snippet ids
+    replaced by their row index in the broadcast payload table. The
+    band shuffle then moves 12 bytes/row instead of a ~64-byte string
+    (the dominant shuffle of the pipeline), and the verify stage
+    attaches payloads with a direct ``Table.take`` on the indices."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "band_key": pa.array([], pa.uint64()),
+                "sid": pa.array([], pa.int32()),
+            }
+        )
+    _, index = get_broadcast_payload(index_ref)
+    band_col = batch["band_keys"].combine_chunks()
+    flat = band_col.flatten()
+    num_bands = len(flat) // n
+    ids = batch["snippet_id"].to_pylist()
+    sids = np.repeat(
+        np.asarray([index[i] for i in ids], dtype=np.int32), num_bands
+    )
+    return pa.table({"band_key": flat, "sid": pa.array(sids, pa.int32())})
+
+
+def emit_pairs_partition_indexed(
+    partition: pa.Table, max_bucket_pairs_full: int = 256
+) -> pa.Table:
+    """Int-sid variant of ``emit_pairs_partition`` — fully vectorized
+    (np.unique + triu_indices per bucket, no Python id handling)."""
+    keys = partition["band_key"].to_numpy(zero_copy_only=False)
+    sids = partition["sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((sids, keys))
+    keys, sids = keys[order], sids[order]
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_c: list[bool] = []
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        bucket = np.unique(sids[s : s + c])
+        n = len(bucket)
+        if n < 2:
+            continue
+        if n * (n - 1) // 2 <= max_bucket_pairs_full:
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.extend(bucket[ii].tolist())
+            out_b.extend(bucket[jj].tolist())
+            out_c.extend([False] * len(ii))
+        else:  # hub-spoke under the cap (skew handling)
+            out_a.extend([int(bucket[0])] * (n - 1))
+            out_b.extend(bucket[1:].tolist())
+            out_c.extend([True] * (n - 1))
+    return pa.table(
+        {
+            "a_sid": pa.array(out_a, pa.int32()),
+            "b_sid": pa.array(out_b, pa.int32()),
+            "capped": pa.array(out_c, pa.bool_()),
+        }
+    )
+
+
+def dedupe_pairs_partition_indexed(partition: pa.Table) -> pa.Table:
+    """Vectorized (a_sid, b_sid) dedup; capped = any occurrence."""
+    import pandas as pd
+
+    df = partition.select(["a_sid", "b_sid", "capped"]).to_pandas()
+    out = df.groupby(["a_sid", "b_sid"], as_index=False, sort=False).agg(
+        capped=("capped", "any")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def add_pair_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     """Partition key for cross-band pair dedup: hash of (a_id, b_id)."""
     import numpy as np

@@ -47,7 +47,7 @@ def main() -> None:
 
     def read():
         return ray.data.read_parquet(
-            files_path, override_num_blocks=max(16, ncpu * 2)
+            files_path, override_num_blocks=max(32, ncpu * 4)
         )
 
     t0 = time.monotonic()
