@@ -66,17 +66,24 @@ class Thresholds:
 class SignatureConfig:
     """MinHash / SimHash / LSH parameters (new in this engine).
 
-    num_perm = num_bands * band_rows. With band_rows=4, num_bands=32 the
-    probability that a pair with true Jaccard j collides in >=1 band is
-    1-(1-j^4)^32: 0.9998 at j=0.7, ~1-6e-8 at j=0.8 — comfortably above
-    the recall>=0.99 target of BASELINE.json at the verification
-    thresholds used here.
+    num_perm = num_bands * band_rows. Collision probability for a pair
+    with true Jaccard j is 1-(1-j^rows)^bands. The default 16 bands x
+    8 rows targets the engine's verification gates (composite >= 0.90
+    implies shingle Jaccard >= ~0.857 at full lexical agreement):
+    P(detect) = 0.996 at j=0.857, 0.9996 at j=0.9 — above the
+    recall>=0.99 target — while pairs at j=0.5 collide with only
+    P=0.06, which keeps sub-threshold clone families from flooding the
+    verifier with candidates that can never pass the gate (measured:
+    32 bands x 4 rows produced 3M candidates for 23k accepted pairs at
+    60k files). Pipelines that verify at LOWER similarity (document
+    near-dup at 0.5-0.8, substring rescue) override the banding to
+    wider/shallower configurations (e.g. 32x4 or 64x2).
     """
 
     shingle_k: int = 3  # tokens per shingle
     num_perm: int = 128
-    num_bands: int = 32
-    band_rows: int = 4
+    num_bands: int = 16
+    band_rows: int = 8
     seed: int = 0x5EED_C0DE
     # skew handling: buckets larger than this emit a star (hub-spoke)
     # pair pattern instead of all O(n^2) pairs; capped buckets are
@@ -170,11 +177,15 @@ class ExecConfig:
     shuffle_partitions: int = 0  # 0 = let Ray decide
     checkpoint_dir: str | None = None  # None = no checkpointing
     # pair verification joins the candidate list back to signature
-    # payloads. When the signature table is small enough to broadcast
-    # (<= this many snippets) we ray.put one payload dict and look up
-    # inside map_batches — no shuffle. Above it, two partitioned hash
-    # joins (the scale path). 0 forces the join path.
-    broadcast_signatures_limit: int = 200_000
+    # payloads. When the signature table is <= this many snippets the
+    # payload blocks stay in the object store and every worker maps
+    # them zero-copy (plus a ~150 B/row id->index dict per worker) —
+    # no shuffle, and the band exchange shrinks to (u64, i32) rows.
+    # Above it, two partitioned hash joins (the scale path). 0 forces
+    # the join path. 2M snippets ~= 3 GB plasma + ~300 MB heap/worker,
+    # comfortably within a 128 GB node; measured: the join path was 7x
+    # slower than broadcast at 423k snippets.
+    broadcast_signatures_limit: int = 2_000_000
 
 
 @dataclass(frozen=True)

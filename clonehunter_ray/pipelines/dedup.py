@@ -29,7 +29,7 @@ class DocSignatureStage:
     """Actor-pool stage: text -> shingle set + minhash bands + simhash."""
 
     def __init__(self, config: SignatureConfig | None = None) -> None:
-        self.config = config or SignatureConfig(shingle_k=5)
+        self.config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
         self.hasher = H.MinHasher(self.config.num_perm, self.config.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -123,7 +123,7 @@ def minhash_dedup_pairs(
     ``broadcast_limit`` docs, partitioned hash join above) -> exact
     Jaccard verification in ``map_batches``.
     """
-    config = config or SignatureConfig(shingle_k=5)
+    config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
         DocSignatureStage,
         fn_constructor_kwargs={"config": config},
@@ -305,7 +305,7 @@ def simhash_dup_pairs(
     """Near-identical pairs by SimHash: band the 64-bit fingerprint
     into 4 x 16-bit chunks (pigeonhole: hamming<=3 pairs share at
     least one exact chunk), groupby chunk, verify hamming in-bucket."""
-    config = config or SignatureConfig(shingle_k=5)
+    config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
         DocSignatureStage,
         fn_constructor_kwargs={"config": config},

@@ -59,6 +59,8 @@ _JOIN_PAYLOAD = [
     "end_line",
     "shingles",
     "tokens",
+    "n_shingles",
+    "n_tokens",
 ]
 
 
@@ -229,8 +231,17 @@ def _pairs_broadcast(
         explode_bands_indexed,
     )
 
+    from clonehunter_ray.stages.candidates import combine_payload_blocks
+
     block_refs = signatures.select_columns(payload_cols).to_arrow_refs()
-    ref = (str(uuid.uuid4()), list(block_refs), tuple(payload_cols))
+    # combine ONCE in a task: the combined table lands in plasma a
+    # single time and every worker maps it zero-copy (per-worker
+    # combining copied the payload into every worker heap)
+    combined_ref = (
+        ray.remote(num_cpus=1)(combine_payload_blocks)
+        .remote(tuple(payload_cols), *block_refs)
+    )
+    ref = (str(uuid.uuid4()), combined_ref, tuple(payload_cols))
 
     bands = (
         signatures.select_columns(["snippet_id", "band_keys"])
@@ -274,6 +285,25 @@ def _pairs_broadcast(
         batch_format="pyarrow",
     ).groupby("part").map_groups(
         dedupe_pairs_partition_indexed, batch_format="pyarrow"
+    )
+
+    # numpy size/kind pre-gate kills the bulk of the deduped candidates
+    # before the (far heavier) payload attach + exact verification
+    from clonehunter_ray.stages.candidates import pre_gate_pairs_indexed
+
+    th = config.thresholds
+    deduped = deduped.map_batches(
+        pre_gate_pairs_indexed,
+        fn_kwargs={
+            "index_ref": ref,
+            "gates": (th.func, th.win, th.exp),
+            "lexical_weight": th.lexical_weight,
+            "lexical_min_ratio": th.lexical_min_ratio,
+            "substr_floor": (
+                config.substring.floor if config.substring.enabled else None
+            ),
+        },
+        batch_format="pyarrow",
     )
 
     def _attach(batch: pa.Table) -> pa.Table:

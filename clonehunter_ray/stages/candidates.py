@@ -140,27 +140,95 @@ def emit_pairs_partition(
 _PAYLOAD_CACHE: dict[str, tuple[pa.Table, dict]] = {}
 
 
+def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
+    """Remote combiner: concat + combine_chunks ONCE so the combined
+    table lives in plasma a single time and every worker maps it
+    zero-copy. Per-worker combine_chunks copies the full payload into
+    each worker's HEAP (tens of GB across 32 workers at 400k
+    snippets), and Table.take on a many-chunk table costs ~5 ms per
+    chunk per call — neither per-worker strategy survives at scale."""
+    if not tables:
+        return pa.table({c: [] for c in cols})
+    return pa.concat_tables(list(tables)).combine_chunks()
+
+
 def get_broadcast_payload(ref) -> tuple[pa.Table, dict]:
-    """ref = (key, [block ObjectRefs], payload_cols). Assembles the
-    payload table + snippet_id->row index ONCE per worker process from
-    object-store blocks (zero-copy plasma reads; the driver never holds
-    the full table)."""
-    key, block_refs, cols = ref
+    """ref = (key, combined-table ObjectRef, payload_cols). Maps the
+    combined payload from plasma (zero-copy, shared by every worker on
+    the node) and builds the snippet_id -> row index ONCE per worker
+    process."""
+    key, combined_ref, _cols = ref
     if key not in _PAYLOAD_CACHE:
         import ray
 
-        tables = ray.get(list(block_refs))
-        payload = (
-            pa.concat_tables(tables)
-            if tables
-            else pa.table({c: [] for c in cols})
-        )
+        payload = ray.get(combined_ref)
         index = {
             sid: i for i, sid in enumerate(payload["snippet_id"].to_pylist())
         }
         _PAYLOAD_CACHE.clear()
         _PAYLOAD_CACHE[key] = (payload, index)
     return _PAYLOAD_CACHE[key]
+
+
+_DERIVED_CACHE: dict[tuple, tuple] = {}
+
+
+def pre_gate_pairs_indexed(
+    batch: pa.Table,
+    index_ref,
+    gates: tuple[float, float, float],  # func, win, exp thresholds
+    lexical_weight: float,
+    lexical_min_ratio: float,
+    substr_floor: float | None,
+) -> pa.Table:
+    """Vectorized candidate pre-gate BEFORE payload attach.
+
+    Using only per-snippet sizes and kinds (broadcast int/str columns):
+    jaccard <= min(|A|,|B|)/max(|A|,|B|), likewise for lexical, so any
+    pair whose upper-bound composite cannot clear the smaller kind gate
+    (and cannot reach the substring floor) is dropped as a pure numpy
+    mask — the expensive Table.take + exact verification only sees
+    survivors. At 60k files this cuts ~1.5M deduped candidates to
+    thousands.
+    """
+    if batch.num_rows == 0:
+        return batch
+    key_tuple = (index_ref[0], gates)  # stable broadcast uuid
+    if key_tuple not in _DERIVED_CACHE:
+        payload, _ = get_broadcast_payload(index_ref)
+        n_sh = payload["n_shingles"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n_tok = payload["n_tokens"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        kinds = np.asarray(payload["kind"].to_pylist(), dtype=object)
+        gate_arr = np.where(
+            kinds == "FUNC", gates[0], np.where(kinds == "WIN", gates[1], gates[2])
+        ).astype(np.float64)
+        _DERIVED_CACHE.clear()
+        _DERIVED_CACHE[key_tuple] = (n_sh, n_tok, gate_arr)
+    n_sh, n_tok, gate_arr = _DERIVED_CACHE[key_tuple]
+
+    a = batch["a_sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["b_sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sa, sb = n_sh[a], n_sh[b]
+    ta, tb = n_tok[a], n_tok[b]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac_ub = np.where(
+            (sa > 0) & (sb > 0), np.minimum(sa, sb) / np.maximum(sa, sb), 0.0
+        )
+        lex_ub = np.where(
+            (ta > 0) & (tb > 0), np.minimum(ta, tb) / np.maximum(ta, tb), 0.0
+        )
+    gate = np.minimum(gate_arr[a], gate_arr[b])
+    comp_ub = (1.0 - lexical_weight) * jac_ub + lexical_weight * lex_ub
+    keep = comp_ub >= gate
+    if substr_floor is not None:
+        keep |= jac_ub >= substr_floor
+    if lexical_min_ratio > 0:
+        keep &= lex_ub >= lexical_min_ratio
+    return batch.filter(pa.array(keep, pa.bool_()))
 
 
 def explode_bands_indexed(

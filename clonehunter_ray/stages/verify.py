@@ -93,25 +93,29 @@ def verify_pairs_batch(
         and "a_token_seq" in batch.column_names
     )
 
-    d = {c: batch[c] for c in batch.column_names}
+    # one C-level to_pylist per column — per-scalar .as_py() costs tens
+    # of microseconds and this stage sees millions of candidate rows
+    col = {c: batch[c].to_pylist() for c in batch.column_names}
 
-    def val(col, i):
-        return d[col][i].as_py()
+    def val(name, i, _col=col):
+        return _col[name][i]
 
-    # binary-encoded sorted uint64 sets (see stages/signatures.py)
-    a_shingles = d["a_shingles"].to_pylist()
-    b_shingles = d["b_shingles"].to_pylist()
-    a_tokens = d["a_tokens"].to_pylist()
-    b_tokens = d["b_tokens"].to_pylist()
+    a_shingles = col["a_shingles"]
+    b_shingles = col["b_shingles"]
+    a_tokens = col["a_tokens"]
+    b_tokens = col["b_tokens"]
 
-    for i in range(n):
-        unit_a, unit_b = val("a_unit_id", i), val("b_unit_id", i)
-        a_s, a_e = val("a_start_line", i), val("a_end_line", i)
-        b_s, b_e = val("b_start_line", i), val("b_end_line", i)
-        path_a, path_b = val("a_path", i), val("b_path", i)
-        ua_s, ua_e = val("a_unit_start", i), val("a_unit_end", i)
-        ub_s, ub_e = val("b_unit_start", i), val("b_unit_end", i)
-
+    for i, (unit_a, unit_b, a_s, a_e, b_s, b_e, path_a, path_b,
+            ua_s, ua_e, ub_s, ub_e) in enumerate(
+        zip(
+            col["a_unit_id"], col["b_unit_id"],
+            col["a_start_line"], col["a_end_line"],
+            col["b_start_line"], col["b_end_line"],
+            col["a_path"], col["b_path"],
+            col["a_unit_start"], col["a_unit_end"],
+            col["b_unit_start"], col["b_unit_end"],
+        )
+    ):
         # structural filters (reference rollup.py:86-120)
         if unit_a == unit_b:
             if _overlap_len(a_s, a_e, b_s, b_e):
@@ -119,19 +123,43 @@ def verify_pairs_batch(
         elif path_a == path_b and _overlap_len(ua_s, ua_e, ub_s, ub_e):
             continue
 
-        sa = np.frombuffer(a_shingles[i], dtype=np.uint64)
-        sb = np.frombuffer(b_shingles[i], dtype=np.uint64)
-        jac = jaccard_sorted(sa, sb)
-        ta = np.frombuffer(a_tokens[i], dtype=np.uint64)
-        tb = np.frombuffer(b_tokens[i], dtype=np.uint64)
-        lex = jaccard_sorted(ta, tb)
+        blob_a, blob_b = a_shingles[i], b_shingles[i]
+        kind_a, kind_b = col["a_kind"][i], col["b_kind"][i]
+        gate = min(thresholds.for_kind(kind_a), thresholds.for_kind(kind_b))
+        # size-ratio pre-gate: |A∩B| <= min(|A|,|B|), |A∪B| >= max, so
+        # jaccard <= min/max — pairs whose UPPER BOUNDS can't clear any
+        # gate are dropped without decoding the arrays (candidate
+        # volume is millions of rows; survivors are thousands)
+        sz_a, sz_b = len(blob_a) >> 3, len(blob_b) >> 3
+        jac_ub = (min(sz_a, sz_b) / max(sz_a, sz_b)) if sz_a and sz_b else 0.0
+        tsz_a, tsz_b = len(a_tokens[i]) >> 3, len(b_tokens[i]) >> 3
+        lex_ub = (min(tsz_a, tsz_b) / max(tsz_a, tsz_b)) if tsz_a and tsz_b else 0.0
+        if thresholds.lexical_min_ratio > 0 and lex_ub < thresholds.lexical_min_ratio:
+            continue
+        comp_ub = (1.0 - thresholds.lexical_weight) * jac_ub + (
+            thresholds.lexical_weight * lex_ub
+        )
+        if comp_ub < gate and not (substr_on and jac_ub >= substring.floor):
+            continue
+
+        if blob_a == blob_b:  # exact-duplicate fast path (huge families)
+            jac = 1.0
+        else:
+            sa = np.frombuffer(blob_a, dtype=np.uint64)
+            sb = np.frombuffer(blob_b, dtype=np.uint64)
+            jac = jaccard_sorted(sa, sb)
+        tb_a, tb_b = a_tokens[i], b_tokens[i]
+        if tb_a == tb_b:
+            lex = 1.0
+        else:
+            ta = np.frombuffer(tb_a, dtype=np.uint64)
+            tb = np.frombuffer(tb_b, dtype=np.uint64)
+            lex = jaccard_sorted(ta, tb)
         if thresholds.lexical_min_ratio > 0 and lex < thresholds.lexical_min_ratio:
             continue
         composite = (1.0 - thresholds.lexical_weight) * jac + (
             thresholds.lexical_weight * lex
         )
-        kind_a, kind_b = val("a_kind", i), val("b_kind", i)
-        gate = min(thresholds.for_kind(kind_a), thresholds.for_kind(kind_b))
         substr = 0.0
         if composite < gate:
             if not (substr_on and jac >= substring.floor):
