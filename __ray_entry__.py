@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": Q.revenue_by_nation,
         "suppliers_per_region": Q.suppliers_per_region,
         "parts_by_brand": Q.parts_by_brand,
+        "events_asof_latest_view": Q.events_asof_latest_view,
+        "top_orders_per_customer": Q.top_orders_per_customer,
+        "distinct_users_per_event_type": Q.distinct_users_per_event_type,
+        "order_priority_counts": Q.order_priority_counts,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -289,5 +293,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice), 2) AS sum_retail,
                    max(p_size) AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "events_asof_latest_view": """
+            SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts < p.ts
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "distinct_users_per_event_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY o_orderpriority
         """,
     }

@@ -425,6 +425,119 @@ def parts_by_brand(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def events_asof_latest_view(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively, SURVEY §2.4):
+    for each ``purchase`` event, the latest strictly-earlier ``view``
+    event of the same user.
+
+    Ray shape: ONE hash shuffle co-partitions both sides by user_id
+    (``groupby(user_id).map_groups``), then a vectorized sort +
+    ``np.searchsorted`` merge inside each group. Partitioning
+    assumption: a user's events fit in one group — true for any
+    per-entity event history; at 100 TB the same code runs with the
+    group key salted by coarse time range plus a boundary pass.
+    ``ts`` is unique per user in this data, so the result is
+    deterministic without tie-breaking.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]).filter(
+        expr="event_type == 'purchase' or event_type == 'view'"
+    )
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"].sort_values("ts")
+        buys = g[g["event_type"] == "purchase"]
+        if views.empty or buys.empty:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "view_id": pd.Series(dtype="int64")}
+            )
+        vt = views["ts"].to_numpy()
+        vid = views["event_id"].to_numpy()
+        idx = np.searchsorted(vt, buys["ts"].to_numpy(), side="left") - 1
+        keep = idx >= 0
+        return pd.DataFrame(
+            {
+                "purchase_id": buys["event_id"].to_numpy()[keep],
+                "user_id": buys["user_id"].to_numpy()[keep],
+                "view_id": vid[idx[keep]],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Per-group window rank (row_number over partition): top-k orders
+    per customer by total price. Ray shape: groupby(custkey) ->
+    map_groups top-k — each group is tiny, the single shuffle key is
+    the partition column, no global sort."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["o_totalprice"] = g["o_totalprice"].round(2)
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+def distinct_users_per_event_type(sf_dir: str):
+    """Exact distinct-count: per-batch local dedup (combiner) shrinks
+    the shuffle, groupby(type,user) finishes the distinct, then a tiny
+    groupby(type) counts — COUNT(DISTINCT) without shipping raw rows."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="c"))
+        .select_columns(["event_type"])
+    )
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out
+
+
+def order_priority_counts(sf_dir: str):
+    """Filtered groupby count (TPC-H Q4 flavor): 1996 orders by
+    priority. The date filter runs inside the read's map stage so only
+    matching rows reach the (tiny) shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["o_orderdate"] >= pd.Timestamp("1996-01-01")) & (
+            batch["o_orderdate"] < pd.Timestamp("1997-01-01")
+        )
+        return (
+            batch[m]
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n=("o_orderdate", "size"))
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_sum"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": batch["n_sum"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def revenue_by_nation(sf_dir: str):
     """Multi-table star join done the Ray-Data way: the dimension
     chain (customer -> nation) is broadcast as plain dicts via

@@ -1,0 +1,104 @@
+"""Relational query operators vs DuckDB on the driver testdata.
+
+Covers the operator classes the scan pipeline doesn't exercise: as-of
+join (SURVEY §2.4 — composed from one co-partitioning shuffle +
+vectorized sort-merge), per-group window rank (row_number-over-
+partition as groupby/map_groups top-k), exact COUNT(DISTINCT) via a
+combiner + two-level groupby, and a filtered rollup. The full suite of
+oracle comparisons runs in tools/check_oracle.py; these pin the tricky
+operators into pytest at the smallest scale factor.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from clonehunter_ray.pipelines import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["events", "orders"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(ray_result, con, sql: str) -> None:
+    got = _norm(ray_result.to_pandas())
+    want = _norm(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+    )
+
+
+def test_asof_join_matches_duckdb(ray_session, con):
+    _check(
+        Q.events_asof_latest_view(SF_DIR),
+        con,
+        """
+        SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts < p.ts
+        """,
+    )
+
+
+def test_window_rank_matches_duckdb(ray_session, con):
+    _check(
+        Q.top_orders_per_customer(SF_DIR),
+        con,
+        """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rank
+            FROM orders
+        ) WHERE rank <= 3
+        """,
+    )
+
+
+def test_distinct_count_matches_duckdb(ray_session, con):
+    _check(
+        Q.distinct_users_per_event_type(SF_DIR),
+        con,
+        """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+        """,
+    )
+
+
+def test_filtered_rollup_matches_duckdb(ray_session, con):
+    _check(
+        Q.order_priority_counts(SF_DIR),
+        con,
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY o_orderpriority
+        """,
+    )
