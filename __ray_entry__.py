@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": Q.top_orders_per_customer,
         "distinct_users_per_event_type": Q.distinct_users_per_event_type,
         "order_priority_counts": Q.order_priority_counts,
+        "events_value_range_join": Q.events_value_range_join,
+        "events_rolling_7d": Q.events_rolling_7d,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -321,5 +323,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY o_orderpriority
+        """,
+        "events_value_range_join": """
+            SELECT bucket_lo, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT CASE WHEN value >= 500 THEN 500.0
+                            WHEN value >= 100 THEN 100.0
+                            WHEN value >= 50  THEN 50.0
+                            WHEN value >= 10  THEN 10.0
+                            ELSE 0.0 END AS bucket_lo,
+                       value
+                FROM events
+            ) GROUP BY bucket_lo
+        """,
+        "events_rolling_7d": """
+            WITH daily AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       event_type, count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day, event_type, n_events,
+                   sum(n_events) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS n_7d
+            FROM daily
         """,
     }

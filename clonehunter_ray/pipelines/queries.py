@@ -538,6 +538,87 @@ def order_priority_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+_VALUE_BUCKETS = [0.0, 10.0, 50.0, 100.0, 500.0]  # left edges; last is open
+
+
+def events_value_range_join(sf_dir: str):
+    """Range join (SURVEY §2.4 custom-operator class): band each event
+    value into a bucket dimension of [lo, hi) ranges and aggregate.
+
+    Ray shape: the (tiny) range table is broadcast once and each batch
+    does one vectorized ``np.searchsorted`` — no shuffle for the join
+    itself, only the small final groupby. This is the scale pattern
+    for any small-side interval/band join (IP ranges, price bands,
+    histogram binning).
+    """
+    edges = np.asarray(_VALUE_BUCKETS)
+    edges_ref = ray.put(edges)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(edges_ref)
+        v = batch["value"].to_numpy()
+        idx = np.searchsorted(e, v, side="right") - 1
+        idx = np.clip(idx, 0, len(e) - 1)
+        df = pd.DataFrame({"bucket_lo": e[idx], "value": v})
+        return df.groupby("bucket_lo", as_index=False).agg(
+            n=("value", "size"), v=("value", "sum")
+        )
+
+    ds = _read(sf_dir, "events", ["value"]).map_batches(
+        bucketize, batch_format="pandas"
+    )
+    agg = ds.groupby("bucket_lo").aggregate(
+        Sum("n", alias_name="n_sum"), Sum("v", alias_name="v_sum")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket_lo": batch["bucket_lo"],
+                "n_events": batch["n_sum"].astype("int64"),
+                "sum_value": batch["v_sum"].round(2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def events_rolling_7d(sf_dir: str):
+    """Sliding windowed aggregate: 7-day rolling event count per
+    event_type over the daily series.
+
+    Ray shape: the raw stream is first reduced to one row per
+    (day, type) — the full-size shuffle happens on PRE-AGGREGATED data
+    — then the tiny daily series is windowed per type inside
+    ``map_groups`` with a pandas rolling sum. At 100 TB the daily
+    series stays small (days x types), so the window step never sees
+    raw rows.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(day=batch["ts"].dt.strftime("%Y-%m-%d"))
+        return batch.groupby(["day", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+
+    daily = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").copy()
+        g["n_7d"] = (
+            g["n_events"].rolling(window=7, min_periods=1).sum().astype("int64")
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g[["day", "event_type", "n_events", "n_7d"]]
+
+    return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
+
+
 def revenue_by_nation(sf_dir: str):
     """Multi-table star join done the Ray-Data way: the dimension
     chain (customer -> nation) is broadcast as plain dicts via

@@ -90,6 +90,45 @@ def test_distinct_count_matches_duckdb(ray_session, con):
     )
 
 
+def test_range_join_matches_duckdb(ray_session, con):
+    _check(
+        Q.events_value_range_join(SF_DIR),
+        con,
+        """
+        SELECT bucket_lo, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT CASE WHEN value >= 500 THEN 500.0
+                        WHEN value >= 100 THEN 100.0
+                        WHEN value >= 50  THEN 50.0
+                        WHEN value >= 10  THEN 10.0
+                        ELSE 0.0 END AS bucket_lo,
+                   value
+            FROM events
+        ) GROUP BY bucket_lo
+        """,
+    )
+
+
+def test_rolling_window_matches_duckdb(ray_session, con):
+    _check(
+        Q.events_rolling_7d(SF_DIR),
+        con,
+        """
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n_events,
+               sum(n_events) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS n_7d
+        FROM daily
+        """,
+    )
+
+
 def test_filtered_rollup_matches_duckdb(ray_session, con):
     _check(
         Q.order_priority_counts(SF_DIR),
