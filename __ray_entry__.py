@@ -343,10 +343,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY 1, 2
             )
             SELECT day, event_type, n_events,
-                   sum(n_events) OVER (
+                   CAST(sum(n_events) OVER (
                        PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-                   ) AS n_7d
+                   ) AS BIGINT) AS n_7d
             FROM daily
         """,
     }

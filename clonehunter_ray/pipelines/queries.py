@@ -131,80 +131,125 @@ def doc_quality_counts(sf_dir: str):
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
     """Token-set Jaccard >= threshold pairs among doc_id < max_id.
 
-    Ray shape: MinHash-LSH candidate generation + exact verification
-    over token STRINGS (so the result is bit-identical to the SQL
-    cross-join oracle) — LSH params chosen for ~certain recall at the
-    threshold ((1-0.6^4)^32 ≈ 1e-2 miss ... so we use band_rows=2,
-    num_bands=64: miss (1-0.36)^64 ≈ 4e-13).
+    LSH params give ~certain recall at the threshold (band_rows=2,
+    num_bands=64: miss probability (1-0.36)^64 ≈ 4e-13 at j=0.6).
+
+    Pipeline shape mirrors minhash_dedup_pairs (the engine's one LSH
+    shuffle design): ids-only (band_key:u64, doc_id:i64) band explode
+    — the token payload NEVER rides the x64-band shuffle — then
+    hash-partitioned vectorized pair emit + pair dedup (P partition
+    UDF calls, not one per bucket/pair), then the token-hash payload
+    is attached from a plasma-resident broadcast table and exact
+    Jaccard verified per batch. This is the SQL-exact variant, so hot
+    buckets emit ALL pairs (no hub-spoke cap); the capped/salted scale
+    path is pipelines/dedup.py:minhash_dedup_pairs.
     """
+    from clonehunter_ray.pipelines.dedup import (
+        _dedupe_int_pairs_partition,
+        _emit_doc_pairs_partition,
+        _explode_doc_bands_ids,
+    )
+    from clonehunter_ray.stages.candidates import (
+        get_broadcast_payload,
+        make_broadcast_handle,
+    )
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
         expr=f"doc_id < {max_id}"
     )
     hasher = H.MinHasher(128, 0xD00D)
+    num_partitions = 32
 
     def signatures(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        tok_lists = [sorted(set(H.tokenize(t or ""))) for t in texts]
-        th = H.hash_tokens_batch(tok_lists)
+        th = H.hash_tokens_batch([H.tokenize(t or "") for t in texts])
         sets = [H.token_set_hashes(x) for x in th]
         sigs = hasher.signatures_batch(sets)
         bands = H.band_hashes_batch(sigs, 64, 2)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "toks": pa.array([" ".join(t) for t in tok_lists], pa.string()),
+                "tok_hashes": pa.array([s.tobytes() for s in sets], pa.binary()),
                 "band_keys": pa.array(bands.tolist(), pa.list_(pa.uint64())),
             }
         )
 
     sig = docs.map_batches(signatures, batch_format="pyarrow").materialize()
+    handle = make_broadcast_handle(sig, ["doc_id", "tok_hashes"], key_col="doc_id")
 
-    def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return pa.table({"band_key": pa.array([], pa.uint64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "toks": pa.array([], pa.string())})
-        flat = batch["band_keys"].combine_chunks().flatten()
-        nb = len(flat) // n
-        ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64), nb)
-        toks = np.repeat(np.asarray(batch["toks"].to_pylist(), dtype=object), nb)
-        return pa.table(
-            {"band_key": flat, "doc_id": pa.array(ids), "toks": pa.array(toks)}
+    bands = (
+        sig.select_columns(["doc_id", "band_keys"])
+        .map_batches(_explode_doc_bands_ids, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "part",
+                pa.array(
+                    (
+                        t["band_key"].to_numpy(zero_copy_only=False)
+                        % np.uint64(num_partitions)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
         )
+    )
+    # full emission (cap -> maxint): SQL-equality demands every pair
+    cand = bands.groupby("part").map_groups(
+        lambda g: _emit_doc_pairs_partition(g, max_bucket_pairs_full=1 << 30),
+        batch_format="pyarrow",
+    )
+    deduped = cand.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    (
+                        t["a_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                        ^ t["b_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(_dedupe_int_pairs_partition, batch_format="pyarrow")
 
-    bands = sig.map_batches(explode, batch_format="pyarrow")
-
-    def emit(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group["doc_id"].to_pylist(), group["toks"].to_pylist()))
+    def verify(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()), ("jac6", pa.float64())]
         )
-        a_ids, b_ids, jacs = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                sa = set(rows[i][1].split())
-                sb = set(rows[j][1].split())
-                if not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                jac = inter / (len(sa) + len(sb) - inter)
-                if jac >= threshold:
-                    a_ids.append(rows[i][0])
-                    b_ids.append(rows[j][0])
-                    jacs.append(round(jac, 6))
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        table, idx = get_broadcast_payload(handle)
+        blobs = table["tok_hashes"]
+        a_ids = batch["a_id"].to_pylist()
+        b_ids = batch["b_id"].to_pylist()
+        ka, kb, kj = [], [], []
+        for x, y in zip(a_ids, b_ids):
+            sa = np.frombuffer(blobs[idx[x]].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(blobs[idx[y]].as_py(), dtype=np.uint64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            jac = H.jaccard_sorted(sa, sb)
+            if jac >= threshold:
+                ka.append(x)
+                kb.append(y)
+                kj.append(round(jac, 6))
         return pa.table(
             {
-                "a_id": pa.array(a_ids, pa.int64()),
-                "b_id": pa.array(b_ids, pa.int64()),
-                "jac6": pa.array(jacs, pa.float64()),
-            }
+                "a_id": pa.array(ka, pa.int64()),
+                "b_id": pa.array(kb, pa.int64()),
+                "jac6": pa.array(kj, pa.float64()),
+            },
+            schema=out_schema,
         )
 
-    pairs = bands.groupby("band_key").map_groups(emit, batch_format="pyarrow")
-    deduped = pairs.groupby(["a_id", "b_id"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    return deduped.select_columns(["a_id", "b_id"]).map_batches(
+        verify, batch_format="pyarrow"
     )
-    return deduped
 
 
 def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
@@ -620,35 +665,50 @@ def events_rolling_7d(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """Multi-table star join done the Ray-Data way: the dimension
-    chain (customer -> nation) is broadcast as plain dicts via
-    ray.put; the fact tables join map-side inside map_batches — only
-    the final tiny groupby shuffles."""
+    """Multi-table star join done the Ray-Data way: the fact-fact edge
+    (lineitem ⋈ orders) is a partitioned hash join — neither fact table
+    ever touches the driver — while the small dimension chain
+    (customer -> nation) is broadcast as plain dicts via ray.put and
+    applied map-side. The lineitem side is pre-aggregated per orderkey
+    inside map_batches (combiner) so the join ships partial sums, not
+    raw line items; only the final tiny groupby(n_name) shuffles."""
+    from clonehunter_ray.util import safe_join_partitions
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
-    maps_ref = ray.put((cust_nation, nation_name, order_cust))
+    maps_ref = ray.put((cust_nation, nation_name))
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        cn, nn, oc = ray.get(maps_ref)
-        ok = batch["l_orderkey"].to_numpy()
-        nat = [nn.get(cn.get(oc.get(o))) for o in ok]
-        rev = batch["l_extendedprice"].to_numpy() * (
-            1 - batch["l_discount"].to_numpy()
+    def partial_by_order(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            rev=batch["l_extendedprice"] * (1 - batch["l_discount"])
         )
-        df = pd.DataFrame({"n_name": nat, "rev": rev})
-        return df.groupby("n_name", as_index=False).agg(
+        return batch.groupby("l_orderkey", as_index=False).agg(
             v=("rev", "sum"), n=("rev", "size")
         )
 
-    ds = _read(
+    line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(join_batch, batch_format="pandas")
-    agg = ds.groupby("n_name").aggregate(
-        Sum("v", alias_name="v_sum"), Sum("n", alias_name="n_sum")
+    ).map_batches(partial_by_order, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nparts = safe_join_partitions(16)
+    joined = line.join(
+        orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        cn, nn = ray.get(maps_ref)
+        nat = [nn.get(cn.get(c)) for c in batch["o_custkey"].to_numpy()]
+        df = pd.DataFrame({"n_name": nat, "v": batch["v"], "n": batch["n"]})
+        return df.groupby("n_name", as_index=False).agg(
+            v=("v", "sum"), n=("n", "sum")
+        )
+
+    agg = (
+        joined.map_batches(to_nation, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("v", alias_name="v_sum"), Sum("n", alias_name="n_sum"))
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:

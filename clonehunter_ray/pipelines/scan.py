@@ -220,8 +220,6 @@ def _pairs_broadcast(
     it per broadcast key (plasma reads are zero-copy; concat_tables
     only chains chunk references).
     """
-    import uuid
-
     import numpy as np
     import pyarrow as pa
 
@@ -229,19 +227,13 @@ def _pairs_broadcast(
         dedupe_pairs_partition_indexed,
         emit_pairs_partition_indexed,
         explode_bands_indexed,
+        make_broadcast_handle,
     )
 
-    from clonehunter_ray.stages.candidates import combine_payload_blocks
-
-    block_refs = signatures.select_columns(payload_cols).to_arrow_refs()
     # combine ONCE in a task: the combined table lands in plasma a
     # single time and every worker maps it zero-copy (per-worker
     # combining copied the payload into every worker heap)
-    combined_ref = (
-        ray.remote(num_cpus=1)(combine_payload_blocks)
-        .remote(tuple(payload_cols), *block_refs)
-    )
-    ref = (str(uuid.uuid4()), combined_ref, tuple(payload_cols))
+    ref = make_broadcast_handle(signatures, payload_cols, "snippet_id")
 
     bands = (
         signatures.select_columns(["snippet_id", "band_keys"])

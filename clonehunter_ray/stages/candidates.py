@@ -152,18 +152,35 @@ def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
     return pa.concat_tables(list(tables)).combine_chunks()
 
 
+def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):
+    """Combine a dataset's blocks into ONE plasma-resident table via a
+    remote task (the payload never funnels through the driver — blocks
+    stay in the object store; ``to_arrow_refs`` hands over refs) and
+    return a handle for ``get_broadcast_payload``."""
+    import uuid
+
+    import ray
+
+    block_refs = ds.select_columns(cols).to_arrow_refs()
+    combined_ref = ray.remote(num_cpus=1)(combine_payload_blocks).remote(
+        tuple(cols), *block_refs
+    )
+    return (str(uuid.uuid4()), combined_ref, tuple(cols), key_col)
+
+
 def get_broadcast_payload(ref) -> tuple[pa.Table, dict]:
-    """ref = (key, combined-table ObjectRef, payload_cols). Maps the
-    combined payload from plasma (zero-copy, shared by every worker on
-    the node) and builds the snippet_id -> row index ONCE per worker
+    """ref = (key, combined-table ObjectRef, payload_cols[, key_col]).
+    Maps the combined payload from plasma (zero-copy, shared by every
+    worker on the node) and builds the key -> row index ONCE per worker
     process."""
-    key, combined_ref, _cols = ref
+    key, combined_ref, _cols = ref[0], ref[1], ref[2]
+    key_col = ref[3] if len(ref) > 3 else "snippet_id"
     if key not in _PAYLOAD_CACHE:
         import ray
 
         payload = ray.get(combined_ref)
         index = {
-            sid: i for i, sid in enumerate(payload["snippet_id"].to_pylist())
+            sid: i for i, sid in enumerate(payload[key_col].to_pylist())
         }
         _PAYLOAD_CACHE.clear()
         _PAYLOAD_CACHE[key] = (payload, index)

@@ -78,6 +78,19 @@ def main() -> None:
             failures.append((name, f"rows {len(got)} != {len(want)}"))
             print(f"FAIL  {name}: rows {len(got)} vs {len(want)}")
             continue
+        # the driver's value-hash is dtype-sensitive (int64 vs float64
+        # serialize differently), so flag kind mismatches that
+        # assert_frame_equal(check_dtype=False) would let through
+        kind_diff = [
+            c for c in got.columns if got[c].dtype.kind != want[c].dtype.kind
+        ]
+        if kind_diff:
+            failures.append((name, f"dtype kinds differ: {kind_diff}"))
+            print(
+                f"FAIL  {name}: dtype kind mismatch on {kind_diff} "
+                f"({[ (got[c].dtype, want[c].dtype) for c in kind_diff ]})"
+            )
+            continue
         try:
             pd.testing.assert_frame_equal(
                 got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
