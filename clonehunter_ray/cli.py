@@ -43,6 +43,13 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--lexical-min-ratio", type=float)
         sp.add_argument("--substring", action="store_true", default=None,
                         help="enable the suffix-array substring rescue")
+        sp.add_argument("--expansion", action="store_true", default=None,
+                        help="enable EXP call-graph expansion snippets")
+        sp.add_argument(
+            "--compare",
+            action="store_true",
+            help="embed per-finding code diffs in JSON/HTML reports",
+        )
         sp.add_argument("--cluster-min-size", type=int)
         sp.add_argument("--num-cpus", type=int, default=None)
         sp.add_argument(
@@ -80,6 +87,7 @@ def _overrides(args) -> dict:
         "window.window_lines": args.window_lines,
         "window.stride_lines": args.stride_lines,
         "substring.enabled": args.substring,
+        "expansion.enabled": args.expansion,
         "cluster.min_size": args.cluster_min_size,
         "exec.checkpoint_dir": args.checkpoint_dir,
     }
@@ -129,7 +137,25 @@ def main(argv: list[str] | None = None) -> int:
     findings = result.findings
 
     if args.cmd == "diff":
-        changed = set(sources.changed_files(args.base))
+        import os
+
+        # git runs in the scan root (not the invoker's CWD), and its
+        # repo-root-relative paths are rebased onto the scan root so
+        # they compare against findings' scan-root-relative paths. An
+        # empty/failed change set FAILS CLOSED (no findings) — the
+        # previous fall-through emitted everything as if diff-scoped.
+        scan_root = os.path.abspath(args.paths[0]) if args.paths else os.getcwd()
+        raw_changed = sources.changed_files(args.base, cwd=scan_root)
+        top = sources.git_toplevel(scan_root)
+        changed: set[str] = set()
+        for c in raw_changed:
+            rel = (
+                os.path.relpath(os.path.join(top, c), scan_root)
+                if top
+                else c
+            )
+            if not rel.startswith(".."):
+                changed.add(rel)
         if changed:
             import pyarrow as pa
             import ray as _ray
@@ -147,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
                 return batch.filter(pa.array(mask, pa.bool_()))
 
             findings = findings.map_batches(keep, batch_format="pyarrow")
+        else:
+            findings = findings.limit(0)
 
     if args.save_tables:
         import os
@@ -160,20 +188,50 @@ def main(argv: list[str] | None = None) -> int:
             os.makedirs(out_dir, exist_ok=True)
             ds.write_parquet(out_dir)
 
+    findings_df = findings.to_pandas()  # report rendering is driver-side
     stats = {
         "file_count": result.files.count(),
         "unit_count": result.units.count(),
         "snippet_count": result.snippets.count(),
         "pair_count": result.pairs.count(),
-        "finding_count": findings.count(),
+        "finding_count": len(findings_df),
+        **result.stats,  # timing / counts / lsh / checkpoint blocks
     }
-    reporting.write_report(
-        findings,
-        args.out,
-        args.format,
-        **({"stats": stats, "config": {"fingerprint": config.fingerprint()}}
-           if args.format == "json" else {}),
-    )
+
+    unit_code: dict[str, str] | None = None
+    if args.compare and args.format in ("json", "html") and len(findings_df):
+        # pull source only for units that appear in findings (tiny set)
+        import pyarrow as pa
+        import ray as _ray
+
+        wanted_ref = _ray.put(
+            set(findings_df["unit_a"]) | set(findings_df["unit_b"])
+        )
+
+        def _keep_units(batch: pa.Table) -> pa.Table:
+            w = _ray.get(wanted_ref)
+            mask = [u in w for u in batch["unit_id"].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        unit_code = {}
+        for b in (
+            result.units.select_columns(["unit_id", "code"])
+            .map_batches(_keep_units, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            unit_code.update(zip(b["unit_id"].to_pylist(), b["code"].to_pylist()))
+
+    extra_kwargs: dict = {}
+    if args.format == "json":
+        extra_kwargs = {
+            "stats": stats,
+            "config": {"fingerprint": config.fingerprint()},
+            "timing": result.stats.get("timing", {}),
+            "unit_code": unit_code,
+        }
+    elif args.format == "html":
+        extra_kwargs = {"unit_code": unit_code}
+    reporting.write_report(findings_df, args.out, args.format, **extra_kwargs)
     print(json.dumps(stats))
     if owns_ray:
         ray.shutdown()

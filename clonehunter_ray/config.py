@@ -89,12 +89,24 @@ class SignatureConfig:
     # pair pattern instead of all O(n^2) pairs; capped buckets are
     # counted in stage metrics so recall accounting stays honest.
     max_bucket_pairs_full: int = 256
+    # what else a capped bucket emits besides the star:
+    #   "star"   — star edges only (cluster connectivity, minimum cost)
+    #   "salted" — plus salted re-band sub-bucket all-pairs (default;
+    #              recovers ~1-(1-1/B)^salt_rounds of non-hub pairs,
+    #              see stages/candidates.salted_bucket_pairs_int)
+    #   "full"   — no cap at all (exact pair recall; O(n^2) hot buckets)
+    skew_mode: str = "salted"
+    salt_rounds: int = 6
 
     def validate(self) -> None:
         if self.num_bands * self.band_rows != self.num_perm:
             raise ValueError("num_bands * band_rows must equal num_perm")
         if self.shingle_k <= 0:
             raise ValueError("shingle_k must be > 0")
+        if self.skew_mode not in ("star", "salted", "full"):
+            raise ValueError("skew_mode must be star|salted|full")
+        if self.salt_rounds < 0:
+            raise ValueError("salt_rounds must be >= 0")
 
 
 @dataclass(frozen=True)

@@ -33,6 +33,7 @@ from clonehunter_ray.config import (
     ClusterConfig,
     EngineConfig,
     ExecConfig,
+    ExpansionConfig,
     SignatureConfig,
     SubstringConfig,
     Thresholds,
@@ -43,6 +44,7 @@ _GROUPS = {
     "window": WindowConfig,
     "thresholds": Thresholds,
     "signature": SignatureConfig,
+    "expansion": ExpansionConfig,
     "substring": SubstringConfig,
     "cluster": ClusterConfig,
     "exec": ExecConfig,

@@ -70,11 +70,23 @@ def _explode_doc_bands_ids(batch: pa.Table) -> pa.Table:
 
 
 def _emit_doc_pairs_partition(
-    partition: pa.Table, max_bucket_pairs_full: int = 1024
+    partition: pa.Table,
+    max_bucket_pairs_full: int = 1024,
+    skew_mode: str = "salted",
+    salt_rounds: int = 6,
+    metrics=None,
 ) -> pa.Table:
     """One hash partition of band rows (many buckets) -> candidate doc
-    pairs, vectorized: buckets are runs of the sorted band_key; hot
-    buckets collapse to hub-spoke (skew cap, connectivity preserved)."""
+    pairs, vectorized: buckets are runs of the sorted band_key. Hot
+    buckets emit the hub-spoke star (connectivity) plus, under
+    ``skew_mode="salted"``, salted re-band sub-bucket all-pairs (see
+    stages/candidates.salted_bucket_pairs_int) so spoke-spoke pairs
+    that collide in no other band are still recovered; every capped
+    emission carries ``capped=True`` for recall accounting."""
+    from clonehunter_ray.stages.candidates import salted_bucket_pairs_int
+
+    if skew_mode == "full":
+        max_bucket_pairs_full = 1 << 62
     keys = partition["band_key"].to_numpy(zero_copy_only=False)
     ids = partition["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((ids, keys))
@@ -82,6 +94,9 @@ def _emit_doc_pairs_partition(
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
     out_a: list[int] = []
     out_b: list[int] = []
+    out_c: list[bool] = []
+    n_capped = 0
+    full_pairs_capped = 0
     for s, c in zip(starts[counts > 1], counts[counts > 1]):
         bucket = np.unique(ids[s : s + c])
         n = len(bucket)
@@ -91,21 +106,56 @@ def _emit_doc_pairs_partition(
             ii, jj = np.triu_indices(n, k=1)
             out_a.extend(bucket[ii].tolist())
             out_b.extend(bucket[jj].tolist())
-        else:  # hub-spoke under the cap
+            out_c.extend([False] * len(ii))
+        else:  # hub-spoke star + salted re-band under the cap
+            n_capped += 1
+            full_pairs_capped += n * (n - 1) // 2
+            before = len(out_a)
             out_a.extend([int(bucket[0])] * (n - 1))
             out_b.extend(bucket[1:].tolist())
+            if skew_mode == "salted":
+                sa, sb = salted_bucket_pairs_int(
+                    bucket, max_bucket_pairs_full, salt_rounds
+                )
+                out_a.extend(sa)
+                out_b.extend(sb)
+            out_c.extend([True] * (len(out_a) - before))
+    if metrics is not None and n_capped:
+        from clonehunter_ray.state.metrics import report_metrics
+
+        report_metrics(
+            metrics,
+            {
+                "lsh_buckets_capped": n_capped,
+                "lsh_capped_full_pairs": full_pairs_capped,
+            },
+        )
     return pa.table(
         {
             "a_id": pa.array(out_a, pa.int64()),
             "b_id": pa.array(out_b, pa.int64()),
+            "capped": pa.array(out_c, pa.bool_()),
         }
     )
 
 
+_INT_PAIRS_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("capped", pa.bool_())]
+)
+
+
 def _dedupe_int_pairs_partition(partition: pa.Table) -> pa.Table:
-    df = partition.select(["a_id", "b_id"]).to_pandas()
-    out = df.drop_duplicates(["a_id", "b_id"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    if partition.num_rows == 0:
+        return _INT_PAIRS_SCHEMA.empty_table()
+    if "capped" not in partition.column_names:
+        partition = partition.append_column(
+            "capped", pa.array([False] * partition.num_rows, pa.bool_())
+        )
+    df = partition.select(["a_id", "b_id", "capped"]).to_pandas()
+    out = df.groupby(["a_id", "b_id"], as_index=False, sort=False).agg(
+        capped=("capped", "any")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_INT_PAIRS_SCHEMA)
 
 
 def minhash_dedup_pairs(
@@ -115,13 +165,17 @@ def minhash_dedup_pairs(
     concurrency: int = 4,
     num_partitions: int = 64,
     broadcast_limit: int = 2_000_000,
+    max_bucket_pairs_full: int = 1024,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Verified near-duplicate pairs (jaccard >= threshold) via
     MinHash-LSH, mirroring the scan pipeline's shape: ids-only band
-    shuffle -> hash-partitioned vectorized pair generation -> pair
-    dedup -> shingle payload attach (broadcast below
-    ``broadcast_limit`` docs, partitioned hash join above) -> exact
-    Jaccard verification in ``map_batches``.
+    shuffle -> hash-partitioned vectorized pair generation (hot
+    buckets: hub-spoke star + salted re-band, ``capped`` flag
+    propagated to the output for recall accounting) -> pair dedup ->
+    shingle payload attach (plasma-resident broadcast table below
+    ``broadcast_limit`` docs — never a driver-heap dict — partitioned
+    hash join above) -> exact Jaccard verification in ``map_batches``.
     """
     config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
@@ -149,7 +203,14 @@ def minhash_dedup_pairs(
         )
     )
     cand = bands.groupby("part").map_groups(
-        _emit_doc_pairs_partition, batch_format="pyarrow"
+        lambda g: _emit_doc_pairs_partition(
+            g,
+            max_bucket_pairs_full,
+            skew_mode=config.skew_mode,
+            salt_rounds=config.salt_rounds,
+            metrics=metrics,
+        ),
+        batch_format="pyarrow",
     )
     deduped = cand.map_batches(
         lambda t: t.append_column(
@@ -172,35 +233,54 @@ def minhash_dedup_pairs(
     )
 
     n_docs = sig.count()
+    verified_schema = pa.schema(
+        [
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("jaccard", pa.float64()),
+            ("capped", pa.bool_()),
+        ]
+    )
     if n_docs <= broadcast_limit:
-        shingle_map = {}
-        for b in sig.select_columns(["doc_id", "shingles"]).iter_batches(
-            batch_format="pyarrow"
-        ):
-            shingle_map.update(
-                zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist())
-            )
-        ref = ray.put(shingle_map)
+        # shingle payload stays in plasma: blocks combined ONCE in a
+        # remote task, every worker maps the combined table zero-copy
+        # (scan.py's broadcast pattern — a driver-heap dict of 2M
+        # shingle blobs would be tens of GB on one process)
+        from clonehunter_ray.stages.candidates import (
+            get_broadcast_payload,
+            make_broadcast_handle,
+        )
+
+        handle = make_broadcast_handle(
+            sig, ["doc_id", "shingles"], key_col="doc_id"
+        )
 
         def verify(batch: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            if batch.num_rows == 0:
+                return verified_schema.empty_table()
+            table, idx = get_broadcast_payload(handle)
+            blobs = table["shingles"]
             a = batch["a_id"].to_pylist()
             b = batch["b_id"].to_pylist()
-            ka, kb, kj = [], [], []
-            for x, y in zip(a, b):
-                sx = np.frombuffer(m[x], dtype=np.uint64)
-                sy = np.frombuffer(m[y], dtype=np.uint64)
+            capped = batch["capped"].to_pylist()
+            ka, kb, kj, kc = [], [], [], []
+            for x, y, cp in zip(a, b, capped):
+                sx = np.frombuffer(blobs[idx[x]].as_py(), dtype=np.uint64)
+                sy = np.frombuffer(blobs[idx[y]].as_py(), dtype=np.uint64)
                 jac = H.jaccard_sorted(sx, sy)
                 if jac >= threshold:
                     ka.append(x)
                     kb.append(y)
                     kj.append(jac)
+                    kc.append(cp)
             return pa.table(
                 {
                     "a_id": pa.array(ka, pa.int64()),
                     "b_id": pa.array(kb, pa.int64()),
                     "jaccard": pa.array(kj, pa.float64()),
-                }
+                    "capped": pa.array(kc, pa.bool_()),
+                },
+                schema=verified_schema,
             )
 
         return deduped.map_batches(verify, batch_format="pyarrow")
@@ -216,17 +296,20 @@ def minhash_dedup_pairs(
     b_side = payload.map_batches(
         lambda t: t.rename_columns(["b_id", "b_shingles"]), batch_format="pyarrow"
     )
-    joined = deduped.select_columns(["a_id", "b_id"]).join(
+    joined = deduped.select_columns(["a_id", "b_id", "capped"]).join(
         a_side, "inner", num_partitions, on=("a_id",)
     ).join(b_side, "inner", num_partitions, on=("b_id",))
 
     def verify_joined(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return verified_schema.empty_table()
         a = batch["a_id"].to_pylist()
         b = batch["b_id"].to_pylist()
         sa = batch["a_shingles"].to_pylist()
         sb = batch["b_shingles"].to_pylist()
-        ka, kb, kj = [], [], []
-        for x, y, bx, by in zip(a, b, sa, sb):
+        capped = batch["capped"].to_pylist()
+        ka, kb, kj, kc = [], [], [], []
+        for x, y, bx, by, cp in zip(a, b, sa, sb, capped):
             jac = H.jaccard_sorted(
                 np.frombuffer(bx, dtype=np.uint64),
                 np.frombuffer(by, dtype=np.uint64),
@@ -235,12 +318,15 @@ def minhash_dedup_pairs(
                 ka.append(x)
                 kb.append(y)
                 kj.append(jac)
+                kc.append(cp)
         return pa.table(
             {
                 "a_id": pa.array(ka, pa.int64()),
                 "b_id": pa.array(kb, pa.int64()),
                 "jaccard": pa.array(kj, pa.float64()),
-            }
+                "capped": pa.array(kc, pa.bool_()),
+            },
+            schema=verified_schema,
         )
 
     return joined.map_batches(verify_joined, batch_format="pyarrow")
@@ -395,13 +481,23 @@ def simhash_dup_pairs(
             ),
         ),
         batch_format="pyarrow",
-    ).groupby("dpart").map_groups(
-        lambda t: pa.Table.from_pandas(
-            t.select(["a_id", "b_id", "hamming"])
-            .to_pandas()
-            .sort_values("hamming")
-            .drop_duplicates(["a_id", "b_id"]),
-            preserve_index=False,
-        ),
-        batch_format="pyarrow",
+    ).groupby("dpart").map_groups(_dedupe_simhash_pairs_partition, batch_format="pyarrow")
+
+
+_SIMHASH_PAIRS_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("hamming", pa.int32())]
+)
+
+
+def _dedupe_simhash_pairs_partition(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _SIMHASH_PAIRS_SCHEMA.empty_table()
+    out = (
+        t.select(["a_id", "b_id", "hamming"])
+        .to_pandas()
+        .sort_values("hamming")
+        .drop_duplicates(["a_id", "b_id"])
+    )
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        _SIMHASH_PAIRS_SCHEMA
     )

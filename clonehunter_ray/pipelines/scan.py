@@ -155,7 +155,9 @@ def build_signatures(
 
 
 def build_pairs(
-    signatures: "ray.data.Dataset", config: EngineConfig
+    signatures: "ray.data.Dataset",
+    config: EngineConfig,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """signatures -> verified pairs (the wide half: LSH shuffle, then
     payload attachment by broadcast lookup or partitioned hash join).
@@ -172,7 +174,9 @@ def build_pairs(
     payload_cols = _join_payload(config)
 
     if limit and signatures.count() <= limit:
-        return _pairs_broadcast(signatures, config, cap, nparts, payload_cols)
+        return _pairs_broadcast(
+            signatures, config, cap, nparts, payload_cols, metrics
+        )
 
     # scale path: string ids + partitioned hash joins
     bands = (
@@ -185,7 +189,14 @@ def build_pairs(
         )
     )
     candidates = bands.groupby("part").map_groups(
-        lambda g: emit_pairs_partition(g, cap), batch_format="pyarrow"
+        lambda g: emit_pairs_partition(
+            g,
+            cap,
+            skew_mode=config.signature.skew_mode,
+            salt_rounds=config.signature.salt_rounds,
+            metrics=metrics,
+        ),
+        batch_format="pyarrow",
     )
     deduped = candidates.map_batches(
         add_pair_partition_column,
@@ -211,6 +222,7 @@ def _pairs_broadcast(
     cap: int,
     nparts: int,
     payload_cols: list[str],
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Broadcast path: int-sid band shuffle + Table.take payload attach.
 
@@ -257,7 +269,14 @@ def _pairs_broadcast(
         )
     )
     candidates = bands.groupby("part").map_groups(
-        lambda g: emit_pairs_partition_indexed(g, cap), batch_format="pyarrow"
+        lambda g: emit_pairs_partition_indexed(
+            g,
+            cap,
+            skew_mode=config.signature.skew_mode,
+            salt_rounds=config.signature.salt_rounds,
+            metrics=metrics,
+        ),
+        batch_format="pyarrow",
     )
     deduped = candidates.map_batches(
         lambda t: t.append_column(
@@ -377,10 +396,21 @@ def scan(
     """Run the full pipeline; heavy intermediates are checkpointed to
     ``checkpoint_dir`` (or materialized in the object store when None).
     """
+    import time
+
+    from clonehunter_ray.state import metrics as M
+
     config = config or EngineConfig()
     config.validate()
     fp = config.fingerprint()
     root = checkpoint_dir or config.exec.checkpoint_dir
+
+    # per-run shared counters (capped LSH buckets etc.) live in a
+    # zero-CPU actor whose HANDLE rides the UDF closures
+    metrics_handle = M.new_metrics_actor()
+    timing: dict[str, float] = {}
+    ckpt_stats: dict[str, str] = {}
+    t_start = time.monotonic()
 
     hashed = files_ds.map_batches(add_content_sha256, batch_format="pyarrow")
     units = hashed.map_batches(extract_units_batch, batch_format="pyarrow")
@@ -391,19 +421,29 @@ def scan(
         batch_size=config.exec.batch_size,
     )
 
+    t0 = time.monotonic()
     signatures = ckpt.checkpoint_or_compute(
-        lambda: build_signatures(files_ds, config), root, "signatures", fp
+        lambda: build_signatures(files_ds, config),
+        root, "signatures", fp, ckpt_stats,
     )
+    timing["signatures"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
     pairs = ckpt.checkpoint_or_compute(
-        lambda: build_pairs(signatures, config), root, "pairs", fp
+        lambda: build_pairs(signatures, config, metrics_handle),
+        root, "pairs", fp, ckpt_stats,
     )
+    timing["pairs"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
     findings = ckpt.checkpoint_or_compute(
-        lambda: build_findings(pairs, config), root, "findings", fp
+        lambda: build_findings(pairs, config), root, "findings", fp, ckpt_stats,
     )
+    timing["findings"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    n_findings = findings.count()
     cluster_map: dict[str, int] = {}
     if config.cluster.enabled:
-        n_edges = findings.count()
+        n_edges = n_findings
         if n_edges <= config.cluster.driver_max_edges:
             findings, cluster_map = C.add_cluster_ids(findings, config.cluster)
         else:
@@ -433,6 +473,28 @@ def scan(
             findings = C.filter_min_cluster_size(
                 findings, config.cluster.min_size
             )
+    timing["clustering"] = round(time.monotonic() - t0, 3)
+    timing["total"] = round(time.monotonic() - t_start, 3)
+
+    # reference ScanStats/timing parity (core/pipeline.py:124-247):
+    # stage wall clock, dataset counts (cheap: signatures/pairs are
+    # materialized or checkpointed by now), capped-LSH recall
+    # accounting from the run's metrics actor, checkpoint hit/miss
+    lsh = {k: int(v) for k, v in M.read_metrics(metrics_handle).items()}
+    M.drop_metrics(metrics_handle)
+    if root and lsh and ckpt_stats.get("pairs") == "miss":
+        ckpt.update_lineage(root, "pairs", {"lsh": lsh})
+    stats = {
+        "timing": timing,
+        "counts": {
+            "snippets": signatures.count(),
+            "verified_pairs": pairs.count(),
+            "findings": n_findings,
+            "clusters": len(set(cluster_map.values())),
+        },
+        "lsh": lsh,
+        "checkpoint": dict(ckpt_stats),
+    }
 
     return ScanResult(
         files=hashed,
@@ -442,4 +504,5 @@ def scan(
         pairs=pairs,
         findings=findings,
         cluster_map=cluster_map,
+        stats=stats,
     )

@@ -11,8 +11,9 @@ findings schema, stages/rollup.py FINDINGS_SCHEMA).
   lookup is supplied (reference json_reporter.py:12-88).
 * SARIF: one rule ``near-duplicate-code``, one result per finding with
   two locations (reference sarif_reporter.py:9-59).
-* HTML: self-contained, client-side sortable table (reference
-  html_reporter.py:12-360 minus the embedded diff viewer).
+* HTML: self-contained, client-side sortable table with an optional
+  per-finding side-by-side opcode diff viewer (reference
+  html_reporter.py:12-360 incl. 205-360).
 """
 
 from __future__ import annotations
@@ -174,12 +175,73 @@ def _sarif_location(path: str, unit_id: str) -> dict:
     }
 
 
-def write_html_report(findings: Any, out_path: str, title: str = "CloneHunter-Ray report") -> None:
+_SBS_MAX_LINES = 200
+
+
+def _side_by_side_rows(code_a: str, code_b: str) -> list[tuple[str, str, str]]:
+    """Opcode-aligned (css_class, left_line, right_line) rows for the
+    HTML diff viewer (reference html_reporter.py:205-360 renders the
+    same side-by-side opcode table)."""
+    a_lines = code_a.splitlines()
+    b_lines = code_b.splitlines()
+    sm = difflib.SequenceMatcher(a=a_lines, b=b_lines, autojunk=False)
+    rows: list[tuple[str, str, str]] = []
+    for tag, i1, i2, j1, j2 in sm.get_opcodes():
+        if tag == "equal":
+            for k in range(i2 - i1):
+                rows.append(("eq", a_lines[i1 + k], b_lines[j1 + k]))
+        elif tag == "replace":
+            span = max(i2 - i1, j2 - j1)
+            for k in range(span):
+                left = a_lines[i1 + k] if i1 + k < i2 else ""
+                right = b_lines[j1 + k] if j1 + k < j2 else ""
+                rows.append(("rep", left, right))
+        elif tag == "delete":
+            for k in range(i1, i2):
+                rows.append(("del", a_lines[k], ""))
+        elif tag == "insert":
+            for k in range(j1, j2):
+                rows.append(("ins", "", b_lines[k]))
+        if len(rows) > _SBS_MAX_LINES:
+            rows = rows[:_SBS_MAX_LINES]
+            rows.append(("eq", "... (truncated)", "... (truncated)"))
+            break
+    return rows
+
+
+def _diff_cell_html(rec: dict, unit_code: dict[str, str]) -> str | None:
+    code_a = unit_code.get(rec["unit_a"])
+    code_b = unit_code.get(rec["unit_b"])
+    if code_a is None or code_b is None:
+        return None
+    body = []
+    for cls, left, right in _side_by_side_rows(code_a, code_b):
+        body.append(
+            f"<tr class='{cls}'><td><pre>{html_mod.escape(left)}</pre></td>"
+            f"<td><pre>{html_mod.escape(right)}</pre></td></tr>"
+        )
+    return (
+        "<table class='sbs'><thead><tr>"
+        f"<th>{html_mod.escape(str(rec['qual_a']))}</th>"
+        f"<th>{html_mod.escape(str(rec['qual_b']))}</th>"
+        f"</tr></thead><tbody>{''.join(body)}</tbody></table>"
+    )
+
+
+def write_html_report(
+    findings: Any,
+    out_path: str,
+    title: str = "CloneHunter-Ray report",
+    unit_code: dict[str, str] | None = None,
+) -> None:
     recs = _sorted_records(findings)
     rows = []
     for r in recs:
+        diff_html = _diff_cell_html(r, unit_code) if unit_code else None
+        marker = " class='f has-diff' title='click to toggle diff'" if diff_html \
+            else " class='f'"
         rows.append(
-            "<tr>"
+            f"<tr{marker}>"
             f"<td>{html_mod.escape(str(r['path_a']))}</td>"
             f"<td>{html_mod.escape(str(r['qual_a']))}</td>"
             f"<td>{html_mod.escape(str(r['path_b']))}</td>"
@@ -190,6 +252,11 @@ def write_html_report(findings: Any, out_path: str, title: str = "CloneHunter-Ra
             f"<td>{html_mod.escape(str(r.get('cluster_id', '')))}</td>"
             "</tr>"
         )
+        if diff_html:
+            rows.append(
+                f"<tr class='diff' style='display:none'>"
+                f"<td colspan='8'>{diff_html}</td></tr>"
+            )
     doc = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{html_mod.escape(title)}</title>
 <style>
@@ -197,11 +264,18 @@ body {{ font-family: sans-serif; margin: 2em; }}
 table {{ border-collapse: collapse; width: 100%; }}
 th, td {{ border: 1px solid #ccc; padding: 4px 8px; font-size: 13px; }}
 th {{ cursor: pointer; background: #f0f0f0; position: sticky; top: 0; }}
-tr:nth-child(even) {{ background: #fafafa; }}
+tr.f:nth-child(even) {{ background: #fafafa; }}
+tr.has-diff {{ cursor: pointer; }}
+table.sbs td {{ width: 50%; vertical-align: top; }}
+table.sbs pre {{ margin: 0; white-space: pre-wrap; font-size: 12px; }}
+table.sbs tr.rep td {{ background: #fff7d6; }}
+table.sbs tr.del td:first-child {{ background: #ffe3e3; }}
+table.sbs tr.ins td:last-child {{ background: #e2f5e2; }}
 </style></head>
 <body>
 <h1>{html_mod.escape(title)}</h1>
-<p>{len(recs)} findings. Click a column header to sort.</p>
+<p>{len(recs)} findings. Click a column header to sort{
+    '; click a row to toggle its side-by-side diff' if unit_code else ''}.</p>
 <table id="t"><thead><tr>
 <th>path A</th><th>function A</th><th>path B</th><th>function B</th>
 <th>score</th><th>dup lines</th><th>reasons</th><th>cluster</th>
@@ -209,15 +283,25 @@ tr:nth-child(even) {{ background: #fafafa; }}
 {''.join(rows)}
 </tbody></table>
 <script>
+// sort moves each finding row together with its (optional) diff row
 document.querySelectorAll('#t th').forEach((th, i) => th.onclick = () => {{
   const tb = document.querySelector('#t tbody');
-  const rows = Array.from(tb.rows);
-  const val = r => r.cells[i].dataset.v !== undefined
-    ? parseFloat(r.cells[i].dataset.v) : r.cells[i].textContent;
+  const groups = [];
+  Array.from(tb.rows).forEach(r => {{
+    if (r.classList.contains('diff')) groups[groups.length - 1].push(r);
+    else groups.push([r]);
+  }});
+  const val = g => g[0].cells[i].dataset.v !== undefined
+    ? parseFloat(g[0].cells[i].dataset.v) : g[0].cells[i].textContent;
   const dir = th.dataset.dir === 'a' ? -1 : 1;
   th.dataset.dir = th.dataset.dir === 'a' ? 'd' : 'a';
-  rows.sort((a, b) => (val(a) > val(b) ? 1 : val(a) < val(b) ? -1 : 0) * dir);
-  rows.forEach(r => tb.appendChild(r));
+  groups.sort((a, b) => (val(a) > val(b) ? 1 : val(a) < val(b) ? -1 : 0) * dir);
+  groups.forEach(g => g.forEach(r => tb.appendChild(r)));
+}});
+document.querySelectorAll('#t tr.has-diff').forEach(r => r.onclick = () => {{
+  const d = r.nextElementSibling;
+  if (d && d.classList.contains('diff'))
+    d.style.display = d.style.display === 'none' ? '' : 'none';
 }});
 </script></body></html>"""
     with open(out_path, "w") as fh:
@@ -230,7 +314,7 @@ def write_report(findings: Any, out_path: str, fmt: str, **kwargs) -> None:
     elif fmt == "sarif":
         write_sarif_report(findings, out_path)
     elif fmt == "html":
-        write_html_report(findings, out_path)
+        write_html_report(findings, out_path, **kwargs)
     elif fmt == "parquet":
         if hasattr(findings, "write_parquet"):
             findings.write_parquet(out_path)

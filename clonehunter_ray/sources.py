@@ -124,7 +124,21 @@ def files_from_directory(
     early, read utf-8 with replacement, tag language."""
     seen: set[str] = set()
     rows: dict[str, list] = {c: [] for c in FILES_SCHEMA.names}
+    # unit identity is path-based (stages/extract.py:43), so scanning
+    # multiple roots that contain same-named relative paths (two
+    # checkouts each with src/a.py) must disambiguate: prefix each
+    # root's rel paths with a unique root label and use it as repo.
+    multi_root = len(paths) > 1
+    labels: dict[str, int] = {}
+
+    def _root_label(p: str) -> str:
+        base = os.path.basename(os.path.abspath(p)) or "root"
+        n = labels.get(base, 0)
+        labels[base] = n + 1
+        return base if n == 0 else f"{base}#{n}"
+
     for root_path in paths:
+        root_label = _root_label(root_path) if multi_root else repo
         root_path = os.path.abspath(root_path)
         if os.path.isfile(root_path):
             candidates = [(os.path.dirname(root_path), root_path)]
@@ -160,12 +174,28 @@ def files_from_directory(
                     content = fh.read().decode("utf-8", errors="replace")
             except OSError:
                 continue
-            rows["repo"].append(repo)
-            rows["path"].append(rel)
+            rows["repo"].append(root_label)
+            rows["path"].append(
+                f"{root_label}/{rel}" if multi_root else rel
+            )
             rows["commit"].append(commit)
             rows["lang"].append(detect_language(rel))
             rows["content"].append(content)
     return pa.Table.from_pydict(rows, schema=FILES_SCHEMA)
+
+
+def git_toplevel(cwd: str | None = None) -> str | None:
+    """Repo root for ``cwd`` (git paths are repo-root-relative; callers
+    need this to rebase them onto the scan root). None outside a repo."""
+    try:
+        res = subprocess.run(
+            ["git", "rev-parse", "--show-toplevel"],
+            cwd=cwd, capture_output=True, text=True, check=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    top = res.stdout.strip()
+    return top or None
 
 
 def changed_files(base: str = "HEAD", cwd: str | None = None) -> list[str]:

@@ -103,14 +103,49 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column("part", pa.array(part, pa.int64()))
 
 
+def _salted_bucket_pairs_str(
+    bucket_ids: list[str], cap: int, rounds: int, salt_seed: int = 0x5A17ED
+) -> tuple[list[str], list[str]]:
+    """String-id twin of ``salted_bucket_pairs_int`` (crc32 sub-bucket
+    hash — deterministic across processes, unlike builtin hash())."""
+    import zlib
+
+    n = len(bucket_ids)
+    m = max(2, int((2 * cap) ** 0.5))
+    n_sub = max(2, -(-n // m))
+    out_a: list[str] = []
+    out_b: list[str] = []
+    for r in range(rounds):
+        subs: dict[int, list[str]] = {}
+        for sid in bucket_ids:
+            h = zlib.crc32(f"{salt_seed + r}:{sid}".encode()) % n_sub
+            subs.setdefault(h, []).append(sid)
+        for members in subs.values():
+            if len(members) < 2:
+                continue
+            members = sorted(members)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    out_a.append(members[i])
+                    out_b.append(members[j])
+    return out_a, out_b
+
+
 def emit_pairs_partition(
-    partition: pa.Table, max_bucket_pairs_full: int = 256
+    partition: pa.Table,
+    max_bucket_pairs_full: int = 256,
+    skew_mode: str = "star",
+    salt_rounds: int = 6,
+    metrics=None,
 ) -> pa.Table:
     """One hash partition of band rows (MANY buckets) -> candidate
     pairs. Buckets are detected as runs of the sorted band_key with
-    numpy (vectorized); only multi-member buckets touch Python."""
+    numpy (vectorized); only multi-member buckets touch Python. Skew
+    handling matches ``emit_pairs_partition_indexed``."""
     import numpy as np
 
+    if skew_mode == "full":
+        max_bucket_pairs_full = 1 << 62
     keys = partition["band_key"].to_numpy(zero_copy_only=False)
     ids = np.asarray(partition["snippet_id"].to_pylist(), dtype=object)
     order = np.argsort(keys, kind="stable")
@@ -120,12 +155,40 @@ def emit_pairs_partition(
     out_a: list[str] = []
     out_b: list[str] = []
     out_c: list[bool] = []
+    n_buckets = 0
+    n_capped = 0
+    full_pairs_capped = 0
+    emitted_capped = 0
     for s, c in zip(starts[counts > 1], counts[counts > 1]):
         bucket_ids = sorted(set(ids[s : s + c].tolist()))
         a, b, capped = _bucket_pairs(bucket_ids, max_bucket_pairs_full)
+        n_buckets += 1 if len(bucket_ids) >= 2 else 0
+        if capped:
+            n_capped += 1
+            n = len(bucket_ids)
+            full_pairs_capped += n * (n - 1) // 2
+            if skew_mode == "salted":
+                sa, sb = _salted_bucket_pairs_str(
+                    bucket_ids, max_bucket_pairs_full, salt_rounds
+                )
+                a = a + sa
+                b = b + sb
+            emitted_capped += len(a)
         out_a.extend(a)
         out_b.extend(b)
         out_c.extend([capped] * len(a))
+    if metrics is not None and n_buckets:
+        from clonehunter_ray.state.metrics import report_metrics
+
+        report_metrics(
+            metrics,
+            {
+                "lsh_buckets_multi": n_buckets,
+                "lsh_buckets_capped": n_capped,
+                "lsh_capped_full_pairs": full_pairs_capped,
+                "lsh_capped_emitted_pairs": emitted_capped,
+            },
+        )
     return pa.Table.from_pydict(
         {
             "a_id": pa.array(out_a, pa.string()),
@@ -275,11 +338,61 @@ def explode_bands_indexed(
     return pa.table({"band_key": flat, "sid": pa.array(sids, pa.int32())})
 
 
+def salted_bucket_pairs_int(
+    bucket: np.ndarray,
+    cap: int,
+    rounds: int,
+    salt_seed: int = 0x5A17ED,
+) -> tuple[list[int], list[int]]:
+    """Salted re-band for one hot bucket (north_rule skew handling):
+    each round hashes the members into B sub-buckets sized so a
+    sub-bucket's all-pairs emission stays under ``cap``, then emits all
+    pairs within every sub-bucket. A non-hub pair co-occurs in a round
+    with probability ~1/B, so coverage after R rounds is 1-(1-1/B)^R
+    (e.g. B=2, R=8: 99.6%); for genuinely huge buckets (B large) the
+    residual loss is what the capped-pair metrics account for — full
+    O(n^2) emission there is infeasible by construction, not a bug.
+    Deterministic: salts derive from (salt_seed, round), never from
+    process state."""
+    from clonehunter_ray.functions.hashing import _mix64
+
+    n = len(bucket)
+    m = max(2, int((2 * cap) ** 0.5))  # sub-bucket size target
+    n_sub = max(2, -(-n // m))
+    ids_u = bucket.astype(np.uint64)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for r in range(rounds):
+        salt = np.uint64((salt_seed + r * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        sub = (_mix64(ids_u ^ salt) % np.uint64(n_sub)).astype(np.int64)
+        order = np.argsort(sub, kind="stable")
+        s_sub, s_ids = sub[order], bucket[order]
+        _, starts, counts = np.unique(s_sub, return_index=True, return_counts=True)
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            members = np.sort(s_ids[s : s + c])
+            ii, jj = np.triu_indices(len(members), k=1)
+            out_a.extend(members[ii].tolist())
+            out_b.extend(members[jj].tolist())
+    return out_a, out_b
+
+
 def emit_pairs_partition_indexed(
-    partition: pa.Table, max_bucket_pairs_full: int = 256
+    partition: pa.Table,
+    max_bucket_pairs_full: int = 256,
+    skew_mode: str = "star",
+    salt_rounds: int = 6,
+    metrics=None,
 ) -> pa.Table:
     """Int-sid variant of ``emit_pairs_partition`` — fully vectorized
-    (np.unique + triu_indices per bucket, no Python id handling)."""
+    (np.unique + triu_indices per bucket, no Python id handling).
+
+    Hot buckets (pair count over the cap): always emit the hub-spoke
+    star (cluster connectivity), and under ``skew_mode="salted"`` also
+    the salted re-band pairs so non-hub pairs are recovered;
+    ``skew_mode="full"`` disables the cap. Capped-bucket counts and the
+    full-emission pair estimate go to the run's metrics actor."""
+    if skew_mode == "full":
+        max_bucket_pairs_full = 1 << 62
     keys = partition["band_key"].to_numpy(zero_copy_only=False)
     sids = partition["sid"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((sids, keys))
@@ -288,20 +401,47 @@ def emit_pairs_partition_indexed(
     out_a: list[int] = []
     out_b: list[int] = []
     out_c: list[bool] = []
+    n_buckets = 0
+    n_capped = 0
+    full_pairs_capped = 0
+    emitted_capped = 0
     for s, c in zip(starts[counts > 1], counts[counts > 1]):
         bucket = np.unique(sids[s : s + c])
         n = len(bucket)
         if n < 2:
             continue
+        n_buckets += 1
         if n * (n - 1) // 2 <= max_bucket_pairs_full:
             ii, jj = np.triu_indices(n, k=1)
             out_a.extend(bucket[ii].tolist())
             out_b.extend(bucket[jj].tolist())
             out_c.extend([False] * len(ii))
-        else:  # hub-spoke under the cap (skew handling)
+        else:  # hub-spoke star keeps the clone family connected
+            n_capped += 1
+            full_pairs_capped += n * (n - 1) // 2
+            before = len(out_a)
             out_a.extend([int(bucket[0])] * (n - 1))
             out_b.extend(bucket[1:].tolist())
-            out_c.extend([True] * (n - 1))
+            if skew_mode == "salted":
+                sa, sb = salted_bucket_pairs_int(
+                    bucket, max_bucket_pairs_full, salt_rounds
+                )
+                out_a.extend(sa)
+                out_b.extend(sb)
+            emitted_capped += len(out_a) - before
+            out_c.extend([True] * (len(out_a) - before))
+    if metrics is not None and n_buckets:
+        from clonehunter_ray.state.metrics import report_metrics
+
+        report_metrics(
+            metrics,
+            {
+                "lsh_buckets_multi": n_buckets,
+                "lsh_buckets_capped": n_capped,
+                "lsh_capped_full_pairs": full_pairs_capped,
+                "lsh_capped_emitted_pairs": emitted_capped,
+            },
+        )
     return pa.table(
         {
             "a_sid": pa.array(out_a, pa.int32()),
@@ -311,15 +451,20 @@ def emit_pairs_partition_indexed(
     )
 
 
+_SID_PAIRS_SCHEMA = pa.schema(
+    [("a_sid", pa.int32()), ("b_sid", pa.int32()), ("capped", pa.bool_())]
+)
+
+
 def dedupe_pairs_partition_indexed(partition: pa.Table) -> pa.Table:
     """Vectorized (a_sid, b_sid) dedup; capped = any occurrence."""
-    import pandas as pd
-
+    if partition.num_rows == 0:
+        return _SID_PAIRS_SCHEMA.empty_table()
     df = partition.select(["a_sid", "b_sid", "capped"]).to_pandas()
     out = df.groupby(["a_sid", "b_sid"], as_index=False, sort=False).agg(
         capped=("capped", "any")
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_SID_PAIRS_SCHEMA)
 
 
 def add_pair_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
@@ -341,16 +486,21 @@ def hash_pair_to_partition(a_id: str, b_id: str, num_partitions: int) -> int:
     return zlib.crc32(f"{a_id}|{b_id}".encode()) % num_partitions
 
 
+_STR_PAIRS_SCHEMA = pa.schema(
+    [("a_id", pa.string()), ("b_id", pa.string()), ("capped", pa.bool_())]
+)
+
+
 def dedupe_pairs_partition(partition: pa.Table) -> pa.Table:
     """Vectorized cross-band pair dedup within one partition: keep one
     row per (a_id, b_id); capped = any occurrence capped."""
-    import pandas as pd
-
+    if partition.num_rows == 0:
+        return _STR_PAIRS_SCHEMA.empty_table()
     df = partition.select(["a_id", "b_id", "capped"]).to_pandas()
     out = df.groupby(["a_id", "b_id"], as_index=False, sort=False).agg(
         capped=("capped", "any")
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_STR_PAIRS_SCHEMA)
 
 
 def dedupe_pairs_group(group: pa.Table) -> pa.Table:

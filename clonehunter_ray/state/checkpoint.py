@@ -89,8 +89,26 @@ def read_lineage(root: str, stage: str) -> dict:
         return json.load(fh)
 
 
+def update_lineage(root: str, stage: str, extra: dict) -> None:
+    """Merge run metrics (e.g. capped-LSH recall accounting) into a
+    completed stage's lineage manifest."""
+    path = os.path.join(stage_dir(root, stage), "_lineage.json")
+    try:
+        with open(path) as fh:
+            meta = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return
+    meta.update(extra)
+    with open(path, "w") as fh:
+        json.dump(meta, fh)
+
+
 def checkpoint_or_compute(
-    make_ds, root: str | None, stage: str, config_fp: str
+    make_ds,
+    root: str | None,
+    stage: str,
+    config_fp: str,
+    stats: dict | None = None,
 ) -> "ray.data.Dataset":
     """Return the checkpointed stage if complete, else compute + write.
 
@@ -98,12 +116,19 @@ def checkpoint_or_compute(
     the upstream pipeline is only constructed when actually needed.
     Without a checkpoint root the Dataset is materialized in the object
     store instead (test-scale convenience; checkpoints are the scale
-    path).
+    path). ``stats`` (when given) records hit/miss per stage — the
+    analogue of the reference cache-hit counters (core/pipeline.py:50-88).
     """
     if root is None:
+        if stats is not None:
+            stats[stage] = "memory"
         return make_ds().materialize()
     if is_complete(root, stage, config_fp):
+        if stats is not None:
+            stats[stage] = "hit"
         return read_stage(root, stage)
+    if stats is not None:
+        stats[stage] = "miss"
     return write_stage(make_ds(), root, stage, config_fp)
 
 

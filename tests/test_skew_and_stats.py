@@ -1,0 +1,253 @@
+"""Round-2 features: capped-bucket salted re-band recall, scan stats /
+timing parity, HTML diff viewer, config surface additions."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _emit_table(n_docs: int) -> pa.Table:
+    """One synthetic hot LSH bucket: every doc shares one band_key."""
+    return pa.table(
+        {
+            "band_key": pa.array([7] * n_docs, pa.uint64()),
+            "doc_id": pa.array(list(range(n_docs)), pa.int64()),
+        }
+    )
+
+
+def _pair_set(t: pa.Table) -> set[tuple[int, int]]:
+    return set(zip(t["a_id"].to_pylist(), t["b_id"].to_pylist()))
+
+
+def test_salted_reband_recovers_capped_bucket_pairs():
+    """A hot bucket (60 members, 1770 pairs > cap 256): star mode loses
+    spoke-spoke pairs; salted re-band recovers >=99% of all pairs."""
+    from clonehunter_ray.pipelines.dedup import _emit_doc_pairs_partition
+
+    n = 60
+    want = {(i, j) for i in range(n) for j in range(i + 1, n)}
+
+    star = _emit_doc_pairs_partition(_emit_table(n), 256, skew_mode="star")
+    star_pairs = _pair_set(star)
+    assert star_pairs == {(0, j) for j in range(1, n)}  # hub-spoke only
+    assert all(star["capped"].to_pylist())
+
+    salted = _emit_doc_pairs_partition(
+        _emit_table(n), 256, skew_mode="salted", salt_rounds=16
+    )
+    got = _pair_set(salted)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, f"salted recall {recall:.4f}"
+    assert got <= want  # only canonical a<b pairs, no inventions
+    assert all(salted["capped"].to_pylist())  # accounting flag intact
+
+    full = _emit_doc_pairs_partition(_emit_table(n), 256, skew_mode="full")
+    assert _pair_set(full) == want
+    assert not any(full["capped"].to_pylist())
+
+
+def test_salted_reband_indexed_variant():
+    from clonehunter_ray.stages.candidates import salted_bucket_pairs_int
+
+    bucket = np.arange(80, dtype=np.int64)
+    want = {(i, j) for i in range(80) for j in range(i + 1, 80)}
+    a, b = salted_bucket_pairs_int(bucket, cap=256, rounds=16)
+    got = set(zip(a, b))
+    assert got <= want
+    assert len(got & want) / len(want) >= 0.99
+    # deterministic across calls (fixed salts, no process state)
+    a2, b2 = salted_bucket_pairs_int(bucket, cap=256, rounds=16)
+    assert (a, b) == (a2, b2)
+
+
+def test_minhash_dedup_hot_bucket_recall_with_cap(ray_session):
+    """End-to-end: 60 near-identical docs (one hot cluster) + filler.
+    With the cap engaged (1770 pairs > 1024) the salted default still
+    verifies >=99% of the true duplicate pairs, and the capped flag
+    rides through to the verified output."""
+    import ray.data
+
+    from clonehunter_ray.config import SignatureConfig
+    from clonehunter_ray.pipelines.dedup import minhash_dedup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep dark forest looking for food "
+    ) * 4
+    # identical texts: every band bucket holds all 60 docs with hub 0,
+    # so star mode emits exactly the 59 spoke edges
+    texts = [base for _ in range(60)]
+    texts += [f"completely different text number {i} " * 10 for i in range(20)]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    want = {(i, j) for i in range(60) for j in range(i + 1, 60)}
+
+    cfg = SignatureConfig(
+        shingle_k=5, num_bands=32, band_rows=4, skew_mode="salted",
+        salt_rounds=16,
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.8, config=cfg).to_pandas()
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    assert len(got & want) / len(want) >= 0.99
+    assert pairs["capped"].any()  # the hot bucket was indeed capped
+
+    star_cfg = SignatureConfig(
+        shingle_k=5, num_bands=32, band_rows=4, skew_mode="star"
+    )
+    star = minhash_dedup_pairs(docs, threshold=0.8, config=star_cfg).to_pandas()
+    # star keeps connectivity but drops spoke-spoke pairs
+    star_got = set(zip(star["a_id"], star["b_id"]))
+    assert len(star_got) < len(got)
+
+
+def test_scan_stats_block(ray_session, tiny_corpus):
+    """ScanResult.stats carries timing / counts / lsh / checkpoint
+    blocks (reference core/pipeline.py:124-247 ScanStats parity)."""
+    import ray.data
+
+    from clonehunter_ray.config import EngineConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    files, _ = tiny_corpus
+    res = scan(ray.data.from_arrow(files), EngineConfig())
+    stats = res.stats
+    for stage in ("signatures", "pairs", "findings", "clustering", "total"):
+        assert stats["timing"][stage] >= 0
+    assert stats["counts"]["snippets"] > 0
+    assert stats["counts"]["findings"] == res.findings.count()
+    assert stats["lsh"]["lsh_buckets_multi"] > 0
+    assert "lsh_buckets_capped" in stats["lsh"]
+    assert stats["checkpoint"] == {
+        "signatures": "memory", "pairs": "memory", "findings": "memory"
+    }
+
+
+def test_html_report_diff_viewer(tmp_path):
+    from clonehunter_ray import reporting
+
+    finding = {
+        "pair_key": "a.py:f:1:5||b.py:g:1:5",
+        "unit_a": "a.py:f:1:5",
+        "unit_b": "b.py:g:1:5",
+        "path_a": "a.py",
+        "path_b": "b.py",
+        "qual_a": "f",
+        "qual_b": "g",
+        "score": 0.97,
+        "duplicated_lines": 5,
+        "reasons": ["func_threshold"],
+        "n_evidence": 2,
+        "best_evidence": "FUNC->FUNC|jac=0.97",
+    }
+    out = tmp_path / "r.html"
+    reporting.write_html_report(
+        [finding],
+        str(out),
+        unit_code={
+            "a.py:f:1:5": "def f():\n    x = 1\n    return x",
+            "b.py:g:1:5": "def g():\n    y = 1\n    return y",
+        },
+    )
+    html = out.read_text()
+    assert "class='sbs'" in html  # side-by-side diff table present
+    assert "has-diff" in html
+    assert "x = 1" in html and "y = 1" in html
+    assert "rep" in html  # replace rows marked
+    # without unit_code: plain sortable table, no diff machinery
+    out2 = tmp_path / "r2.html"
+    reporting.write_html_report([finding], str(out2))
+    html2 = out2.read_text()
+    assert "<table class='sbs'>" not in html2
+    assert "class='f has-diff'" not in html2
+
+
+def test_side_by_side_rows_opcodes():
+    from clonehunter_ray.reporting import _side_by_side_rows
+
+    rows = _side_by_side_rows("a\nb\nc", "a\nx\nc\nd")
+    assert ("eq", "a", "a") in rows
+    assert ("rep", "b", "x") in rows
+    assert ("ins", "", "d") in rows
+
+
+def test_config_loader_accepts_expansion_group(tmp_path):
+    from clonehunter_ray.config_loader import load_config
+
+    (tmp_path / "pyproject.toml").write_text(
+        "[tool.clonehunter_ray.expansion]\nenabled = true\ndepth = 2\n"
+    )
+    cfg = load_config(str(tmp_path))
+    assert cfg.expansion.enabled and cfg.expansion.depth == 2
+    # CLI-style dotted override still wins
+    cfg2 = load_config(str(tmp_path), {"expansion.enabled": False})
+    assert not cfg2.expansion.enabled
+
+
+def test_config_skew_mode_validation():
+    from clonehunter_ray.config import SignatureConfig
+
+    SignatureConfig(skew_mode="full").validate()
+    with pytest.raises(ValueError):
+        SignatureConfig(skew_mode="bogus").validate()
+
+
+def test_multi_root_path_disambiguation(tmp_path):
+    """Two roots with identical relative paths must not collide in
+    unit identity (path-keyed, stages/extract.py:43)."""
+    from clonehunter_ray import sources
+
+    for root in ("left", "right"):
+        d = tmp_path / root / "src"
+        d.mkdir(parents=True)
+        (d / "a.py").write_text(f"def f_{root}():\n    return 1\n")
+    t = sources.files_from_directory(
+        [str(tmp_path / "left"), str(tmp_path / "right")]
+    )
+    paths = sorted(t["path"].to_pylist())
+    assert len(paths) == len(set(paths)) == 2
+    assert {p.split("/", 1)[0] for p in paths} == {"left", "right"}
+    assert sorted(set(t["repo"].to_pylist())) == ["left", "right"]
+
+
+def test_cli_json_report_stats_and_compare(ray_session, tmp_path):
+    """CLI JSON report embeds the engine stats/timing blocks and, with
+    --compare, per-finding unified diffs (reference json_reporter
+    compare block, reporting parity)."""
+    from clonehunter_ray import cli
+
+    code = (
+        "def alpha(n):\n"
+        "    total = 0\n"
+        "    for i in range(n):\n"
+        "        total += i * i\n"
+        "        total -= i\n"
+        "    return total\n"
+    )
+    src = tmp_path / "proj"
+    src.mkdir()
+    (src / "m1.py").write_text(code)
+    (src / "m2.py").write_text(code)  # verbatim clone across files
+    out = tmp_path / "report.json"
+    rc = cli.main(
+        ["scan", str(src), "--out", str(out), "--format", "json", "--compare"]
+    )
+    assert rc == 0
+    payload = json.loads(out.read_text())
+    assert payload["stats"]["finding_count"] >= 1
+    assert payload["stats"]["timing"]["total"] > 0
+    assert "lsh" in payload["stats"]
+    assert payload["stats"]["checkpoint"]
+    assert payload["timing"]  # top-level timing block
+    diffs = [f for f in payload["findings"] if "compare" in f]
+    assert diffs and "unified_diff" in diffs[0]["compare"]
