@@ -109,6 +109,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": Q.order_priority_counts,
         "events_value_range_join": Q.events_value_range_join,
         "events_rolling_7d": Q.events_rolling_7d,
+        "events_sessionization": Q.events_sessionization,
+        "customers_without_orders": Q.customers_without_orders,
+        "shipping_priority_revenue": Q.shipping_priority_revenue,
+        "token_vocabulary_topk": Q.token_vocabulary_topk,
+        "redact_numbers_documents": Q.redact_numbers_documents,
+        "stratified_sample_embeddings": Q.stratified_sample_embeddings,
+        "label_centroids": Q.label_centroids,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -335,6 +342,69 @@ def oracle_sql() -> dict[str, str]:
                        value
                 FROM events
             ) GROUP BY bucket_lo
+        """,
+        "events_sessionization": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "customers_without_orders": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c
+            LEFT JOIN (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            ) o ON c.c_custkey = o.o_custkey
+            WHERE o.o_custkey IS NULL
+        """,
+        "shipping_priority_revenue": """
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+              AND l.l_shipdate > DATE '1995-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+            LIMIT 10
+        """,
+        "redact_numbers_documents": """
+            SELECT doc_id,
+                   regexp_replace(text, '[0-9]+', '#', 'g') AS redacted
+            FROM documents WHERE doc_id < 500
+        """,
+        "stratified_sample_embeddings": """
+            SELECT label, vec_id FROM (
+                SELECT label, vec_id,
+                       row_number() OVER (
+                           PARTITION BY label ORDER BY vec_id
+                       ) AS rn
+                FROM embeddings
+            ) WHERE rn <= 20
+        """,
+        "token_vocabulary_topk": """
+            SELECT tok, count(*) AS n
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                         AS tok
+                FROM documents WHERE doc_id < 500
+            )
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 50
         """,
         "events_rolling_7d": """
             WITH daily AS (

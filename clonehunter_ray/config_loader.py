@@ -104,12 +104,47 @@ def _build_group(cls, section: dict, where: str):
     return cls(**kwargs)
 
 
+_ENV_PREFIX = "CLONEHUNTER_RAY_"
+
+
+def env_overrides(environ: dict[str, str] | None = None) -> dict[str, Any]:
+    """Environment-variable override layer (reference
+    cli/commands/overrides.py:6-42, the ``CLONEHUNTER_EMBEDDER=stub``
+    escape hatch): ``CLONEHUNTER_RAY_<GROUP>__<KEY>=value`` maps to the
+    dotted config key ``group.key``; values parse as bool/int/float
+    with string fallback. Precedence: pyproject < env < CLI."""
+    env = os.environ if environ is None else environ
+    out: dict[str, Any] = {}
+    for name, raw in env.items():
+        if not name.startswith(_ENV_PREFIX):
+            continue
+        dotted = name[len(_ENV_PREFIX):].lower().replace("__", ".")
+        low = raw.strip().lower()
+        value: Any
+        if low in ("true", "yes", "on"):
+            value = True
+        elif low in ("false", "no", "off"):
+            value = False
+        else:
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = raw
+        out[dotted] = value
+    return out
+
+
 def load_config(
     root: str | None = None,
     overrides: dict[str, Any] | None = None,
+    environ: dict[str, str] | None = None,
 ) -> EngineConfig:
-    """pyproject [tool.clonehunter_ray] merged with dotted-key
-    overrides (CLI wins); strict unknown-key validation."""
+    """pyproject [tool.clonehunter_ray] merged with env-var overrides
+    then dotted-key overrides (CLI wins); strict unknown-key
+    validation."""
     data: dict[str, Any] = {}
     if root:
         pp = os.path.join(root, "pyproject.toml")
@@ -118,8 +153,9 @@ def load_config(
                 raw = tomllib.load(fh)
             data = raw.get("tool", {}).get("clonehunter_ray", {}) or {}
 
-    # fold dotted overrides into the nested dict (CLI wins)
-    for dotted, value in (overrides or {}).items():
+    # fold dotted overrides into the nested dict: env first, CLI wins
+    merged = {**env_overrides(environ), **(overrides or {})}
+    for dotted, value in merged.items():
         if value is None:
             continue
         parts = dotted.split(".")

@@ -262,11 +262,23 @@ _POPCNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8
 # -- exact set similarity ---------------------------------------------------
 
 
+def intersect_size_sorted(a: np.ndarray, b: np.ndarray) -> int:
+    """|a ∩ b| for sorted-unique arrays via binary search of the
+    smaller in the larger — O(min·log max) in C, ~3x faster than the
+    concat+sort inside np.intersect1d for the few-hundred-element
+    shingle sets the verifier sees millions of."""
+    if len(a) < len(b):
+        a, b = b, a
+    idx = np.searchsorted(a, b)
+    idx[idx == len(a)] = len(a) - 1
+    return int((a[idx] == b).sum())
+
+
 def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-unique uint64 arrays."""
     if len(a) == 0 or len(b) == 0:
         return 0.0
-    inter = len(np.intersect1d(a, b, assume_unique=True))
+    inter = intersect_size_sorted(a, b)
     union = len(a) + len(b) - inter
     if union == 0:
         return 0.0

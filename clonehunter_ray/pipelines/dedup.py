@@ -91,35 +91,45 @@ def _emit_doc_pairs_partition(
     ids = partition["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((ids, keys))
     keys, ids = keys[order], ids[order]
+    if len(keys):
+        keep = np.concatenate(
+            [[True], (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
+        )
+        keys, ids = keys[keep], ids[keep]
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_c: list[bool] = []
+    c_full = int((1 + (1 + 8 * max_bucket_pairs_full) ** 0.5) // 2)
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    c_parts: list[np.ndarray] = []
+    # size-grouped vectorized emission (see candidates.py:
+    # emit_pairs_partition_indexed) — one gather per distinct bucket
+    # size, no Python loop over buckets
+    multi = counts >= 2
+    for c in np.unique(counts[multi & (counts <= c_full)]):
+        sel = starts[counts == c]
+        m = ids[sel[:, None] + np.arange(c)[None, :]]
+        ii, jj = np.triu_indices(int(c), k=1)
+        a_parts.append(m[:, ii].ravel())
+        b_parts.append(m[:, jj].ravel())
+        c_parts.append(np.zeros(m.shape[0] * len(ii), dtype=bool))
     n_capped = 0
     full_pairs_capped = 0
-    for s, c in zip(starts[counts > 1], counts[counts > 1]):
-        bucket = np.unique(ids[s : s + c])
+    for s, c in zip(starts[counts > c_full], counts[counts > c_full]):
+        bucket = ids[s : s + c]
         n = len(bucket)
-        if n < 2:
-            continue
-        if n * (n - 1) // 2 <= max_bucket_pairs_full:
-            ii, jj = np.triu_indices(n, k=1)
-            out_a.extend(bucket[ii].tolist())
-            out_b.extend(bucket[jj].tolist())
-            out_c.extend([False] * len(ii))
-        else:  # hub-spoke star + salted re-band under the cap
-            n_capped += 1
-            full_pairs_capped += n * (n - 1) // 2
-            before = len(out_a)
-            out_a.extend([int(bucket[0])] * (n - 1))
-            out_b.extend(bucket[1:].tolist())
-            if skew_mode == "salted":
-                sa, sb = salted_bucket_pairs_int(
-                    bucket, max_bucket_pairs_full, salt_rounds
-                )
-                out_a.extend(sa)
-                out_b.extend(sb)
-            out_c.extend([True] * (len(out_a) - before))
+        n_capped += 1
+        full_pairs_capped += n * (n - 1) // 2
+        a_parts.append(np.full(n - 1, bucket[0], dtype=np.int64))
+        b_parts.append(bucket[1:])
+        emitted = n - 1
+        if skew_mode == "salted":
+            sa, sb = salted_bucket_pairs_int(
+                bucket, max_bucket_pairs_full, salt_rounds
+            )
+            a_parts.append(np.asarray(sa, dtype=np.int64))
+            b_parts.append(np.asarray(sb, dtype=np.int64))
+            emitted += len(sa)
+        c_parts.append(np.ones(emitted, dtype=bool))
     if metrics is not None and n_capped:
         from clonehunter_ray.state.metrics import report_metrics
 
@@ -130,6 +140,9 @@ def _emit_doc_pairs_partition(
                 "lsh_capped_full_pairs": full_pairs_capped,
             },
         )
+    out_a = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=np.int64)
+    out_b = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=np.int64)
+    out_c = np.concatenate(c_parts) if c_parts else np.empty(0, dtype=bool)
     return pa.table(
         {
             "a_id": pa.array(out_a, pa.int64()),

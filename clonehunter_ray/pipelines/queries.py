@@ -73,13 +73,13 @@ def top_k_longest_docs(sf_dir: str, k: int = 20):
 def changed_scope_semijoin(sf_dir: str):
     """Broadcast semi-join: keep documents whose doc_id is in a small
     'changed' key set (diff-scope semantics, reference diff.py:62-68)."""
-    keys = frozenset(range(0, 100000, 37))
+    keys = np.arange(0, 100000, 37, dtype=np.int64)
     keys_ref = ray.put(keys)
 
     def _filter(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = [d in ks for d in batch["doc_id"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, ks), pa.bool_()))
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         _filter, batch_format="pyarrow"
@@ -90,10 +90,11 @@ def token_count_documents(sf_dir: str):
     """Token counting with the reference token alphabet."""
 
     def count(batch: pa.Table) -> pa.Table:
-        n = [len(H.TOKEN_RE.findall((t or "").lower())) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
-        )
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        n = pc.cast(pc.count_substring_regex(low, "[a-z0-9_]+"), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         count, batch_format="pyarrow"
@@ -105,21 +106,20 @@ def doc_quality_counts(sf_dir: str):
     derived client-side; integers hash exactly across engines)."""
 
     def metrics(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_alpha, n_digit, n_space, n_len = [], [], [], []
-        for t in texts:
-            t = t or ""
-            n_len.append(len(t))
-            n_alpha.append(sum(c.isalpha() and c.isascii() for c in t))
-            n_digit.append(sum(c.isdigit() and c.isascii() for c in t))
-            n_space.append(t.count(" "))
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch["text"], "")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_len": pa.array(n_len, pa.int64()),
-                "n_alpha": pa.array(n_alpha, pa.int64()),
-                "n_digit": pa.array(n_digit, pa.int64()),
-                "n_space": pa.array(n_space, pa.int64()),
+                "n_len": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_alpha": pc.cast(
+                    pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()
+                ),
+                "n_digit": pc.cast(
+                    pc.count_substring_regex(text, "[0-9]"), pa.int64()
+                ),
+                "n_space": pc.cast(pc.count_substring(text, " "), pa.int64()),
             }
         )
 
@@ -626,6 +626,254 @@ def events_value_range_join(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def events_sessionization(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (the classic streaming/window operator): split a
+    user's event stream into sessions at inactivity gaps > gap_minutes
+    and count sessions + events per user.
+
+    Ray shape: ONE hash shuffle co-partitions by user_id, then a
+    vectorized np.diff over the sorted timestamps inside each group.
+    Same partitioning assumption as the as-of join (a user's history
+    fits one group; salt by coarse time range + boundary pass at
+    extreme scale)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "n_events": np.array([len(ts)], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join done distributed: customers with no URGENT orders via
+    a LEFT OUTER hash join against the distinct urgent-order custkeys,
+    keeping the null-extended rows — no driver-side key set, both
+    sides stream through the partitioned join. (Scoped to URGENT
+    because the synthetic data gives every customer *some* order — an
+    unscoped anti-join is degenerately empty at every sf.)"""
+    from clonehunter_ray.util import safe_join_partitions
+
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        )
+        keys = np.unique(urgent["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+
+    dist = (
+        orders.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_o"))
+    )
+    nparts = safe_join_partitions(16)
+    joined = cust.join(
+        dist, "left_outer", nparts, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["n_o"])
+        return batch.filter(mask).select(["c_custkey", "c_name"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def shipping_priority_revenue(sf_dir: str, k: int = 10):
+    """TPC-H Q3 flavor: top-k open orders of BUILDING-segment customers
+    by pending revenue. Ray shape: the segment's custkeys broadcast as
+    a semi-join filter on orders (dimension side), lineitem
+    pre-aggregated per orderkey behind its date filter (combiner), one
+    partitioned hash join, tiny final groupby + sort-limit."""
+    from clonehunter_ray.util import safe_join_partitions
+
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+    )
+    bref = ray.put(building)
+
+    def orders_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(bref)
+        m = (batch["o_orderdate"] < cutoff) & np.isin(
+            batch["o_custkey"].to_numpy(), keys
+        )
+        out = batch.loc[m, ["o_orderkey", "o_orderdate"]].copy()
+        out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+        return out
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pandas")
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["l_shipdate"] > cutoff
+        b = batch.loc[m].assign(
+            rev=lambda d: d["l_extendedprice"] * (1 - d["l_discount"])
+        )
+        return b.groupby("l_orderkey", as_index=False).agg(v=("rev", "sum"))
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    nparts = safe_join_partitions(16)
+    joined = line.join(
+        orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("v", alias_name="v_sum")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].astype("int64"),
+                "o_orderdate": batch["o_orderdate"],
+                "revenue": batch["v_sum"].round(2),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pandas")
+        .sort(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
+def token_vocabulary_topk(sf_dir: str, k: int = 50, max_id: int = 500):
+    """Corpus vocabulary: top-k tokens by total occurrence count over
+    doc_id < max_id. Ray shape: per-batch Counter (combiner) shrinks
+    the shuffle to one (token, n) row per distinct token per batch;
+    groupby(token) sums; the global sort runs on the tiny vocab."""
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {max_id}"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(H.TOKEN_RE.findall((t or "").lower()))
+        return pa.table(
+            {
+                "tok": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n_sum"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tok": batch["tok"], "n": batch["n_sum"].astype("int64")}
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pandas")
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def redact_numbers_documents(sf_dir: str, max_id: int = 500):
+    """PII-scrub-style text transform: every digit run replaced with a
+    '#' placeholder — fully Arrow-vectorized
+    (pc.replace_substring_regex), the pattern for any regex-based
+    redaction/normalization pass over a 100 TB text column."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {max_id}"
+    )
+
+    def redact(batch: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(
+            pc.fill_null(batch["text"], ""), "[0-9]+", "#"
+        )
+        return pa.table({"doc_id": batch["doc_id"], "redacted": red})
+
+    return docs.map_batches(redact, batch_format="pyarrow")
+
+
+def stratified_sample_embeddings(sf_dir: str, per_label: int = 20):
+    """Deterministic stratified sample: the first ``per_label`` vec_ids
+    of every label (class-balanced subset selection — the shape of any
+    per-class quota pass over training data). One co-partitioning
+    shuffle by label, per-group vectorized head."""
+    ds = _read(sf_dir, "embeddings", ["label", "vec_id"])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").head(per_label)
+        return g[["label", "vec_id"]]
+
+    return ds.groupby("label").map_groups(head, batch_format="pandas")
+
+
+def label_centroids(sf_dir: str):
+    """Vector aggregate: mean embedding per label (class centroids for
+    ANN seeding / dataset cartography). Map-side partial vector sums
+    per batch (combiner), tiny final combine per label — the raw
+    vectors never shuffle. Rows-only check (list column output)."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in batch.groupby("label"):
+            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append(
+                {
+                    "label": label,
+                    "vec_sum": mat.sum(axis=0).tobytes(),
+                    "n": len(mat),
+                }
+            )
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "n"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        mats = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in g["vec_sum"]]
+        )
+        total = mats.sum(axis=0)
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "label": [g["label"].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "centroid": [np.round(total / n, 6).tolist()],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 def events_rolling_7d(sf_dir: str):

@@ -239,19 +239,26 @@ def _pairs_broadcast(
         dedupe_pairs_partition_indexed,
         emit_pairs_partition_indexed,
         explode_bands_indexed,
-        make_broadcast_handle,
+        make_split_broadcast_handles,
     )
 
-    # combine ONCE in a task: the combined table lands in plasma a
-    # single time and every worker maps it zero-copy (per-worker
-    # combining copied the payload into every worker heap)
-    ref = make_broadcast_handle(signatures, payload_cols, "snippet_id")
+    # combine ONCE in tasks: the combined tables land in plasma a
+    # single time and every worker maps them zero-copy (per-worker
+    # combining copied the payload into every worker heap). Split
+    # handles: the band explode + pre-gate only touch the LIGHT one,
+    # so the pipeline head never waits for the blob concatenation.
+    light_ref, ref = make_split_broadcast_handles(
+        signatures,
+        payload_cols,
+        ["snippet_id", "kind", "n_shingles", "n_tokens"],
+        "snippet_id",
+    )
 
     bands = (
         signatures.select_columns(["snippet_id", "band_keys"])
         .map_batches(
             explode_bands_indexed,
-            fn_kwargs={"index_ref": ref},
+            fn_kwargs={"index_ref": light_ref},
             batch_format="pyarrow",
         )
         .map_batches(
@@ -306,7 +313,7 @@ def _pairs_broadcast(
     deduped = deduped.map_batches(
         pre_gate_pairs_indexed,
         fn_kwargs={
-            "index_ref": ref,
+            "index_ref": light_ref,
             "gates": (th.func, th.win, th.exp),
             "lexical_weight": th.lexical_weight,
             "lexical_min_ratio": th.lexical_min_ratio,

@@ -43,11 +43,11 @@ def lsh_knn_cosine(
     vector lands in 1 bucket, each query probes its own bucket plus all
     1-bit-flip neighbors (multi-probe). Returns
     (query_id, vec_id, rank, cos5) like the brute-force baseline."""
-    wanted = set(query_ids)
+    wanted = np.asarray(sorted(query_ids), dtype=np.int64)
 
     def _pick(batch: pa.Table) -> pa.Table:
-        mask = [v in wanted for v in batch["vec_id"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, wanted), pa.bool_()))
 
     queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
     q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
@@ -117,11 +117,11 @@ def ivf_knn_cosine(
     ray.put, every corpus vector assigned to its nearest cell inside
     ``map_batches``, and each query scored only against vectors in its
     ``nprobe`` closest cells. Returns (query_id, vec_id, rank)."""
-    wanted = set(query_ids)
+    wanted = np.asarray(sorted(query_ids), dtype=np.int64)
 
     def _pick(batch: pa.Table) -> pa.Table:
-        mask = [v in wanted for v in batch["vec_id"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, wanted), pa.bool_()))
 
     queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
     q_ids = queries["vec_id"].to_numpy()
@@ -205,50 +205,80 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup pairs: hyperplane-LSH bucket groupby,
     exact cosine verification within buckets (a vector is assigned to
     its bucket and every 1-bit-flip neighbor so pairs within hamming 1
-    of each other collide)."""
-    def assign(batch: pa.Table) -> pa.Table:
+    of each other collide).
+
+    Shuffle shape: the bucket explode carries ONLY (bucket, vec_id) —
+    the normalized vectors stay in a plasma-resident broadcast table
+    (x(n_bits+1) bucket variants would otherwise multiply the vector
+    payload through the exchange); each bucket group attaches its rows
+    zero-copy and verifies with one Gram matmul."""
+    from clonehunter_ray.stages.candidates import (
+        get_broadcast_payload,
+        make_broadcast_handle,
+    )
+
+    def normalize(batch: pa.Table) -> pa.Table:
         mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         matn = mat / norms
-        planes = _hyperplanes(matn.shape[1], n_bits, seed)
-        buckets = _bucket_of(matn, planes)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        out_b, out_i, out_v = [], [], []
-        for row in range(len(ids)):
-            variants = [int(buckets[row])] + [
-                int(buckets[row]) ^ (1 << b) for b in range(n_bits)
-            ]
-            for v in variants:
-                out_b.append(v)
-                out_i.append(int(ids[row]))
-                out_v.append(matn[row].tobytes())
         return pa.table(
             {
-                "bucket": pa.array(out_b, pa.int64()),
-                "vec_id": pa.array(out_i, pa.int64()),
-                "vec": pa.array(out_v, pa.binary()),
+                "vec_id": batch["vec_id"],
+                "vecn": pa.array([r.tobytes() for r in matn], pa.binary()),
             }
         )
 
-    bands = emb_ds.map_batches(assign, batch_format="pyarrow")
+    norm = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        normalize, batch_format="pyarrow"
+    ).materialize()  # reused by the bucket shuffle AND the payload attach
+    handle = make_broadcast_handle(norm, ["vec_id", "vecn"], key_col="vec_id")
 
-    def emit(group: pa.Table) -> pa.Table:
-        """Gram-matrix verification: one matmul per bucket instead of a
-        Python loop over pairs."""
-        seen: dict[int, bytes] = {}
-        for i, v in zip(group["vec_id"].to_pylist(), group["vec"].to_pylist()):
-            seen.setdefault(i, v)
-        ids = np.asarray(sorted(seen), dtype=np.int64)
-        if len(ids) < 2:
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table(
                 {
-                    "a_id": pa.array([], pa.int64()),
-                    "b_id": pa.array([], pa.int64()),
-                    "cos5": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
                 }
             )
-        mat = np.stack([np.frombuffer(seen[i], dtype=np.float64) for i in ids])
+        matn = np.stack(
+            [np.frombuffer(v, dtype=np.float64) for v in batch["vecn"].to_pylist()]
+        )
+        planes = _hyperplanes(matn.shape[1], n_bits, seed)
+        buckets = _bucket_of(matn, planes)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        # each vector lands in its own bucket + every 1-bit flip
+        variants = np.empty((len(ids), n_bits + 1), dtype=np.int64)
+        variants[:, 0] = buckets
+        for b in range(n_bits):
+            variants[:, b + 1] = buckets ^ (1 << b)
+        return pa.table(
+            {
+                "bucket": pa.array(variants.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, n_bits + 1), pa.int64()),
+            }
+        )
+
+    bands = norm.map_batches(assign, batch_format="pyarrow")
+
+    _PAIRS_SCHEMA = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("cos5", pa.float64())]
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        """Gram-matrix verification: one matmul per bucket; vectors come
+        from the broadcast table (zero-copy plasma map)."""
+        ids = np.unique(
+            group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(ids) < 2:
+            return _PAIRS_SCHEMA.empty_table()
+        table, idx = get_broadcast_payload(handle)
+        blobs = table["vecn"]
+        mat = np.stack(
+            [np.frombuffer(blobs[idx[int(i)]].as_py(), dtype=np.float64) for i in ids]
+        )
         gram = mat @ mat.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = gram[iu, ju] >= threshold
@@ -257,7 +287,8 @@ def embedding_near_dup_pairs(
                 "a_id": pa.array(ids[iu[hit]], pa.int64()),
                 "b_id": pa.array(ids[ju[hit]], pa.int64()),
                 "cos5": pa.array(np.round(gram[iu[hit], ju[hit]], 5), pa.float64()),
-            }
+            },
+            schema=_PAIRS_SCHEMA,
         )
 
     pairs = bands.groupby("bucket").map_groups(emit, batch_format="pyarrow")
@@ -273,16 +304,18 @@ def embedding_near_dup_pairs(
         )
         return t.append_column("part", pa.array(part, pa.int64()))
 
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        out = (
+            t.select(["a_id", "b_id", "cos5"])
+            .to_pandas()
+            .drop_duplicates(["a_id", "b_id"])
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(_PAIRS_SCHEMA)
+
     return (
         pairs.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(
-            lambda t: pa.Table.from_pandas(
-                t.select(["a_id", "b_id", "cos5"])
-                .to_pandas()
-                .drop_duplicates(["a_id", "b_id"]),
-                preserve_index=False,
-            ),
-            batch_format="pyarrow",
-        )
+        .map_groups(dedupe, batch_format="pyarrow")
     )

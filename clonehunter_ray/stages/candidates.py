@@ -115,6 +115,8 @@ def _salted_bucket_pairs_str(
     n_sub = max(2, -(-n // m))
     out_a: list[str] = []
     out_b: list[str] = []
+    if n_sub > rounds:  # see salted_bucket_pairs_int: coverage ~R/B
+        return out_a, out_b
     for r in range(rounds):
         subs: dict[int, list[str]] = {}
         for sid in bucket_ids:
@@ -198,9 +200,11 @@ def emit_pairs_partition(
     )
 
 
-# one assembled broadcast payload per worker process, keyed by the
-# broadcast id (cleared when a new broadcast arrives)
+# assembled broadcast payloads per worker process, keyed by broadcast
+# id; bounded so a light (ids/sizes) and a heavy (full payload) handle
+# of the same run can coexist without thrashing re-assembly
 _PAYLOAD_CACHE: dict[str, tuple[pa.Table, dict]] = {}
+_PAYLOAD_CACHE_MAX = 4
 
 
 def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
@@ -212,7 +216,7 @@ def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
     chunk per call — neither per-worker strategy survives at scale."""
     if not tables:
         return pa.table({c: [] for c in cols})
-    return pa.concat_tables(list(tables)).combine_chunks()
+    return pa.concat_tables([t.select(list(cols)) for t in tables]).combine_chunks()
 
 
 def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):
@@ -225,10 +229,41 @@ def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):
     import ray
 
     block_refs = ds.select_columns(cols).to_arrow_refs()
-    combined_ref = ray.remote(num_cpus=1)(combine_payload_blocks).remote(
+    # num_cpus=0: the combiner is memory-bound and must not be starved
+    # behind the streaming executor's CPU reservation (observed: the
+    # attach stage stalled ~100 s waiting for a 1-CPU combine task)
+    combined_ref = ray.remote(num_cpus=0)(combine_payload_blocks).remote(
         tuple(cols), *block_refs
     )
     return (str(uuid.uuid4()), combined_ref, tuple(cols), key_col)
+
+
+def make_split_broadcast_handles(
+    ds, cols: list[str], light_cols: list[str], key_col: str = "snippet_id"
+):
+    """Two handles over the SAME blocks (row order identical by
+    construction): a LIGHT one (ids + the small pre-gate columns) that
+    combines in milliseconds so the pipeline head (band explode) never
+    waits on blob concatenation, and the HEAVY full-payload one whose
+    combine overlaps the band shuffle and is only awaited by the late
+    payload-attach stage. Measured at 60k files: a single combined
+    handle stalled the first task of every verify-chain worker ~10 s
+    (103 s of UDF wall across the operator)."""
+    import uuid
+
+    import ray
+
+    block_refs = ds.select_columns(cols).to_arrow_refs()
+    light_ref = ray.remote(num_cpus=0)(combine_payload_blocks).remote(
+        tuple(light_cols), *block_refs
+    )
+    heavy_ref = ray.remote(num_cpus=0)(combine_payload_blocks).remote(
+        tuple(cols), *block_refs
+    )
+    return (
+        (str(uuid.uuid4()), light_ref, tuple(light_cols), key_col),
+        (str(uuid.uuid4()), heavy_ref, tuple(cols), key_col),
+    )
 
 
 def get_broadcast_payload(ref) -> tuple[pa.Table, dict]:
@@ -245,7 +280,8 @@ def get_broadcast_payload(ref) -> tuple[pa.Table, dict]:
         index = {
             sid: i for i, sid in enumerate(payload[key_col].to_pylist())
         }
-        _PAYLOAD_CACHE.clear()
+        while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
+            _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
         _PAYLOAD_CACHE[key] = (payload, index)
     return _PAYLOAD_CACHE[key]
 
@@ -359,9 +395,16 @@ def salted_bucket_pairs_int(
     n = len(bucket)
     m = max(2, int((2 * cap) ** 0.5))  # sub-bucket size target
     n_sub = max(2, -(-n // m))
-    ids_u = bucket.astype(np.uint64)
     out_a: list[int] = []
     out_b: list[int] = []
+    if n_sub > rounds:
+        # pathological mega-bucket (boilerplate): pair coverage after R
+        # rounds is ~R/B which is negligible here, so the emissions
+        # would be pure cost — star-only, with the loss accounted in
+        # lsh_capped_full_pairs (measured: 29 such buckets at 60k files
+        # emitted ~1M salted pairs for 17% coverage of junk pairs)
+        return out_a, out_b
+    ids_u = bucket.astype(np.uint64)
     for r in range(rounds):
         salt = np.uint64((salt_seed + r * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
         sub = (_mix64(ids_u ^ salt) % np.uint64(n_sub)).astype(np.int64)
@@ -397,39 +440,53 @@ def emit_pairs_partition_indexed(
     sids = partition["sid"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((sids, keys))
     keys, sids = keys[order], sids[order]
+    if len(keys):
+        # drop duplicate (key, sid) rows so run length == member count
+        keep = np.concatenate(
+            [[True], (keys[1:] != keys[:-1]) | (sids[1:] != sids[:-1])]
+        )
+        keys, sids = keys[keep], sids[keep]
     _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_c: list[bool] = []
-    n_buckets = 0
+    # members allowed for full emission: c(c-1)/2 <= cap
+    c_full = int((1 + (1 + 8 * max_bucket_pairs_full) ** 0.5) // 2)
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    c_parts: list[np.ndarray] = []
+    # same-size buckets share one triu pattern: ONE gather + fancy
+    # index per distinct size instead of a Python loop over millions of
+    # buckets (measured 49 s of UDF CPU at 60k files the loop way)
+    multi = counts >= 2
+    n_buckets = int(multi.sum())
+    for c in np.unique(counts[multi & (counts <= c_full)]):
+        sel = starts[counts == c]
+        m = sids[sel[:, None] + np.arange(c)[None, :]]  # (k, c) members
+        ii, jj = np.triu_indices(int(c), k=1)
+        a_parts.append(m[:, ii].ravel())
+        b_parts.append(m[:, jj].ravel())
+        c_parts.append(np.zeros(m.shape[0] * len(ii), dtype=bool))
+    # hot buckets (rare): hub-spoke star + optional salted re-band
     n_capped = 0
     full_pairs_capped = 0
     emitted_capped = 0
-    for s, c in zip(starts[counts > 1], counts[counts > 1]):
-        bucket = np.unique(sids[s : s + c])
+    for s, c in zip(starts[counts > c_full], counts[counts > c_full]):
+        bucket = sids[s : s + c]
         n = len(bucket)
-        if n < 2:
-            continue
-        n_buckets += 1
-        if n * (n - 1) // 2 <= max_bucket_pairs_full:
-            ii, jj = np.triu_indices(n, k=1)
-            out_a.extend(bucket[ii].tolist())
-            out_b.extend(bucket[jj].tolist())
-            out_c.extend([False] * len(ii))
-        else:  # hub-spoke star keeps the clone family connected
-            n_capped += 1
-            full_pairs_capped += n * (n - 1) // 2
-            before = len(out_a)
-            out_a.extend([int(bucket[0])] * (n - 1))
-            out_b.extend(bucket[1:].tolist())
-            if skew_mode == "salted":
-                sa, sb = salted_bucket_pairs_int(
-                    bucket, max_bucket_pairs_full, salt_rounds
-                )
-                out_a.extend(sa)
-                out_b.extend(sb)
-            emitted_capped += len(out_a) - before
-            out_c.extend([True] * (len(out_a) - before))
+        n_capped += 1
+        full_pairs_capped += n * (n - 1) // 2
+        star_a = np.full(n - 1, bucket[0], dtype=np.int64)
+        star_b = bucket[1:]
+        emitted = n - 1
+        a_parts.append(star_a)
+        b_parts.append(star_b)
+        if skew_mode == "salted":
+            sa, sb = salted_bucket_pairs_int(
+                bucket, max_bucket_pairs_full, salt_rounds
+            )
+            a_parts.append(np.asarray(sa, dtype=np.int64))
+            b_parts.append(np.asarray(sb, dtype=np.int64))
+            emitted += len(sa)
+        emitted_capped += emitted
+        c_parts.append(np.ones(emitted, dtype=bool))
     if metrics is not None and n_buckets:
         from clonehunter_ray.state.metrics import report_metrics
 
@@ -442,10 +499,13 @@ def emit_pairs_partition_indexed(
                 "lsh_capped_emitted_pairs": emitted_capped,
             },
         )
+    out_a = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=np.int64)
+    out_b = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=np.int64)
+    out_c = np.concatenate(c_parts) if c_parts else np.empty(0, dtype=bool)
     return pa.table(
         {
-            "a_sid": pa.array(out_a, pa.int32()),
-            "b_sid": pa.array(out_b, pa.int32()),
+            "a_sid": pa.array(out_a.astype(np.int32), pa.int32()),
+            "b_sid": pa.array(out_b.astype(np.int32), pa.int32()),
             "capped": pa.array(out_c, pa.bool_()),
         }
     )

@@ -154,6 +154,50 @@ class RepoSymbolTable:
         unit = fs.functions.get(name)
         return (fs, unit) if unit else None
 
+    @staticmethod
+    def _infer_return_class(func_node: ast.AST) -> str | None:
+        """Factory-return inference (reference _infer_return_class,
+        snippets/expansion.py:484-501): a function whose ``return`` is
+        ``Cls(...)`` (or a bare ``Cls``) yields that class name."""
+        for node in ast.walk(func_node):
+            if isinstance(node, ast.Return) and node.value is not None:
+                v = node.value
+                if isinstance(v, ast.Call) and isinstance(v.func, ast.Name):
+                    return v.func.id
+                if isinstance(v, ast.Name):
+                    return v.id
+        return None
+
+    def _factory_method(
+        self, fs: _FileSymbols, fname: str, attr: str
+    ) -> tuple[_FileSymbols, dict] | None:
+        """``obj = make_thing(); obj.m()`` / ``make_thing().m()`` —
+        resolve the factory, infer its return class, look the method up
+        in the factory's own module (or what it imports)."""
+        target: tuple[_FileSymbols, dict] | None = None
+        if fname in fs.functions:
+            target = (fs, fs.functions[fname])
+        elif fname in fs.import_names:
+            mod, orig = fs.import_names[fname]
+            target = self._module_func(mod, orig)
+        if target is None:
+            return None
+        target_fs, func = target
+        rcls = self._infer_return_class(func["node"])
+        if not rcls:
+            return None
+        q = target_fs.classes.get(rcls, {}).get(attr)
+        if q:
+            return target_fs, target_fs.functions[q]
+        if rcls in target_fs.import_names:
+            mod, orig = target_fs.import_names[rcls]
+            t2 = self.by_module.get(mod)
+            if t2:
+                q2 = t2.classes.get(orig, {}).get(attr)
+                if q2:
+                    return t2, t2.functions[q2]
+        return None
+
     def resolve_call(
         self, call: ast.Call, fs: _FileSymbols, enclosing: str
     ) -> tuple[_FileSymbols, dict] | None:
@@ -180,18 +224,20 @@ class RepoSymbolTable:
                         return fs, fs.functions[q]
                     return None
                 if base in fs.var_classes:  # obj = Cls(); obj.m()
-                    q = fs.classes.get(fs.var_classes[base], {}).get(attr)
+                    bound = fs.var_classes[base]
+                    q = fs.classes.get(bound, {}).get(attr)
                     if q:
                         return fs, fs.functions[q]
                     # imported class instance
-                    if fs.var_classes[base] in fs.import_names:
-                        mod, cname = fs.import_names[fs.var_classes[base]]
+                    if bound in fs.import_names:
+                        mod, cname = fs.import_names[bound]
                         target = self.by_module.get(mod)
                         if target:
                             q2 = target.classes.get(cname, {}).get(attr)
                             if q2:
                                 return target, target.functions[q2]
-                    return None
+                    # obj = make_thing(); obj.m() — factory return
+                    return self._factory_method(fs, bound, attr)
                 if base in fs.import_modules:  # mod.f()
                     return self._module_func(fs.import_modules[base], attr)
                 if base in fs.classes:  # Cls.m() (static-ish)
@@ -213,6 +259,8 @@ class RepoSymbolTable:
                         q = target.classes.get(orig, {}).get(attr)
                         if q:
                             return target, target.functions[q]
+                # make_thing().m() — factory return chain
+                return self._factory_method(fs, cname, attr)
         return None
 
 

@@ -71,6 +71,15 @@ def _overlap_len(a_start: int, a_end: int, b_start: int, b_end: int) -> int:
     return 0 if start > end else end - start + 1
 
 
+def _kind_gates(batch: pa.Table, col: str, thresholds: Thresholds) -> np.ndarray:
+    k = np.asarray(batch[col].to_pylist(), dtype=object)
+    return np.where(
+        k == "FUNC",
+        thresholds.func,
+        np.where(k == "WIN", thresholds.win, thresholds.exp),
+    ).astype(np.float64)
+
+
 def verify_pairs_batch(
     batch: pa.Table,
     thresholds: Thresholds,
@@ -78,145 +87,213 @@ def verify_pairs_batch(
 ) -> pa.Table:
     """Joined candidate batch -> verified pair rows (canonical sides).
 
-    When ``substring`` is enabled, pairs failing the composite gate but
-    with shingle Jaccard >= ``substring.floor`` get a suffix-array LCS
+    Three phases, sized to the candidate funnel (measured at 60k files:
+    110k candidates -> 23k accepted): (1) structural filters + size
+    upper-bound gates fully vectorized on numeric/length columns, (2)
+    exact Jaccard/lexical per surviving row (binary-search set
+    intersection — the only inherently per-pair work), (3) output
+    assembly via ``take`` + vectorized side canonicalization. When
+    ``substring`` is enabled, pairs failing the composite gate but with
+    shingle Jaccard >= ``substring.floor`` get a suffix-array LCS
     rescue over the carried ``token_seq`` columns
     (functions/substring.py).
     """
-    cols = {name: [] for name in PAIRS_SCHEMA.names}
+    import pyarrow.compute as pc
+
     n = batch.num_rows
     if n == 0:
-        return pa.Table.from_pydict(cols, schema=PAIRS_SCHEMA)
+        return PAIRS_SCHEMA.empty_table()
     substr_on = (
         substring is not None
         and substring.enabled
         and "a_token_seq" in batch.column_names
     )
 
-    # one C-level to_pylist per column — per-scalar .as_py() costs tens
-    # of microseconds and this stage sees millions of candidate rows
-    col = {c: batch[c].to_pylist() for c in batch.column_names}
+    # ---- phase 1: vectorized structural + upper-bound gates ----------
+    num = lambda c: batch[c].to_numpy(zero_copy_only=False)  # noqa: E731
+    a_s, a_e = num("a_start_line"), num("a_end_line")
+    b_s, b_e = num("b_start_line"), num("b_end_line")
+    ua_s, ua_e = num("a_unit_start"), num("a_unit_end")
+    ub_s, ub_e = num("b_unit_start"), num("b_unit_end")
+    unit_eq = pc.equal(batch["a_unit_id"], batch["b_unit_id"]).to_numpy(
+        zero_copy_only=False
+    )
+    path_eq = pc.equal(batch["a_path"], batch["b_path"]).to_numpy(
+        zero_copy_only=False
+    )
+    ov_snip = np.maximum(a_s, b_s) <= np.minimum(a_e, b_e)
+    ov_unit = np.maximum(ua_s, ub_s) <= np.minimum(ua_e, ub_e)
+    # structural filters (reference rollup.py:86-120): self-pairs with
+    # overlapping snippet spans; same-file distinct units overlapping
+    keep = ~(unit_eq & ov_snip) & ~(~unit_eq & path_eq & ov_unit)
 
-    def val(name, i, _col=col):
-        return _col[name][i]
-
-    a_shingles = col["a_shingles"]
-    b_shingles = col["b_shingles"]
-    a_tokens = col["a_tokens"]
-    b_tokens = col["b_tokens"]
-
-    for i, (unit_a, unit_b, a_s, a_e, b_s, b_e, path_a, path_b,
-            ua_s, ua_e, ub_s, ub_e) in enumerate(
-        zip(
-            col["a_unit_id"], col["b_unit_id"],
-            col["a_start_line"], col["a_end_line"],
-            col["b_start_line"], col["b_end_line"],
-            col["a_path"], col["b_path"],
-            col["a_unit_start"], col["a_unit_end"],
-            col["b_unit_start"], col["b_unit_end"],
+    # size-ratio upper bounds: jaccard <= min(|A|,|B|)/max(|A|,|B|)
+    sz_a = pc.binary_length(batch["a_shingles"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64) / 8.0
+    sz_b = pc.binary_length(batch["b_shingles"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64) / 8.0
+    tsz_a = pc.binary_length(batch["a_tokens"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64) / 8.0
+    tsz_b = pc.binary_length(batch["b_tokens"]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64) / 8.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac_ub = np.where(
+            (sz_a > 0) & (sz_b > 0),
+            np.minimum(sz_a, sz_b) / np.maximum(sz_a, sz_b),
+            0.0,
         )
-    ):
-        # structural filters (reference rollup.py:86-120)
-        if unit_a == unit_b:
-            if _overlap_len(a_s, a_e, b_s, b_e):
-                continue
-        elif path_a == path_b and _overlap_len(ua_s, ua_e, ub_s, ub_e):
-            continue
-
-        blob_a, blob_b = a_shingles[i], b_shingles[i]
-        kind_a, kind_b = col["a_kind"][i], col["b_kind"][i]
-        gate = min(thresholds.for_kind(kind_a), thresholds.for_kind(kind_b))
-        # size-ratio pre-gate: |A∩B| <= min(|A|,|B|), |A∪B| >= max, so
-        # jaccard <= min/max — pairs whose UPPER BOUNDS can't clear any
-        # gate are dropped without decoding the arrays (candidate
-        # volume is millions of rows; survivors are thousands)
-        sz_a, sz_b = len(blob_a) >> 3, len(blob_b) >> 3
-        jac_ub = (min(sz_a, sz_b) / max(sz_a, sz_b)) if sz_a and sz_b else 0.0
-        tsz_a, tsz_b = len(a_tokens[i]) >> 3, len(b_tokens[i]) >> 3
-        lex_ub = (min(tsz_a, tsz_b) / max(tsz_a, tsz_b)) if tsz_a and tsz_b else 0.0
-        if thresholds.lexical_min_ratio > 0 and lex_ub < thresholds.lexical_min_ratio:
-            continue
-        comp_ub = (1.0 - thresholds.lexical_weight) * jac_ub + (
-            thresholds.lexical_weight * lex_ub
+        lex_ub = np.where(
+            (tsz_a > 0) & (tsz_b > 0),
+            np.minimum(tsz_a, tsz_b) / np.maximum(tsz_a, tsz_b),
+            0.0,
         )
-        if comp_ub < gate and not (substr_on and jac_ub >= substring.floor):
-            continue
+    gate = np.minimum(
+        _kind_gates(batch, "a_kind", thresholds),
+        _kind_gates(batch, "b_kind", thresholds),
+    )
+    if thresholds.lexical_min_ratio > 0:
+        keep &= lex_ub >= thresholds.lexical_min_ratio
+    comp_ub = (1.0 - thresholds.lexical_weight) * jac_ub + (
+        thresholds.lexical_weight * lex_ub
+    )
+    pass_ub = comp_ub >= gate
+    if substr_on:
+        pass_ub |= jac_ub >= substring.floor
+    keep &= pass_ub
 
-        if blob_a == blob_b:  # exact-duplicate fast path (huge families)
-            jac = 1.0
-        else:
-            sa = np.frombuffer(blob_a, dtype=np.uint64)
-            sb = np.frombuffer(blob_b, dtype=np.uint64)
-            jac = jaccard_sorted(sa, sb)
-        tb_a, tb_b = a_tokens[i], b_tokens[i]
-        if tb_a == tb_b:
-            lex = 1.0
-        else:
-            ta = np.frombuffer(tb_a, dtype=np.uint64)
-            tb = np.frombuffer(tb_b, dtype=np.uint64)
-            lex = jaccard_sorted(ta, tb)
-        if thresholds.lexical_min_ratio > 0 and lex < thresholds.lexical_min_ratio:
-            continue
-        composite = (1.0 - thresholds.lexical_weight) * jac + (
-            thresholds.lexical_weight * lex
-        )
-        substr = 0.0
-        if composite < gate:
-            if not (substr_on and jac >= substring.floor):
-                continue
-            seq_a = np.frombuffer(val("a_token_seq", i), dtype=np.uint64)
-            seq_b = np.frombuffer(val("b_token_seq", i), dtype=np.uint64)
-            substr = lcs_ratio(seq_a, seq_b)
-            if substr < substring.min_ratio:
-                continue
+    sub = batch.take(pa.array(np.flatnonzero(keep), pa.int64()))
+    m = sub.num_rows
+    if m == 0:
+        return PAIRS_SCHEMA.empty_table()
 
-        # canonical side order by (unit_id, start, end) — replaces the
-        # reference's list-order dependence (rollup.py:45-62) with an
-        # order-free canonical form for distributed determinism.
-        a_key = (unit_a, a_s, a_e)
-        b_key = (unit_b, b_s, b_e)
-        if a_key > b_key:
-            unit_a, unit_b = unit_b, unit_a
-            a_s, b_s = b_s, a_s
-            a_e, b_e = b_e, a_e
-            path_a, path_b = path_b, path_a
-            ua_s, ub_s = ub_s, ua_s
-            ua_e, ub_e = ub_e, ua_e
-            kind_a, kind_b = kind_b, kind_a
-            ida, idb = val("b_id", i), val("a_id", i)
-            qa, qb = val("b_qualified_name", i), val("a_qualified_name", i)
-        else:
-            ida, idb = val("a_id", i), val("b_id", i)
-            qa, qb = val("a_qualified_name", i), val("b_qualified_name", i)
+    # ---- phase 2: exact set similarity on survivors ------------------
+    sh_eq = pc.equal(sub["a_shingles"], sub["b_shingles"]).to_numpy(
+        zero_copy_only=False
+    )
+    tk_eq = pc.equal(sub["a_tokens"], sub["b_tokens"]).to_numpy(
+        zero_copy_only=False
+    )
+    a_sh = sub["a_shingles"].to_pylist()
+    b_sh = sub["b_shingles"].to_pylist()
+    a_tk = sub["a_tokens"].to_pylist()
+    b_tk = sub["b_tokens"].to_pylist()
+    jac = np.ones(m, dtype=np.float64)
+    lex = np.ones(m, dtype=np.float64)
+    for i in np.flatnonzero(~sh_eq):
+        jac[i] = jaccard_sorted(
+            np.frombuffer(a_sh[i], dtype=np.uint64),
+            np.frombuffer(b_sh[i], dtype=np.uint64),
+        )
+    for i in np.flatnonzero(~tk_eq):
+        lex[i] = jaccard_sorted(
+            np.frombuffer(a_tk[i], dtype=np.uint64),
+            np.frombuffer(b_tk[i], dtype=np.uint64),
+        )
+    composite = (1.0 - thresholds.lexical_weight) * jac + (
+        thresholds.lexical_weight * lex
+    )
+    gate2 = gate[keep]
+    ok = composite >= gate2
+    if thresholds.lexical_min_ratio > 0:
+        lex_ok = lex >= thresholds.lexical_min_ratio
+    else:
+        lex_ok = np.ones(m, dtype=bool)
+    substr = np.zeros(m, dtype=np.float64)
+    if substr_on:
+        seq_a = sub["a_token_seq"].to_pylist()
+        seq_b = sub["b_token_seq"].to_pylist()
+        for i in np.flatnonzero(~ok & lex_ok & (jac >= substring.floor)):
+            r = lcs_ratio(
+                np.frombuffer(seq_a[i], dtype=np.uint64),
+                np.frombuffer(seq_b[i], dtype=np.uint64),
+            )
+            if r >= substring.min_ratio:
+                substr[i] = r
+                ok[i] = True
+    ok &= lex_ok
 
-        pair_key = (
-            f"{unit_a}||{unit_b}" if unit_a <= unit_b else f"{unit_b}||{unit_a}"
+    sub2 = sub.take(pa.array(np.flatnonzero(ok), pa.int64()))
+    if sub2.num_rows == 0:
+        return PAIRS_SCHEMA.empty_table()
+    jac2, lex2 = jac[ok], lex[ok]
+    comp2, substr2 = composite[ok], substr[ok]
+
+    # ---- phase 3: canonical side order + output assembly -------------
+    # canonical side order by (unit_id, start, end) — replaces the
+    # reference's list-order dependence (rollup.py:45-62) with an
+    # order-free canonical form for distributed determinism.
+    ua = np.asarray(sub2["a_unit_id"].to_pylist(), dtype=object)
+    ub = np.asarray(sub2["b_unit_id"].to_pylist(), dtype=object)
+    s_a, e_a = (
+        sub2["a_start_line"].to_numpy(zero_copy_only=False),
+        sub2["a_end_line"].to_numpy(zero_copy_only=False),
+    )
+    s_b, e_b = (
+        sub2["b_start_line"].to_numpy(zero_copy_only=False),
+        sub2["b_end_line"].to_numpy(zero_copy_only=False),
+    )
+    swap = (ua > ub) | ((ua == ub) & ((s_a > s_b) | ((s_a == s_b) & (e_a > e_b))))
+    swap_arr = pa.array(swap, pa.bool_())
+
+    def pick(a_col: str, b_col: str):
+        return (
+            pc.if_else(swap_arr, sub2[b_col], sub2[a_col]),
+            pc.if_else(swap_arr, sub2[a_col], sub2[b_col]),
         )
-        cols["pair_key"].append(pair_key)
-        cols["a_id"].append(ida)
-        cols["b_id"].append(idb)
-        cols["unit_a"].append(unit_a)
-        cols["unit_b"].append(unit_b)
-        cols["kind_a"].append(kind_a)
-        cols["kind_b"].append(kind_b)
-        cols["path_a"].append(path_a)
-        cols["path_b"].append(path_b)
-        cols["qual_a"].append(qa)
-        cols["qual_b"].append(qb)
-        cols["ua_start"].append(ua_s)
-        cols["ua_end"].append(ua_e)
-        cols["ub_start"].append(ub_s)
-        cols["ub_end"].append(ub_e)
-        cols["a_start"].append(a_s)
-        cols["a_end"].append(a_e)
-        cols["b_start"].append(b_s)
-        cols["b_end"].append(b_e)
-        cols["jaccard"].append(jac)
-        cols["lexical"].append(lex)
-        cols["composite"].append(composite)
-        cols["substr_ratio"].append(substr)
-        tag = f"|substr={substr:.3f}" if substr else ""
-        cols["evidence"].append(
-            f"{kind_a}->{kind_b}|jac={jac:.3f}|lex={lex:.3f}|comp={composite:.3f}{tag}"
+
+    unit_a_c, unit_b_c = pick("a_unit_id", "b_unit_id")
+    id_a_c, id_b_c = pick("a_id", "b_id")
+    kind_a_c, kind_b_c = pick("a_kind", "b_kind")
+    path_a_c, path_b_c = pick("a_path", "b_path")
+    qual_a_c, qual_b_c = pick("a_qualified_name", "b_qualified_name")
+    uas_c, ubs_c = pick("a_unit_start", "b_unit_start")
+    uae_c, ube_c = pick("a_unit_end", "b_unit_end")
+    as_c, bs_c = pick("a_start_line", "b_start_line")
+    ae_c, be_c = pick("a_end_line", "b_end_line")
+
+    pair_key = pc.binary_join_element_wise(
+        pc.cast(unit_a_c, pa.string()), pc.cast(unit_b_c, pa.string()), "||"
+    )
+    ka = kind_a_c.to_pylist()
+    kb = kind_b_c.to_pylist()
+    evidence = [
+        (
+            f"{ka[i]}->{kb[i]}|jac={jac2[i]:.3f}|lex={lex2[i]:.3f}"
+            f"|comp={comp2[i]:.3f}"
+            + (f"|substr={substr2[i]:.3f}" if substr2[i] else "")
         )
-    return pa.Table.from_pydict(cols, schema=PAIRS_SCHEMA)
+        for i in range(sub2.num_rows)
+    ]
+    return pa.Table.from_arrays(
+        [
+            pair_key,
+            id_a_c,
+            id_b_c,
+            unit_a_c,
+            unit_b_c,
+            kind_a_c,
+            kind_b_c,
+            path_a_c,
+            path_b_c,
+            qual_a_c,
+            qual_b_c,
+            pc.cast(uas_c, pa.int32()),
+            pc.cast(uae_c, pa.int32()),
+            pc.cast(ubs_c, pa.int32()),
+            pc.cast(ube_c, pa.int32()),
+            pc.cast(as_c, pa.int32()),
+            pc.cast(ae_c, pa.int32()),
+            pc.cast(bs_c, pa.int32()),
+            pc.cast(be_c, pa.int32()),
+            pa.array(jac2, pa.float64()),
+            pa.array(lex2, pa.float64()),
+            pa.array(comp2, pa.float64()),
+            pa.array(substr2, pa.float64()),
+            pa.array(evidence, pa.string()),
+        ],
+        schema=PAIRS_SCHEMA,
+    )

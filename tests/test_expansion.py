@@ -153,3 +153,85 @@ def test_scan_pipeline_with_expansion(ray_session):
     # the two callers are near-identical after expansion
     pairs = {(r.unit_a.split(":")[0], r.unit_b.split(":")[0]) for r in f.itertuples()}
     assert any({a, b} == {"a.py", "b.py"} for a, b in pairs)
+
+
+def test_factory_return_inference_local():
+    """obj = make_thing(); obj.m() — resolved via the factory's return
+    class (reference snippets/expansion.py:484-501)."""
+    src = (
+        "class Thing:\n"
+        "    def work(self):\n"
+        "        return 42\n"
+        "\n"
+        "def make_thing():\n"
+        "    return Thing()\n"
+        "\n"
+        "def use():\n"
+        "    obj = make_thing()\n"
+        "    return obj.work()\n"
+    )
+    out = expand_repo_group(_files([("m.py", src)]))
+    by_qual = {r["qualified_name"]: r for r in out.to_pylist()}
+    assert "use" in by_qual
+    assert "def work" in by_qual["use"]["text"]
+
+
+def test_factory_return_inference_direct_chain():
+    """make_thing().m() without a variable binding."""
+    src = (
+        "class Gadget:\n"
+        "    def spin(self):\n"
+        "        return 1\n"
+        "\n"
+        "def build():\n"
+        "    return Gadget()\n"
+        "\n"
+        "def go():\n"
+        "    return build().spin()\n"
+    )
+    out = expand_repo_group(_files([("m.py", src)]))
+    by_qual = {r["qualified_name"]: r for r in out.to_pylist()}
+    assert "go" in by_qual
+    assert "def spin" in by_qual["go"]["text"]
+
+
+def test_factory_return_inference_cross_module():
+    """Imported factory returning a class from ITS module."""
+    widgets = (
+        "class Widget:\n"
+        "    def render(self):\n"
+        "        return 'w'\n"
+        "\n"
+        "def new_widget():\n"
+        "    return Widget()\n"
+    )
+    main = (
+        "from widgets import new_widget\n"
+        "\n"
+        "def page():\n"
+        "    w = new_widget()\n"
+        "    return w.render()\n"
+    )
+    out = expand_repo_group(_files([("widgets.py", widgets), ("main.py", main)]))
+    by_qual = {
+        (r["path"], r["qualified_name"]): r for r in out.to_pylist()
+    }
+    assert ("main.py", "page") in by_qual
+    assert "def render" in by_qual[("main.py", "page")]["text"]
+
+
+def test_scan_code_expansion_row_content_pin(ray_session):
+    """Oracle-style pin: the expansion scan's finding rows are
+    deterministic across runs (same pair set), not just the same count."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as E
+
+    def pairs(res):
+        df = res.to_pandas()
+        return sorted(zip(df["unit_a"], df["unit_b"], df["score"].round(6)))
+
+    first = pairs(E._scan_code_expansion("/root/testdata/sf0.001"))
+    second = pairs(E._scan_code_expansion("/root/testdata/sf0.001"))
+    assert first and first == second

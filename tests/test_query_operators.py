@@ -141,3 +141,144 @@ def test_filtered_rollup_matches_duckdb(ray_session, con):
         GROUP BY o_orderpriority
         """,
     )
+
+
+@pytest.fixture(scope="module")
+def con2():
+    c = duckdb.connect()
+    for t in ["events", "orders", "customer", "lineitem", "documents"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def test_sessionization_matches_duckdb(ray_session, con2):
+    _check(
+        Q.events_sessionization(SF_DIR),
+        con2,
+        """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+        """,
+    )
+
+
+def test_anti_join_matches_duckdb(ray_session, con2):
+    _check(
+        Q.customers_without_orders(SF_DIR),
+        con2,
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        LEFT JOIN (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ) o ON c.c_custkey = o.o_custkey
+        WHERE o.o_custkey IS NULL
+        """,
+    )
+
+
+def test_shipping_priority_matches_duckdb(ray_session, con2):
+    _check(
+        Q.shipping_priority_revenue(SF_DIR),
+        con2,
+        """
+        SELECT l.l_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+        LIMIT 10
+        """,
+    )
+
+
+def test_vocabulary_topk_matches_duckdb(ray_session, con2):
+    _check(
+        Q.token_vocabulary_topk(SF_DIR),
+        con2,
+        """
+        SELECT tok, count(*) AS n
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents WHERE doc_id < 500
+        )
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 50
+        """,
+    )
+
+
+@pytest.fixture(scope="module")
+def con3():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def test_redaction_matches_duckdb(ray_session, con3):
+    _check(
+        Q.redact_numbers_documents(SF_DIR),
+        con3,
+        """
+        SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted
+        FROM documents WHERE doc_id < 500
+        """,
+    )
+
+
+def test_stratified_sample_matches_duckdb(ray_session, con3):
+    _check(
+        Q.stratified_sample_embeddings(SF_DIR),
+        con3,
+        """
+        SELECT label, vec_id FROM (
+            SELECT label, vec_id,
+                   row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= 20
+        """,
+    )
+
+
+def test_label_centroids_shape(ray_session):
+    import numpy as np
+
+    df = Q.label_centroids(SF_DIR).to_pandas()
+    assert len(df) >= 1
+    assert set(df.columns) == {"label", "n", "centroid"}
+    assert int(df["n"].sum()) > 0
+    dim = len(df["centroid"].iloc[0])
+    assert all(len(c) == dim for c in df["centroid"])
+    # centroid of a label equals the brute-force mean for that label
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    lab = df["label"].iloc[0]
+    want = np.stack(
+        raw.loc[raw["label"] == lab, "embedding"].to_numpy()
+    ).astype(np.float64).mean(axis=0)
+    got = np.asarray(df.loc[df["label"] == lab, "centroid"].iloc[0])
+    assert np.allclose(got, np.round(want, 6), atol=1e-6)

@@ -194,6 +194,34 @@ def test_config_loader_accepts_expansion_group(tmp_path):
     assert not cfg2.expansion.enabled
 
 
+def test_env_override_layer():
+    """Env-var escape hatch (reference cli/commands/overrides.py:6-42):
+    pyproject < CLONEHUNTER_RAY_* < CLI."""
+    from clonehunter_ray.config_loader import ConfigError, load_config
+
+    cfg = load_config(
+        None,
+        None,
+        {
+            "CLONEHUNTER_RAY_THRESHOLDS__FUNC": "0.8",
+            "CLONEHUNTER_RAY_SUBSTRING__ENABLED": "true",
+            "CLONEHUNTER_RAY_SIGNATURE__SALT_ROUNDS": "9",
+            "IRRELEVANT_VAR": "ignored",
+        },
+    )
+    assert cfg.thresholds.func == 0.8
+    assert cfg.substring.enabled
+    assert cfg.signature.salt_rounds == 9
+    cli_wins = load_config(
+        None,
+        {"thresholds.func": 0.85},
+        {"CLONEHUNTER_RAY_THRESHOLDS__FUNC": "0.8"},
+    )
+    assert cli_wins.thresholds.func == 0.85
+    with pytest.raises(ConfigError):
+        load_config(None, None, {"CLONEHUNTER_RAY_BOGUS__KEY": "1"})
+
+
 def test_config_skew_mode_validation():
     from clonehunter_ray.config import SignatureConfig
 
