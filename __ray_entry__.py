@@ -395,6 +395,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ) WHERE rn <= 20
         """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   round(avg(v), 6) AS centroid
+            FROM (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            GROUP BY label, dim
+        """,
         "token_vocabulary_topk": """
             SELECT tok, count(*) AS n
             FROM (

@@ -839,7 +839,10 @@ def label_centroids(sf_dir: str):
     """Vector aggregate: mean embedding per label (class centroids for
     ANN seeding / dataset cartography). Map-side partial vector sums
     per batch (combiner), tiny final combine per label — the raw
-    vectors never shuffle. Rows-only check (list column output)."""
+    vectors never shuffle, only one (label, sum-vector) row per label
+    per batch does. Output is long format (label, dim, centroid) so the
+    DuckDB oracle (generate_subscripts + unnest + avg) checks every
+    component; dim is 1-based to match generate_subscripts."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -848,7 +851,7 @@ def label_centroids(sf_dir: str):
             mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
             rows.append(
                 {
-                    "label": label,
+                    "label": int(label),
                     "vec_sum": mat.sum(axis=0).tobytes(),
                     "n": len(mat),
                 }
@@ -859,13 +862,13 @@ def label_centroids(sf_dir: str):
         mats = np.stack(
             [np.frombuffer(b, dtype=np.float64) for b in g["vec_sum"]]
         )
-        total = mats.sum(axis=0)
-        n = int(g["n"].sum())
+        cent = np.round(mats.sum(axis=0) / int(g["n"].sum()), 6)
+        d = len(cent)
         return pd.DataFrame(
             {
-                "label": [g["label"].iloc[0]],
-                "n": np.array([n], dtype=np.int64),
-                "centroid": [np.round(total / n, 6).tolist()],
+                "label": np.full(d, int(g["label"].iloc[0]), dtype=np.int64),
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "centroid": cent,
             }
         )
 

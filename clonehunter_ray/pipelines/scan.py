@@ -239,20 +239,18 @@ def _pairs_broadcast(
         dedupe_pairs_partition_indexed,
         emit_pairs_partition_indexed,
         explode_bands_indexed,
-        make_split_broadcast_handles,
+        make_broadcast_handle,
     )
 
-    # combine ONCE in tasks: the combined tables land in plasma a
-    # single time and every worker maps them zero-copy (per-worker
-    # combining copied the payload into every worker heap). Split
-    # handles: the band explode + pre-gate only touch the LIGHT one,
-    # so the pipeline head never waits for the blob concatenation.
-    light_ref, ref = make_split_broadcast_handles(
-        signatures,
-        payload_cols,
-        ["snippet_id", "kind", "n_shingles", "n_tokens"],
-        "snippet_id",
-    )
+    # combine ONCE in a task: the combined table lands in plasma a
+    # single time and every worker maps it zero-copy (per-worker
+    # combining copied the payload into every worker heap). A split
+    # light/heavy handle pair was A/B-tested and is NOT faster: the
+    # heavy blob combine runs late and contends with the band-shuffle
+    # sorts, while the single combine (num_cpus=0, starts the moment
+    # the signature blocks exist) overlaps the explode+sort for free.
+    ref = make_broadcast_handle(signatures, payload_cols, "snippet_id")
+    light_ref = ref
 
     bands = (
         signatures.select_columns(["snippet_id", "band_keys"])
@@ -327,7 +325,7 @@ def _pairs_broadcast(
     def _attach(batch: pa.Table) -> pa.Table:
         from clonehunter_ray.stages.candidates import get_broadcast_payload
 
-        table, _idx = get_broadcast_payload(ref)
+        table, _idx = get_broadcast_payload(ref, need_index=False)
         a_idx = batch["a_sid"].to_numpy(zero_copy_only=False).astype(np.int64)
         b_idx = batch["b_sid"].to_numpy(zero_copy_only=False).astype(np.int64)
         a_side = table.take(pa.array(a_idx, pa.int64()))

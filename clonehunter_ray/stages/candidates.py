@@ -201,9 +201,9 @@ def emit_pairs_partition(
 
 
 # assembled broadcast payloads per worker process, keyed by broadcast
-# id; bounded so a light (ids/sizes) and a heavy (full payload) handle
-# of the same run can coexist without thrashing re-assembly
-_PAYLOAD_CACHE: dict[str, tuple[pa.Table, dict]] = {}
+# id; bounded LRU-ish so concurrent pipelines (scan + doc dedup sharing
+# a worker pool) can hold their payloads without thrashing re-assembly
+_PAYLOAD_CACHE: dict[str, tuple[pa.Table, dict | None]] = {}
 _PAYLOAD_CACHE_MAX = 4
 
 
@@ -238,52 +238,33 @@ def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):
     return (str(uuid.uuid4()), combined_ref, tuple(cols), key_col)
 
 
-def make_split_broadcast_handles(
-    ds, cols: list[str], light_cols: list[str], key_col: str = "snippet_id"
-):
-    """Two handles over the SAME blocks (row order identical by
-    construction): a LIGHT one (ids + the small pre-gate columns) that
-    combines in milliseconds so the pipeline head (band explode) never
-    waits on blob concatenation, and the HEAVY full-payload one whose
-    combine overlaps the band shuffle and is only awaited by the late
-    payload-attach stage. Measured at 60k files: a single combined
-    handle stalled the first task of every verify-chain worker ~10 s
-    (103 s of UDF wall across the operator)."""
-    import uuid
-
-    import ray
-
-    block_refs = ds.select_columns(cols).to_arrow_refs()
-    light_ref = ray.remote(num_cpus=0)(combine_payload_blocks).remote(
-        tuple(light_cols), *block_refs
-    )
-    heavy_ref = ray.remote(num_cpus=0)(combine_payload_blocks).remote(
-        tuple(cols), *block_refs
-    )
-    return (
-        (str(uuid.uuid4()), light_ref, tuple(light_cols), key_col),
-        (str(uuid.uuid4()), heavy_ref, tuple(cols), key_col),
-    )
-
-
-def get_broadcast_payload(ref) -> tuple[pa.Table, dict]:
+def get_broadcast_payload(ref, need_index: bool = True) -> tuple[pa.Table, dict]:
     """ref = (key, combined-table ObjectRef, payload_cols[, key_col]).
     Maps the combined payload from plasma (zero-copy, shared by every
     worker on the node) and builds the key -> row index ONCE per worker
-    process."""
+    process. Pass ``need_index=False`` when the caller addresses rows
+    positionally (``Table.take``) — the index dict over every key is
+    then skipped entirely (it is pure overhead for the heavy
+    full-payload handle, whose consumers already hold row indices)."""
     key, combined_ref, _cols = ref[0], ref[1], ref[2]
     key_col = ref[3] if len(ref) > 3 else "snippet_id"
-    if key not in _PAYLOAD_CACHE:
+    entry = _PAYLOAD_CACHE.get(key)
+    if entry is None:
         import ray
 
         payload = ray.get(combined_ref)
+        while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
+            _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
+        entry = (payload, None)
+        _PAYLOAD_CACHE[key] = entry
+    if need_index and entry[1] is None:
+        payload = entry[0]
         index = {
             sid: i for i, sid in enumerate(payload[key_col].to_pylist())
         }
-        while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
-            _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
-        _PAYLOAD_CACHE[key] = (payload, index)
-    return _PAYLOAD_CACHE[key]
+        entry = (payload, index)
+        _PAYLOAD_CACHE[key] = entry
+    return entry
 
 
 _DERIVED_CACHE: dict[tuple, tuple] = {}
@@ -311,7 +292,7 @@ def pre_gate_pairs_indexed(
         return batch
     key_tuple = (index_ref[0], gates)  # stable broadcast uuid
     if key_tuple not in _DERIVED_CACHE:
-        payload, _ = get_broadcast_payload(index_ref)
+        payload, _ = get_broadcast_payload(index_ref, need_index=False)
         n_sh = payload["n_shingles"].to_numpy(zero_copy_only=False).astype(
             np.float64
         )

@@ -146,7 +146,7 @@ def test_filtered_rollup_matches_duckdb(ray_session, con):
 @pytest.fixture(scope="module")
 def con2():
     c = duckdb.connect()
-    for t in ["events", "orders", "customer", "lineitem", "documents"]:
+    for t in ["events", "orders", "customer", "lineitem", "documents", "embeddings"]:
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -262,23 +262,44 @@ def test_stratified_sample_matches_duckdb(ray_session, con3):
     )
 
 
-def test_label_centroids_shape(ray_session):
-    import numpy as np
+def test_label_centroids_matches_duckdb(ray_session, con2):
+    _check(
+        Q.label_centroids(SF_DIR),
+        con2,
+        """
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               round(avg(v), 6) AS centroid
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        GROUP BY label, dim
+        """,
+    )
 
-    df = Q.label_centroids(SF_DIR).to_pandas()
-    assert len(df) >= 1
-    assert set(df.columns) == {"label", "n", "centroid"}
-    assert int(df["n"].sum()) > 0
-    dim = len(df["centroid"].iloc[0])
-    assert all(len(c) == dim for c in df["centroid"])
-    # centroid of a label equals the brute-force mean for that label
-    import pandas as pd
+
+def test_label_centroids_values(ray_session):
+    import numpy as np
     import pyarrow.parquet as pq
 
+    df = Q.label_centroids(SF_DIR).to_pandas()
+    assert set(df.columns) == {"label", "dim", "centroid"}
+    # long format: every label has the full dim range, 1-based
+    dims = df.groupby("label")["dim"].agg(["min", "max", "count"])
+    assert (dims["min"] == 1).all()
+    assert (dims["max"] == dims["count"]).all()
+    # centroid of a label equals the brute-force mean for that label
     raw = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
-    lab = df["label"].iloc[0]
+    lab = int(df["label"].iloc[0])
     want = np.stack(
         raw.loc[raw["label"] == lab, "embedding"].to_numpy()
     ).astype(np.float64).mean(axis=0)
-    got = np.asarray(df.loc[df["label"] == lab, "centroid"].iloc[0])
+    got = (
+        df.loc[df["label"] == lab]
+        .sort_values("dim")["centroid"]
+        .to_numpy()
+    )
     assert np.allclose(got, np.round(want, 6), atol=1e-6)
