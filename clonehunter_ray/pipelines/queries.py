@@ -763,23 +763,27 @@ def shipping_priority_revenue(sf_dir: str, k: int = 10):
 
 def token_vocabulary_topk(sf_dir: str, k: int = 50, max_id: int = 500):
     """Corpus vocabulary: top-k tokens by total occurrence count over
-    doc_id < max_id. Ray shape: per-batch Counter (combiner) shrinks
-    the shuffle to one (token, n) row per distinct token per batch;
-    groupby(token) sums; the global sort runs on the tiny vocab."""
-    from collections import Counter
+    doc_id < max_id. Ray shape: per-batch Arrow value_counts (combiner)
+    shrinks the shuffle to one (token, n) row per distinct token per
+    batch; groupby(token) sums; the global sort runs on the tiny vocab.
+    Tokenization is the C++ kernel chain lower -> split on the token
+    alphabet's complement -> flatten (equivalent to findall of
+    ``[a-z0-9_]+`` after dropping boundary empties)."""
+    import pyarrow.compute as pc
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
         expr=f"doc_id < {max_id}"
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(H.TOKEN_RE.findall((t or "").lower()))
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
         return pa.table(
             {
-                "tok": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "tok": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

@@ -1,0 +1,103 @@
+"""Text-analysis pipeline semantics: the vectorized Arrow kernels must
+match a plain-Python reference implementation token for token."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from clonehunter_ray.functions import hashing as H
+from clonehunter_ray.pipelines import text_analysis as T
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog, and the dog sleeps.",
+    "",
+    None,
+    "der der der und und nicht",  # heavy repetition, German stopwords
+    "x" * 5,
+    "a b c d e f g h a b c",
+    "123 456_789 __dunder__ MiXeD CaSe!!",
+    "   punctuation---only ... ;;; !!!",
+    "für straße",  # non-ASCII letters split by the token alphabet
+    "word " * 200,
+]
+
+
+def _ref_quality(texts):
+    stops = frozenset().union(*T._STOPWORDS.values())
+    rows = []
+    for t in texts:
+        toks = H.tokenize(t or "")
+        n = len(toks)
+        rows.append(
+            {
+                "n_tokens": n,
+                "mean_token_len": round(sum(map(len, toks)) / n, 4) if n else 0.0,
+                "stopword_ratio": round(
+                    sum(tk in stops for tk in toks) / n, 4
+                ) if n else 0.0,
+                "distinct_ratio": round(len(set(toks)) / n, 4) if n else 0.0,
+            }
+        )
+    return rows
+
+
+def test_quality_scores_match_python_reference(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                "text": pa.array(TEXTS, pa.string()),
+            }
+        )
+    )
+    got = T.quality_scores(docs).to_pandas().sort_values("doc_id")
+    want = _ref_quality(TEXTS)
+    assert len(got) == len(want)
+    for i, row in enumerate(want):
+        g = got.iloc[i]
+        assert int(g["n_tokens"]) == row["n_tokens"], i
+        assert g["mean_token_len"] == pytest.approx(row["mean_token_len"], abs=1e-4)
+        assert g["stopword_ratio"] == pytest.approx(row["stopword_ratio"], abs=1e-4)
+        assert g["distinct_ratio"] == pytest.approx(row["distinct_ratio"], abs=1e-4)
+
+
+def test_language_id_basics(ray_session):
+    texts = [
+        "the cat is on the mat and it is warm for this time of year",
+        "der hund ist nicht mit der katze und das ist ein problem",
+        "le chat est sur la table et il est pour le moment dans la maison",
+        "一只猫在垫子上睡觉，外面下着雨。它看起来很满足。",
+        "zzz qqq xxx",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = T.language_id(docs).to_pandas().sort_values("doc_id")
+    assert list(got["pred_lang"]) == ["en", "de", "fr", "zh", "unknown"]
+
+
+def test_fingerprint_deterministic(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta epsilon zeta eta theta " * 4,
+                     "alpha beta gamma delta epsilon zeta eta theta " * 4],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = T.fingerprint_documents(docs).to_pandas().sort_values("doc_id")
+    f0, f1 = out["fingerprint"].iloc[0], out["fingerprint"].iloc[1]
+    assert list(f0) == list(f1)  # identical text -> identical sketch
+    assert len(f0) > 0
