@@ -283,6 +283,29 @@ def _pairs_broadcast(
         ),
         batch_format="pyarrow",
     )
+
+    # numpy size/kind pre-gate runs BEFORE the global pair dedup: a
+    # clone pair collides in ~12 bands (measured dup factor 11.7x at
+    # 20k files), and the gate is a pure mask over broadcast int
+    # columns whose verdict is identical for every duplicate — gating
+    # first shrinks the dedup shuffle's input ~13x (emit output ->
+    # gate survivors), where gating after only shrank the attach.
+    from clonehunter_ray.stages.candidates import pre_gate_pairs_indexed
+
+    th = config.thresholds
+    candidates = candidates.map_batches(
+        pre_gate_pairs_indexed,
+        fn_kwargs={
+            "index_ref": light_ref,
+            "gates": (th.func, th.win, th.exp),
+            "lexical_weight": th.lexical_weight,
+            "lexical_min_ratio": th.lexical_min_ratio,
+            "substr_floor": (
+                config.substring.floor if config.substring.enabled else None
+            ),
+        },
+        batch_format="pyarrow",
+    )
     deduped = candidates.map_batches(
         lambda t: t.append_column(
             "part",
@@ -301,25 +324,6 @@ def _pairs_broadcast(
         batch_format="pyarrow",
     ).groupby("part").map_groups(
         dedupe_pairs_partition_indexed, batch_format="pyarrow"
-    )
-
-    # numpy size/kind pre-gate kills the bulk of the deduped candidates
-    # before the (far heavier) payload attach + exact verification
-    from clonehunter_ray.stages.candidates import pre_gate_pairs_indexed
-
-    th = config.thresholds
-    deduped = deduped.map_batches(
-        pre_gate_pairs_indexed,
-        fn_kwargs={
-            "index_ref": light_ref,
-            "gates": (th.func, th.win, th.exp),
-            "lexical_weight": th.lexical_weight,
-            "lexical_min_ratio": th.lexical_min_ratio,
-            "substr_floor": (
-                config.substring.floor if config.substring.enabled else None
-            ),
-        },
-        batch_format="pyarrow",
     )
 
     def _attach(batch: pa.Table) -> pa.Table:
