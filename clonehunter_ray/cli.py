@@ -37,14 +37,22 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--checkpoint-dir")
         sp.add_argument("--threshold-func", type=float, dest="t_func")
         sp.add_argument("--threshold-win", type=float, dest="t_win")
+        sp.add_argument("--threshold-exp", type=float, dest="t_exp")
         sp.add_argument("--window-lines", type=int)
         sp.add_argument("--stride-lines", type=int)
+        sp.add_argument("--min-nonempty", type=int)
         sp.add_argument("--min-window-hits", type=int)
         sp.add_argument("--lexical-min-ratio", type=float)
+        sp.add_argument("--lexical-weight", type=float)
         sp.add_argument("--substring", action="store_true", default=None,
                         help="enable the suffix-array substring rescue")
-        sp.add_argument("--expansion", action="store_true", default=None,
+        sp.add_argument("--expansion", "--expand-calls", action="store_true",
+                        default=None, dest="expansion",
                         help="enable EXP call-graph expansion snippets")
+        sp.add_argument("--expand-depth", type=int,
+                        help="call-expansion depth override")
+        sp.add_argument("--expand-max-chars", type=int,
+                        help="call-expansion size cap override")
         sp.add_argument(
             "--compare",
             action="store_true",
@@ -65,6 +73,12 @@ def _build_parser() -> argparse.ArgumentParser:
             help="explicit include glob(s); overrides presets (CLI wins)",
         )
         sp.add_argument(
+            "--exclude",
+            action="append",
+            default=None,
+            help="explicit exclude glob(s) appended after the defaults",
+        )
+        sp.add_argument(
             "--save-tables",
             metavar="DIR",
             help="also write signatures/pairs/findings as Parquet under DIR",
@@ -82,12 +96,17 @@ def _overrides(args) -> dict:
     return {
         "thresholds.func": args.t_func,
         "thresholds.win": args.t_win,
+        "thresholds.exp": args.t_exp,
         "thresholds.min_window_hits": args.min_window_hits,
         "thresholds.lexical_min_ratio": args.lexical_min_ratio,
+        "thresholds.lexical_weight": args.lexical_weight,
         "window.window_lines": args.window_lines,
         "window.stride_lines": args.stride_lines,
+        "window.min_nonempty": args.min_nonempty,
         "substring.enabled": args.substring,
         "expansion.enabled": args.expansion,
+        "expansion.depth": args.expand_depth,
+        "expansion.max_chars": args.expand_max_chars,
         "cluster.min_size": args.cluster_min_size,
         "exec.checkpoint_dir": args.checkpoint_dir,
     }
@@ -106,7 +125,10 @@ def _load_files(args):
     include = sources.merge_globs(
         (), repotype_globs, tuple(args.include or ())
     )
-    table = sources.files_from_directory(args.paths, include_globs=include)
+    exclude = sources.DEFAULT_EXCLUDE + tuple(args.exclude or ())
+    table = sources.files_from_directory(
+        args.paths, include_globs=include, exclude_globs=exclude
+    )
     return ray.data.from_arrow(table)
 
 
