@@ -205,7 +205,41 @@ def build_pairs(
     ).groupby("part").map_groups(
         dedupe_pairs_partition, batch_format="pyarrow"
     )
-    joined = _attach_payload_join(deduped, signatures, config, payload_cols)
+
+    # narrow pre-gate joins (kind + sizes only, ~20 bytes/row) so the
+    # HEAVY payload joins (shingle/token blobs) move only gate
+    # survivors — the scale-path twin of the broadcast path's
+    # pre_gate_pairs_indexed
+    from clonehunter_ray.stages.candidates import pre_gate_pairs_joined
+    from clonehunter_ray.util import safe_join_partitions
+
+    th = config.thresholds
+    narrow_cols = ["snippet_id", "kind", "n_shingles", "n_tokens"]
+    nj = safe_join_partitions(nparts)
+    gated = (
+        deduped.join(
+            _prefixed(signatures, "a_", narrow_cols),
+            "inner", nj, on=("a_id",), right_on=("a_snippet_id",),
+        )
+        .join(
+            _prefixed(signatures, "b_", narrow_cols),
+            "inner", nj, on=("b_id",), right_on=("b_snippet_id",),
+        )
+        .map_batches(
+            pre_gate_pairs_joined,
+            fn_kwargs={
+                "gates": (th.func, th.win, th.exp),
+                "lexical_weight": th.lexical_weight,
+                "lexical_min_ratio": th.lexical_min_ratio,
+                "substr_floor": (
+                    config.substring.floor if config.substring.enabled else None
+                ),
+            },
+            batch_format="pyarrow",
+        )
+        .select_columns(["a_id", "b_id", "capped"])
+    )
+    joined = _attach_payload_join(gated, signatures, config, payload_cols)
     return joined.map_batches(
         verify_pairs_batch,
         fn_kwargs={

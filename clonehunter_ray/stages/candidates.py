@@ -328,6 +328,49 @@ def pre_gate_pairs_indexed(
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
+def pre_gate_pairs_joined(
+    batch: pa.Table,
+    gates: tuple[float, float, float],
+    lexical_weight: float,
+    lexical_min_ratio: float,
+    substr_floor: float | None,
+) -> pa.Table:
+    """Scale-path twin of ``pre_gate_pairs_indexed``: the same
+    size-ratio upper-bound mask, but over ``a_/b_`` columns attached by
+    a NARROW (kind + sizes) hash join — so above the broadcast cutover
+    the heavy payload joins (shingle/token blobs) only move survivors,
+    not the ~12x band-duplicated candidate set."""
+    if batch.num_rows == 0:
+        return batch
+
+    def _gate(col: str) -> np.ndarray:
+        kinds = np.asarray(batch[col].to_pylist(), dtype=object)
+        return np.where(
+            kinds == "FUNC", gates[0], np.where(kinds == "WIN", gates[1], gates[2])
+        ).astype(np.float64)
+
+    def _num(col: str) -> np.ndarray:
+        return batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    sa, sb = _num("a_n_shingles"), _num("b_n_shingles")
+    ta, tb = _num("a_n_tokens"), _num("b_n_tokens")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac_ub = np.where(
+            (sa > 0) & (sb > 0), np.minimum(sa, sb) / np.maximum(sa, sb), 0.0
+        )
+        lex_ub = np.where(
+            (ta > 0) & (tb > 0), np.minimum(ta, tb) / np.maximum(ta, tb), 0.0
+        )
+    gate = np.minimum(_gate("a_kind"), _gate("b_kind"))
+    comp_ub = (1.0 - lexical_weight) * jac_ub + lexical_weight * lex_ub
+    keep = comp_ub >= gate
+    if substr_floor is not None:
+        keep |= jac_ub >= substr_floor
+    if lexical_min_ratio > 0:
+        keep &= lex_ub >= lexical_min_ratio
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
 def explode_bands_indexed(
     batch: pa.Table, index_ref
 ) -> pa.Table:

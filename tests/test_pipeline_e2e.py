@@ -100,3 +100,25 @@ def test_findings_deterministic_across_runs(ray_session, tiny_corpus):
     a = r1[k].sort_values(k).reset_index(drop=True)
     b = r2[k].sort_values(k).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_join_scale_path_matches_broadcast_path(ray_session, tiny_corpus):
+    """The >2M-snippet scale path (string ids + narrow pre-gate joins +
+    partitioned payload hash joins) must produce the same findings as
+    the broadcast path; forced here with broadcast_signatures_limit=0."""
+    from clonehunter_ray.config import ExecConfig
+
+    files, _ = tiny_corpus
+    base = scan(ray.data.from_arrow(files), EngineConfig())
+    forced = scan(
+        ray.data.from_arrow(files),
+        EngineConfig(
+            exec=ExecConfig(broadcast_signatures_limit=0, shuffle_partitions=4)
+        ),
+    )
+    cols = ["unit_a", "unit_b", "score", "duplicated_lines", "n_evidence"]
+    a = base.findings.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = forced.findings.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9)
