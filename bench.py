@@ -128,6 +128,19 @@ def run_bench() -> dict:
         ),
     )
 
+    def _all_docs_quality(sf_dir):
+        from clonehunter_ray.pipelines import text_analysis as T
+
+        return T.quality_scores(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    timed("doc_quality_scores", _all_docs_quality)
+    timed("shipping_priority_revenue", Q.shipping_priority_revenue)
+    timed("events_sessionization", Q.events_sessionization)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),
@@ -208,7 +221,12 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N CPUs; default 8 vs 32. On a co-tenant-loaded host the hi
+    # level only sees its nominal parallelism in quiet windows — 4 vs 16
+    # (GRAFT_SCALING_LO/HI) keeps both levels inside the delivered-core
+    # envelope far more often and measures the same 4x criterion.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
     lo_times, hi_times, probes, norm_effs = [], [], [], []
     last_lo = last_hi = None
@@ -229,13 +247,15 @@ def run_scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 -> 32 cpus, same input, best of interleaved runs)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "sec_8_runs": lo_times,
-                "sec_32_runs": hi_times,
-                "files_per_sec_8": round(last_lo["corpus_files"] / t_lo, 1),
-                "files_per_sec_32": round(last_hi["corpus_files"] / t_hi, 1),
+                "metric": f"scaling efficiency ({lo} -> {hi} cpus, same input, best of interleaved runs)",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "sec_lo_runs": lo_times,
+                "sec_hi_runs": hi_times,
+                "files_per_sec_lo": round(last_lo["corpus_files"] / t_lo, 1),
+                "files_per_sec_hi": round(last_hi["corpus_files"] / t_hi, 1),
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round(eff, 3),
                 "hardware_probe_speedups": probes,
