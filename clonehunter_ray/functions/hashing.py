@@ -73,6 +73,46 @@ def hash_tokens_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
     ]
 
 
+def tokenize_hash_texts(texts) -> list[np.ndarray]:
+    """texts (Arrow string array / chunked array) -> ordered uint64
+    token-hash array per row.
+
+    Equivalent to ``[hash_tokens_batch([tokenize(t)])[0] for t in ...]``
+    but the tokenization runs as Arrow C++ kernels (lower -> split on
+    the token alphabet's complement -> flatten; boundary empties
+    dropped), per-token dedup as ``dictionary_encode`` (hash table, no
+    argsort over Python objects), and only the per-UNIQUE-token blake2b
+    stays in Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    n = len(texts)
+    if n == 0:
+        return []
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    flat = flat.filter(pa.array(keep, pa.bool_()))
+    if len(flat) == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in range(n)]
+    d = pc.dictionary_encode(flat)
+    uniq = d.dictionary.to_pylist()
+    inv = d.indices.to_numpy(zero_copy_only=False)
+    uniq_hashes = np.fromiter(
+        (hash_token_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    all_hashes = uniq_hashes[inv]
+    lens = np.bincount(parent, minlength=n)
+    return np.split(all_hashes, np.cumsum(lens)[:-1])
+
+
 # -- shingles ---------------------------------------------------------------
 
 # odd multipliers for position mixing (splitmix64-derived constants)

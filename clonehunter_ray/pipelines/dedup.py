@@ -33,9 +33,7 @@ class DocSignatureStage:
         self.hasher = H.MinHasher(self.config.num_perm, self.config.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        tok_lists = [H.tokenize(t or "") for t in texts]
-        th = H.hash_tokens_batch(tok_lists)
+        th = H.tokenize_hash_texts(batch["text"])
         shingles = [H.shingle_hashes(x, self.config.shingle_k) for x in th]
         sigs = self.hasher.signatures_batch(shingles)
         bands = H.band_hashes_batch(

@@ -161,8 +161,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
     num_partitions = 32
 
     def signatures(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        th = H.hash_tokens_batch([H.tokenize(t or "") for t in texts])
+        th = H.tokenize_hash_texts(batch["text"])
         sets = [H.token_set_hashes(x) for x in th]
         sigs = hasher.signatures_batch(sets)
         bands = H.band_hashes_batch(sigs, 64, 2)

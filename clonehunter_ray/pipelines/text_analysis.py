@@ -141,8 +141,7 @@ def fingerprint_documents(docs_ds: "ray.data.Dataset", window: int = 8):
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
         sketches = []
-        for t in batch["text"].to_pylist():
-            th = H.hash_tokens_batch([H.tokenize(t or "")])[0]
+        for th in H.tokenize_hash_texts(batch["text"]):
             sh = H.shingle_hashes_seq(th, 4)
             if len(sh) == 0:
                 sketches.append([])

@@ -65,9 +65,7 @@ class SignatureStage:
         self.emit_token_seq = emit_token_seq
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        token_lists = [H.tokenize(t or "") for t in texts]
-        token_hashes = H.hash_tokens_batch(token_lists)
+        token_hashes = H.tokenize_hash_texts(batch["text"])
         shingle_lists = [
             H.shingle_hashes(th, self.config.shingle_k) for th in token_hashes
         ]

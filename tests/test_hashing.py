@@ -94,3 +94,35 @@ def test_jaccard_sorted_edges():
     assert H.jaccard_sorted(x, x) == 1.0
     y = np.array([2, 3, 4], dtype=np.uint64)
     assert H.jaccard_sorted(x, y) == pytest.approx(0.5)
+
+
+def test_tokenize_hash_texts_matches_python_path():
+    """The Arrow-kernel tokenizer (utf8_lower -> regex split ->
+    dictionary_encode) must emit exactly the ordered hashes of the
+    Python reference path (tokenize -> hash_tokens_batch)."""
+    import pyarrow as pa
+
+    texts = [
+        "def foo(bar): return bar + 1",
+        "",
+        "   ",
+        "ABC_def 123\nghi\tjkl!!",
+        "café naïve ÜBER_mix",
+        "unicode: 日本語 token_1 token_1 token_2",
+        "__dunder__ CamelCase snake_case 0xdeadbeef",
+    ]
+    ref = [H.hash_tokens_batch([H.tokenize(t)])[0] for t in texts]
+    for got in (
+        H.tokenize_hash_texts(texts),
+        H.tokenize_hash_texts(pa.array(texts, pa.string())),
+        H.tokenize_hash_texts(pa.chunked_array([texts[:3], texts[3:]])),
+    ):
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            assert b.dtype == np.uint64
+            assert np.array_equal(a, b)
+    assert H.tokenize_hash_texts([]) == []
+    # nulls hash like empty strings
+    withnull = pa.array(["a b", None, "c"], pa.string())
+    out = H.tokenize_hash_texts(withnull)
+    assert len(out[1]) == 0 and len(out[0]) == 2 and len(out[2]) == 1
