@@ -173,7 +173,7 @@ def minhash_dedup_pairs(
     docs_ds: "ray.data.Dataset",
     threshold: float = 0.8,
     config: SignatureConfig | None = None,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     num_partitions: int = 64,
     broadcast_limit: int = 2_000_000,
     max_bucket_pairs_full: int = 1024,
@@ -188,11 +188,18 @@ def minhash_dedup_pairs(
     ``broadcast_limit`` docs — never a driver-heap dict — partitioned
     hash join above) -> exact Jaccard verification in ``map_batches``.
     """
+    from clonehunter_ray.util import auto_actor_count
+
     config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
         DocSignatureStage,
         fn_constructor_kwargs={"config": config},
-        concurrency=concurrency,
+        # autoscale to the cluster (a fixed constant caps the whole
+        # stage; a fixed FULL-size pool pays mass actor startup even
+        # for tiny inputs); small batches keep task count >> actor
+        # count so the pool fills even from a handful of read blocks
+        concurrency=concurrency or (2, auto_actor_count()),
+        batch_size=256,
         batch_format="pyarrow",
     ).materialize()  # reused by the band shuffle AND the payload attach
 
@@ -271,25 +278,24 @@ def minhash_dedup_pairs(
                 return verified_schema.empty_table()
             table, idx = get_broadcast_payload(handle)
             blobs = table["shingles"]
-            a = batch["a_id"].to_pylist()
-            b = batch["b_id"].to_pylist()
-            capped = batch["capped"].to_pylist()
-            ka, kb, kj, kc = [], [], [], []
-            for x, y, cp in zip(a, b, capped):
-                sx = np.frombuffer(blobs[idx[x]].as_py(), dtype=np.uint64)
-                sy = np.frombuffer(blobs[idx[y]].as_py(), dtype=np.uint64)
-                jac = H.jaccard_sorted(sx, sy)
-                if jac >= threshold:
-                    ka.append(x)
-                    kb.append(y)
-                    kj.append(jac)
-                    kc.append(cp)
+            rows_a = pa.array(
+                [idx[x] for x in batch["a_id"].to_pylist()], pa.int64()
+            )
+            rows_b = pa.array(
+                [idx[y] for y in batch["b_id"].to_pylist()], pa.int64()
+            )
+            # one vectorized lexsort kernel replaces the per-pair
+            # frombuffer+intersect loop (functions/hashing.jaccard_batch)
+            jac = H.jaccard_batch(blobs.take(rows_a), blobs.take(rows_b))
+            sel = pa.array(np.flatnonzero(jac >= threshold), pa.int64())
             return pa.table(
                 {
-                    "a_id": pa.array(ka, pa.int64()),
-                    "b_id": pa.array(kb, pa.int64()),
-                    "jaccard": pa.array(kj, pa.float64()),
-                    "capped": pa.array(kc, pa.bool_()),
+                    "a_id": batch["a_id"].take(sel),
+                    "b_id": batch["b_id"].take(sel),
+                    "jaccard": pa.array(
+                        jac[sel.to_numpy(zero_copy_only=False)], pa.float64()
+                    ),
+                    "capped": batch["capped"].take(sel),
                 },
                 schema=verified_schema,
             )
@@ -314,28 +320,16 @@ def minhash_dedup_pairs(
     def verify_joined(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return verified_schema.empty_table()
-        a = batch["a_id"].to_pylist()
-        b = batch["b_id"].to_pylist()
-        sa = batch["a_shingles"].to_pylist()
-        sb = batch["b_shingles"].to_pylist()
-        capped = batch["capped"].to_pylist()
-        ka, kb, kj, kc = [], [], [], []
-        for x, y, bx, by, cp in zip(a, b, sa, sb, capped):
-            jac = H.jaccard_sorted(
-                np.frombuffer(bx, dtype=np.uint64),
-                np.frombuffer(by, dtype=np.uint64),
-            )
-            if jac >= threshold:
-                ka.append(x)
-                kb.append(y)
-                kj.append(jac)
-                kc.append(cp)
+        jac = H.jaccard_batch(batch["a_shingles"], batch["b_shingles"])
+        sel = pa.array(np.flatnonzero(jac >= threshold), pa.int64())
         return pa.table(
             {
-                "a_id": pa.array(ka, pa.int64()),
-                "b_id": pa.array(kb, pa.int64()),
-                "jaccard": pa.array(kj, pa.float64()),
-                "capped": pa.array(kc, pa.bool_()),
+                "a_id": batch["a_id"].take(sel),
+                "b_id": batch["b_id"].take(sel),
+                "jaccard": pa.array(
+                    jac[sel.to_numpy(zero_copy_only=False)], pa.float64()
+                ),
+                "capped": batch["capped"].take(sel),
             },
             schema=verified_schema,
         )
@@ -402,11 +396,14 @@ def simhash_dup_pairs(
     """Near-identical pairs by SimHash: band the 64-bit fingerprint
     into 4 x 16-bit chunks (pigeonhole: hamming<=3 pairs share at
     least one exact chunk), groupby chunk, verify hamming in-bucket."""
+    from clonehunter_ray.util import auto_actor_count
+
     config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
         DocSignatureStage,
         fn_constructor_kwargs={"config": config},
-        concurrency=2,
+        concurrency=(2, auto_actor_count()),
+        batch_size=256,
         batch_format="pyarrow",
     ).select_columns(["doc_id", "simhash"])
 

@@ -224,24 +224,24 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
             return out_schema.empty_table()
         table, idx = get_broadcast_payload(handle)
         blobs = table["tok_hashes"]
-        a_ids = batch["a_id"].to_pylist()
-        b_ids = batch["b_id"].to_pylist()
-        ka, kb, kj = [], [], []
-        for x, y in zip(a_ids, b_ids):
-            sa = np.frombuffer(blobs[idx[x]].as_py(), dtype=np.uint64)
-            sb = np.frombuffer(blobs[idx[y]].as_py(), dtype=np.uint64)
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            jac = H.jaccard_sorted(sa, sb)
-            if jac >= threshold:
-                ka.append(x)
-                kb.append(y)
-                kj.append(round(jac, 6))
+        rows_a = pa.array(
+            [idx[x] for x in batch["a_id"].to_pylist()], pa.int64()
+        )
+        rows_b = pa.array(
+            [idx[y] for y in batch["b_id"].to_pylist()], pa.int64()
+        )
+        jac = H.jaccard_batch(blobs.take(rows_a), blobs.take(rows_b))
+        sel_np = np.flatnonzero(jac >= threshold)
+        sel = pa.array(sel_np, pa.int64())
         return pa.table(
             {
-                "a_id": pa.array(ka, pa.int64()),
-                "b_id": pa.array(kb, pa.int64()),
-                "jac6": pa.array(kj, pa.float64()),
+                "a_id": batch["a_id"].take(sel),
+                "b_id": batch["b_id"].take(sel),
+                # Python round (correctly-rounded decimal) — np.round can
+                # differ by 1 ulp and the oracle hash-compare is exact
+                "jac6": pa.array(
+                    [round(float(v), 6) for v in jac[sel_np]], pa.float64()
+                ),
             },
             schema=out_schema,
         )

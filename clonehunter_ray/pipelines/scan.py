@@ -116,12 +116,11 @@ def build_signatures(
         batch_format="pyarrow",
         batch_size=config.exec.file_batch_size,
     )
+    from clonehunter_ray.util import auto_actor_count
+
     n_actors = config.exec.signature_actors
     if n_actors <= 0:  # auto: the fused chain should own the cluster
-        try:
-            n_actors = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
-        except Exception:  # noqa: BLE001 - not initialised yet
-            n_actors = 4
+        n_actors = auto_actor_count()
     concurrency: int | tuple[int, int] = n_actors
     if config.expansion.enabled:
         # EXP call-expansion snippets (per-repo-local groupby; off by

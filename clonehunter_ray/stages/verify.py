@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from clonehunter_ray.config import SubstringConfig, Thresholds
-from clonehunter_ray.functions.hashing import jaccard_sorted
+from clonehunter_ray.functions.hashing import jaccard_batch
 from clonehunter_ray.functions.substring import lcs_ratio
 
 PAIRS_SCHEMA = pa.schema(
@@ -171,27 +171,28 @@ def verify_pairs_batch(
         return PAIRS_SCHEMA.empty_table()
 
     # ---- phase 2: exact set similarity on survivors ------------------
+    # byte-equal sides are jaccard 1.0 for free; the rest go through ONE
+    # vectorized lexsort kernel (hashing.jaccard_batch) instead of a
+    # per-pair frombuffer+intersect loop
     sh_eq = pc.equal(sub["a_shingles"], sub["b_shingles"]).to_numpy(
         zero_copy_only=False
     )
     tk_eq = pc.equal(sub["a_tokens"], sub["b_tokens"]).to_numpy(
         zero_copy_only=False
     )
-    a_sh = sub["a_shingles"].to_pylist()
-    b_sh = sub["b_shingles"].to_pylist()
-    a_tk = sub["a_tokens"].to_pylist()
-    b_tk = sub["b_tokens"].to_pylist()
     jac = np.ones(m, dtype=np.float64)
     lex = np.ones(m, dtype=np.float64)
-    for i in np.flatnonzero(~sh_eq):
-        jac[i] = jaccard_sorted(
-            np.frombuffer(a_sh[i], dtype=np.uint64),
-            np.frombuffer(b_sh[i], dtype=np.uint64),
+    sh_neq = np.flatnonzero(~sh_eq)
+    if len(sh_neq):
+        sel = pa.array(sh_neq, pa.int64())
+        jac[sh_neq] = jaccard_batch(
+            sub["a_shingles"].take(sel), sub["b_shingles"].take(sel)
         )
-    for i in np.flatnonzero(~tk_eq):
-        lex[i] = jaccard_sorted(
-            np.frombuffer(a_tk[i], dtype=np.uint64),
-            np.frombuffer(b_tk[i], dtype=np.uint64),
+    tk_neq = np.flatnonzero(~tk_eq)
+    if len(tk_neq):
+        sel = pa.array(tk_neq, pa.int64())
+        lex[tk_neq] = jaccard_batch(
+            sub["a_tokens"].take(sel), sub["b_tokens"].take(sel)
         )
     composite = (1.0 - thresholds.lexical_weight) * jac + (
         thresholds.lexical_weight * lex

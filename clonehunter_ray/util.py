@@ -20,3 +20,18 @@ def safe_join_partitions(requested: int) -> int:
     except Exception:  # noqa: BLE001 - not initialised yet
         cpus = 8
     return max(2, min(requested, max(2, cpus // 2)))
+
+
+def auto_actor_count(reserve: int = 2, cap: int | None = None) -> int:
+    """Size an actor pool to the cluster: CPUs minus ``reserve`` slots
+    left for feeder/read tasks (min 2). A fixed small constant (the
+    easy default) caps the whole fused stage at that parallelism no
+    matter how many cores the cluster has."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 - not initialised yet
+        cpus = 8
+    n = max(2, cpus - reserve)
+    return min(n, cap) if cap else n

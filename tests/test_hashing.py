@@ -126,3 +126,37 @@ def test_tokenize_hash_texts_matches_python_path():
     withnull = pa.array(["a b", None, "c"], pa.string())
     out = H.tokenize_hash_texts(withnull)
     assert len(out[1]) == 0 and len(out[0]) == 2 and len(out[2]) == 1
+
+
+def test_jaccard_batch_matches_scalar_path():
+    """jaccard_batch (vectorized lexsort kernel) must equal
+    jaccard_sorted pair-by-pair, including empty sides, identical
+    sides, chunked columns, and sliced columns."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    rows_a, rows_b = [], []
+    for _ in range(200):
+        na, nb = rng.randint(0, 40), rng.randint(0, 40)
+        pool = rng.randint(0, 50, size=80).astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        a = np.unique(rng.choice(pool, size=na)) if na else np.empty(0, np.uint64)
+        b = np.unique(rng.choice(pool, size=nb)) if nb else np.empty(0, np.uint64)
+        rows_a.append(a)
+        rows_b.append(b)
+    rows_a[3] = rows_b[3].copy()  # identical sides
+    ref = np.array(
+        [H.jaccard_sorted(a, b) for a, b in zip(rows_a, rows_b)]
+    )
+    col_a = pa.array([a.tobytes() for a in rows_a], pa.binary())
+    col_b = pa.array([b.tobytes() for b in rows_b], pa.binary())
+    got = H.jaccard_batch(col_a, col_b)
+    assert np.allclose(got, ref, rtol=0, atol=0)
+    # chunked + sliced columns exercise the offset-aligned buffer path
+    ch_a = pa.chunked_array([col_a.slice(0, 50), col_a.slice(50)])
+    got2 = H.jaccard_batch(ch_a, col_b)
+    assert np.array_equal(got2, got)
+    got3 = H.jaccard_batch(col_a.slice(10, 100), col_b.slice(10, 100))
+    assert np.array_equal(got3, got[10:110])
+    assert len(H.jaccard_batch(col_a.slice(0, 0), col_b.slice(0, 0))) == 0
