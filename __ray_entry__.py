@@ -58,7 +58,9 @@ def _scan_documents(sf_dir: str):
             }
         )
 
-    files_ds = ray.data.read_parquet(
+    from clonehunter_ray.util import read_parquet_clean
+
+    files_ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     ).map_batches(to_files, batch_format="pyarrow")
     # documents are single-line bags of words: windows must accept
@@ -78,14 +80,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from clonehunter_ray.pipelines import dedup, queries as Q, similarity, text_analysis
 
     def _docs(sf_dir):
-        import ray.data
+        from clonehunter_ray.util import read_parquet_clean
 
-        return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
     def _emb(sf_dir):
-        import ray.data
+        from clonehunter_ray.util import read_parquet_clean
 
-        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
     return {
         # SQL-checkable (oracle below)

@@ -124,7 +124,7 @@ def run_bench() -> dict:
     timed(
         "minhash_dedup_documents",
         lambda sf_dir: dedup.minhash_dedup_pairs(
-            ray.data.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.8
+            read_parquet_clean(f"{sf_dir}/documents.parquet"), threshold=0.8
         ),
     )
 
@@ -132,7 +132,7 @@ def run_bench() -> dict:
         from clonehunter_ray.pipelines import text_analysis as T
 
         return T.quality_scores(
-            ray.data.read_parquet(
+            read_parquet_clean(
                 f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
         )

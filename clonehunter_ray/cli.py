@@ -118,7 +118,9 @@ def _load_files(args):
     from clonehunter_ray import sources
 
     if args.files_parquet:
-        return ray.data.read_parquet(args.files_parquet)
+        from clonehunter_ray.util import read_parquet_clean
+
+        return read_parquet_clean(args.files_parquet)
     if not args.paths:
         raise SystemExit("scan: need directories or --files-parquet")
     repotype_globs = sources.resolve_repotype_globs(args.repotype or ["python"])
@@ -161,23 +163,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "diff":
         import os
 
-        # git runs in the scan root (not the invoker's CWD), and its
-        # repo-root-relative paths are rebased onto the scan root so
-        # they compare against findings' scan-root-relative paths. An
-        # empty/failed change set FAILS CLOSED (no findings) — the
-        # previous fall-through emitted everything as if diff-scoped.
-        scan_root = os.path.abspath(args.paths[0]) if args.paths else os.getcwd()
-        raw_changed = sources.changed_files(args.base, cwd=scan_root)
-        top = sources.git_toplevel(scan_root)
+        # git runs in each scan root (not the invoker's CWD), and its
+        # repo-root-relative paths are rebased onto that root so they
+        # compare against findings' root-relative paths. Multi-root
+        # scans prefix finding paths with the per-root label
+        # (sources.files_from_directory) — the change set gets the SAME
+        # prefix, or no finding would ever match. An empty/failed
+        # change set FAILS CLOSED (no findings) — a fall-through would
+        # emit everything as if diff-scoped.
+        roots = [os.path.abspath(p) for p in (args.paths or [os.getcwd()])]
+        labels = sources.root_labels(roots)
+        multi_root = len(roots) > 1
         changed: set[str] = set()
-        for c in raw_changed:
-            rel = (
-                os.path.relpath(os.path.join(top, c), scan_root)
-                if top
-                else c
-            )
-            if not rel.startswith(".."):
-                changed.add(rel)
+        for scan_root, label in zip(roots, labels):
+            raw_changed = sources.changed_files(args.base, cwd=scan_root)
+            top = sources.git_toplevel(scan_root)
+            for c in raw_changed:
+                rel = (
+                    os.path.relpath(os.path.join(top, c), scan_root)
+                    if top
+                    else c
+                )
+                if rel.startswith(".."):
+                    continue
+                changed.add(f"{label}/{rel}" if multi_root else rel)
         if changed:
             import pyarrow as pa
             import ray as _ray

@@ -341,12 +341,22 @@ def minhash_dedup_keep(
     docs_ds: "ray.data.Dataset",
     threshold: float = 0.8,
     config: SignatureConfig | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Full near-dedup: returns (doc_id, cluster_id, keep) where keep
     marks the representative (min doc_id) of each near-dup cluster.
-    Union-find over the verified pair list (driver-side; the pair list
-    is tiny relative to the corpus)."""
-    pairs = minhash_dedup_pairs(docs_ds, threshold, config)
+
+    Below ``driver_max_edges`` verified pairs: driver union-find (the
+    pair list is tiny relative to the corpus; cluster_id is the dense
+    rank from unionfind.cluster_labels). Above it: distributed hash-min
+    label propagation (stages/clustering.hashmin_labels) + a
+    partitioned left-outer join to attach labels — no driver-side edge
+    list or doc->cluster dict. There cluster_id IS the component's min
+    doc_id (the same canonical representative the keep rule uses), so
+    keep = (cluster_id is null) or (doc_id == cluster_id)."""
+    pairs = minhash_dedup_pairs(docs_ds, threshold, config).materialize()
+    if pairs.count() > driver_max_edges:
+        return _minhash_keep_distributed(docs_ds, pairs)
     edges = [
         (str(r["a_id"]), str(r["b_id"]))
         for r in pairs.select_columns(["a_id", "b_id"]).iter_rows()
@@ -386,6 +396,46 @@ def minhash_dedup_keep(
         return batch.append_column("keep", pa.array(keep, pa.bool_()))
 
     return annotated.map_batches(mark_keep, batch_format="pyarrow")
+
+
+def _minhash_keep_distributed(
+    docs_ds: "ray.data.Dataset", pairs: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Scale path of minhash_dedup_keep: hash-min connected components
+    over the verified pair list, labels attached by partitioned join
+    (the shape scan() uses above cluster.driver_max_edges,
+    pipelines/scan.py)."""
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.stages.clustering import hashmin_labels
+    from clonehunter_ray.util import safe_join_partitions
+
+    edges = pairs.select_columns(["a_id", "b_id"]).map_batches(
+        lambda t: t.rename_columns(["unit_a", "unit_b"]),
+        batch_format="pyarrow",
+    )
+    labels = hashmin_labels(edges)  # (unit_id:int64, label:int64)
+    nparts = safe_join_partitions(16)
+    annotated = docs_ds.select_columns(["doc_id"]).join(
+        labels, "left_outer", nparts, on=("doc_id",), right_on=("unit_id",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lab = batch["label"]
+        keep = pc.or_kleene(
+            pc.is_null(lab), pc.equal(batch["doc_id"], lab)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cluster_id": pc.cast(
+                    pc.fill_null(lab, -1), pa.int64()
+                ),
+                "keep": pc.cast(keep, pa.bool_()),
+            }
+        )
+
+    return annotated.map_batches(finish, batch_format="pyarrow")
 
 
 def simhash_dup_pairs(

@@ -29,8 +29,21 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from clonehunter_ray.functions import hashing as H
 
 
+def _pt(df: pd.DataFrame) -> pa.Table:
+    """pandas UDF result -> metadata-free Arrow table (same hashable-
+    schema requirement as _strip_meta, for blocks we produce)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # read_parquet_clean strips the b'pandas' footer metadata at the
+    # READ op (unhashable schema -> "Failed to hash the schemas" noise
+    # from every downstream shuffle otherwise)
+    from clonehunter_ray.util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -692,40 +705,60 @@ def customers_without_orders(sf_dir: str):
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
-def shipping_priority_revenue(sf_dir: str, k: int = 10):
+def shipping_priority_revenue(
+    sf_dir: str, k: int = 10, customer_broadcast_limit: int = 1_000_000
+):
     """TPC-H Q3 flavor: top-k open orders of BUILDING-segment customers
-    by pending revenue. Ray shape: the segment's custkeys broadcast as
-    a semi-join filter on orders (dimension side), lineitem
-    pre-aggregated per orderkey behind its date filter (combiner), one
-    partitioned hash join, tiny final groupby + sort-limit."""
+    by pending revenue. Ray shape: the segment's custkeys semi-join-
+    filter orders — broadcast below ``customer_broadcast_limit``
+    customer rows, partitioned hash join above (no unconditional
+    driver-side dict of a fact-scale table) — lineitem pre-aggregated
+    per orderkey behind its date filter (combiner), one partitioned
+    hash join, tiny final groupby + sort-limit."""
     from clonehunter_ray.util import safe_join_partitions
 
     cutoff = pd.Timestamp("1995-03-15")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = np.sort(
-        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
-    )
-    bref = ray.put(building)
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    nparts = safe_join_partitions(16)
 
-    def orders_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(bref)
-        m = (batch["o_orderdate"] < cutoff) & np.isin(
-            batch["o_custkey"].to_numpy(), keys
-        )
-        out = batch.loc[m, ["o_orderkey", "o_orderdate"]].copy()
+    def date_filter(batch: pd.DataFrame) -> pa.Table:
+        out = batch.loc[
+            batch["o_orderdate"] < cutoff,
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+        ].copy()
         out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
-        return out
+        return _pt(out)
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(orders_filter, batch_format="pandas")
+    ).map_batches(date_filter, batch_format="pandas")
 
-    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    if cust_ds.count() <= customer_broadcast_limit:
+        cust = cust_ds.to_pandas()
+        building = np.sort(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+        )
+        bref = ray.put(building)
+
+        def seg_filter(batch: pd.DataFrame) -> pa.Table:
+            m = np.isin(batch["o_custkey"].to_numpy(), ray.get(bref))
+            return _pt(batch.loc[m, ["o_orderkey", "o_orderdate"]])
+
+        orders = orders.map_batches(seg_filter, batch_format="pandas")
+    else:
+        seg_keys = cust_ds.filter(
+            expr="c_mktsegment == 'BUILDING'"
+        ).select_columns(["c_custkey"])
+        orders = orders.join(
+            seg_keys, "inner", nparts, on=("o_custkey",), right_on=("c_custkey",)
+        ).select_columns(["o_orderkey", "o_orderdate"])
+
+    def line_partial(batch: pd.DataFrame) -> pa.Table:
         m = batch["l_shipdate"] > cutoff
         b = batch.loc[m].assign(
             rev=lambda d: d["l_extendedprice"] * (1 - d["l_discount"])
         )
-        return b.groupby("l_orderkey", as_index=False).agg(v=("rev", "sum"))
+        return _pt(b.groupby("l_orderkey", as_index=False).agg(v=("rev", "sum")))
 
     line = _read(
         sf_dir,
@@ -733,7 +766,6 @@ def shipping_priority_revenue(sf_dir: str, k: int = 10):
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_partial, batch_format="pandas")
 
-    nparts = safe_join_partitions(16)
     joined = line.join(
         orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
     )
@@ -918,28 +950,33 @@ def events_rolling_7d(sf_dir: str):
     return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
 
 
-def revenue_by_nation(sf_dir: str):
+def revenue_by_nation(sf_dir: str, customer_broadcast_limit: int = 1_000_000):
     """Multi-table star join done the Ray-Data way: the fact-fact edge
     (lineitem ⋈ orders) is a partitioned hash join — neither fact table
-    ever touches the driver — while the small dimension chain
-    (customer -> nation) is broadcast as plain dicts via ray.put and
-    applied map-side. The lineitem side is pre-aggregated per orderkey
-    inside map_batches (combiner) so the join ships partial sums, not
-    raw line items; only the final tiny groupby(n_name) shuffles."""
+    ever touches the driver — and the lineitem side is pre-aggregated
+    per orderkey inside map_batches (combiner) so the join ships
+    partial sums, not raw line items. The customer dimension is
+    broadcast as a plain dict ONLY below ``customer_broadcast_limit``
+    rows (customer is 1/10th of orders — unconditionally broadcasting
+    it is tens of GB per node at 100x scale); above the limit it joins
+    partitioned, mirroring scan.py's broadcast_signatures_limit
+    dispatch. nation (25 rows) is always broadcast."""
     from clonehunter_ray.util import safe_join_partitions
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    maps_ref = ray.put((cust_nation, nation_name))
+    # metadata-only count on a pure parquet read: cheap dispatch
+    broadcast_cust = cust_ds.count() <= customer_broadcast_limit
 
-    def partial_by_order(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_by_order(batch: pd.DataFrame) -> pa.Table:
         batch = batch.assign(
             rev=batch["l_extendedprice"] * (1 - batch["l_discount"])
         )
-        return batch.groupby("l_orderkey", as_index=False).agg(
-            v=("rev", "sum"), n=("rev", "size")
+        return _pt(
+            batch.groupby("l_orderkey", as_index=False).agg(
+                v=("rev", "sum"), n=("rev", "size")
+            )
         )
 
     line = _read(
@@ -951,18 +988,47 @@ def revenue_by_nation(sf_dir: str):
         orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
-    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
-        cn, nn = ray.get(maps_ref)
-        nat = [nn.get(cn.get(c)) for c in batch["o_custkey"].to_numpy()]
-        df = pd.DataFrame({"n_name": nat, "v": batch["v"], "n": batch["n"]})
-        return df.groupby("n_name", as_index=False).agg(
-            v=("v", "sum"), n=("n", "sum")
+    if broadcast_cust:
+        cust = cust_ds.to_pandas()
+        maps_ref = ray.put(
+            (dict(zip(cust["c_custkey"], cust["c_nationkey"])), nation_name)
         )
 
-    agg = (
-        joined.map_batches(to_nation, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("v", alias_name="v_sum"), Sum("n", alias_name="n_sum"))
+        def to_nation(batch: pd.DataFrame) -> pa.Table:
+            cn, nn = ray.get(maps_ref)
+            nat = batch["o_custkey"].map(cn).map(nn)
+            df = pd.DataFrame({"n_name": nat, "v": batch["v"], "n": batch["n"]})
+            return _pt(
+                df.groupby("n_name", as_index=False).agg(
+                    v=("v", "sum"), n=("n", "sum")
+                )
+            )
+
+        keyed = joined.map_batches(to_nation, batch_format="pandas")
+    else:
+        nn_ref = ray.put(nation_name)
+        joined = joined.join(
+            cust_ds, "inner", nparts, on=("o_custkey",), right_on=("c_custkey",)
+        )
+
+        def to_nation_joined(batch: pd.DataFrame) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "n_name": batch["c_nationkey"].map(ray.get(nn_ref)),
+                    "v": batch["v"],
+                    "n": batch["n"],
+                }
+            )
+            return _pt(
+                df.groupby("n_name", as_index=False).agg(
+                    v=("v", "sum"), n=("n", "sum")
+                )
+            )
+
+        keyed = joined.map_batches(to_nation_joined, batch_format="pandas")
+
+    agg = keyed.groupby("n_name").aggregate(
+        Sum("v", alias_name="v_sum"), Sum("n", alias_name="n_sum")
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:

@@ -82,6 +82,11 @@ class ScanResult:
     findings: "ray.data.Dataset"
     cluster_map: dict[str, int] = field(default_factory=dict)
     stats: dict = field(default_factory=dict)
+    # run-metrics actor handle: holding it here ties the actor's life
+    # to the result, so lineage re-execution of a pairs block AFTER
+    # scan() returns still reaches a live actor (killing it inside
+    # scan() failed those tasks with RayActorError)
+    metrics_actor: object = None
 
 
 def _prefixed(
@@ -94,19 +99,21 @@ def _prefixed(
     return ds.map_batches(_rename, batch_format="pyarrow")
 
 
-def build_signatures(
+def build_prefix(
     files_ds: "ray.data.Dataset", config: EngineConfig
-) -> "ray.data.Dataset":
-    """files -> signatures (the narrow, embarrassingly-parallel half)."""
+) -> tuple["ray.data.Dataset", "ray.data.Dataset", "ray.data.Dataset"]:
+    """files -> (hashed, units, snippets): the narrow, embarrassingly-
+    parallel chain, built ONCE and shared by build_signatures and the
+    ScanResult surfaces (a second parallel definition of the same chain
+    previously lived in scan() — confusing and rot-prone)."""
     hashed = files_ds.map_batches(add_content_sha256, batch_format="pyarrow")
     if config.include_langs:
-        langs = set(config.include_langs)
         import pyarrow as pa
+        import pyarrow.compute as pc
 
+        langs = pa.array(sorted(config.include_langs), pa.string())
         hashed = hashed.map_batches(
-            lambda t: t.filter(
-                pa.array([l in langs for l in t["lang"].to_pylist()], pa.bool_())
-            ),
+            lambda t: t.filter(pc.is_in(t["lang"], value_set=langs)),
             batch_format="pyarrow",
         )
     units = hashed.map_batches(extract_units_batch, batch_format="pyarrow")
@@ -116,6 +123,17 @@ def build_signatures(
         batch_format="pyarrow",
         batch_size=config.exec.file_batch_size,
     )
+    return hashed, units, snippets
+
+
+def build_signatures(
+    files_ds: "ray.data.Dataset",
+    config: EngineConfig,
+    prefix: tuple | None = None,
+) -> "ray.data.Dataset":
+    """files -> signatures (the narrow half; ``prefix`` reuses an
+    already-built (hashed, units, snippets) chain)."""
+    hashed, _units, snippets = prefix or build_prefix(files_ds, config)
     from clonehunter_ray.util import auto_actor_count
 
     n_actors = config.exec.signature_actors
@@ -454,18 +472,13 @@ def scan(
     ckpt_stats: dict[str, str] = {}
     t_start = time.monotonic()
 
-    hashed = files_ds.map_batches(add_content_sha256, batch_format="pyarrow")
-    units = hashed.map_batches(extract_units_batch, batch_format="pyarrow")
-    snippets = units.map_batches(
-        generate_snippets_batch,
-        fn_kwargs={"window": config.window},
-        batch_format="pyarrow",
-        batch_size=config.exec.batch_size,
-    )
+    hashed, units, snippets = build_prefix(files_ds, config)
 
     t0 = time.monotonic()
     signatures = ckpt.checkpoint_or_compute(
-        lambda: build_signatures(files_ds, config),
+        lambda: build_signatures(
+            files_ds, config, prefix=(hashed, units, snippets)
+        ),
         root, "signatures", fp, ckpt_stats,
     )
     timing["signatures"] = round(time.monotonic() - t0, 3)
@@ -515,6 +528,10 @@ def scan(
             findings = C.filter_min_cluster_size(
                 findings, config.cluster.min_size
             )
+            # the reported findings count must agree with the RETURNED
+            # dataset (and the CLI's finding_count), not the pre-filter
+            # edge count
+            n_findings = findings.count()
     timing["clustering"] = round(time.monotonic() - t0, 3)
     timing["total"] = round(time.monotonic() - t_start, 3)
 
@@ -523,7 +540,6 @@ def scan(
     # materialized or checkpointed by now), capped-LSH recall
     # accounting from the run's metrics actor, checkpoint hit/miss
     lsh = {k: int(v) for k, v in M.read_metrics(metrics_handle).items()}
-    M.drop_metrics(metrics_handle)
     if root and lsh and ckpt_stats.get("pairs") == "miss":
         ckpt.update_lineage(root, "pairs", {"lsh": lsh})
     stats = {
@@ -547,4 +563,5 @@ def scan(
         findings=findings,
         cluster_map=cluster_map,
         stats=stats,
+        metrics_actor=metrics_handle,
     )

@@ -319,14 +319,20 @@ def write_report(findings: Any, out_path: str, fmt: str, **kwargs) -> None:
         if hasattr(findings, "write_parquet"):
             findings.write_parquet(out_path)
         else:
-            import pyarrow.parquet as pq
+            import pandas as pd
             import pyarrow as pa
+            import pyarrow.parquet as pq
 
-            table = (
-                findings
-                if isinstance(findings, pa.Table)
-                else pa.Table.from_pandas(findings.to_pandas())
-            )
+            if isinstance(findings, pa.Table):
+                table = findings
+            elif isinstance(findings, pd.DataFrame):
+                table = pa.Table.from_pandas(findings, preserve_index=False)
+            elif hasattr(findings, "to_pandas"):  # pa.RecordBatch etc.
+                table = pa.Table.from_pandas(
+                    findings.to_pandas(), preserve_index=False
+                )
+            else:
+                table = pa.Table.from_pylist(list(findings))
             pq.write_table(table, out_path)
     else:
         raise ValueError(f"unknown report format: {fmt}")

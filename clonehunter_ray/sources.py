@@ -97,6 +97,21 @@ def detect_language(path: str) -> str:
     return "python" if path.endswith(_PY_SUFFIXES) else "text"
 
 
+def root_labels(paths: list[str]) -> list[str]:
+    """The unique label each scan root's file paths are prefixed with
+    in multi-root scans (basename, '#n'-suffixed on collision). Shared
+    by files_from_directory and the diff command's change-set rebase so
+    the two always agree."""
+    counts: dict[str, int] = {}
+    out: list[str] = []
+    for p in paths:
+        base = os.path.basename(os.path.abspath(p)) or "root"
+        n = counts.get(base, 0)
+        counts[base] = n + 1
+        out.append(base if n == 0 else f"{base}#{n}")
+    return out
+
+
 def _matches(rel_path: str, globs: tuple[str, ...]) -> bool:
     """Glob match against the relative path; a pattern without '/' also
     matches the basename (reference io/fs.py:17-40 semantics)."""
@@ -129,16 +144,10 @@ def files_from_directory(
     # checkouts each with src/a.py) must disambiguate: prefix each
     # root's rel paths with a unique root label and use it as repo.
     multi_root = len(paths) > 1
-    labels: dict[str, int] = {}
+    labels = root_labels(paths)
 
-    def _root_label(p: str) -> str:
-        base = os.path.basename(os.path.abspath(p)) or "root"
-        n = labels.get(base, 0)
-        labels[base] = n + 1
-        return base if n == 0 else f"{base}#{n}"
-
-    for root_path in paths:
-        root_label = _root_label(root_path) if multi_root else repo
+    for root_path, label in zip(paths, labels):
+        root_label = label if multi_root else repo
         root_path = os.path.abspath(root_path)
         if os.path.isfile(root_path):
             candidates = [(os.path.dirname(root_path), root_path)]

@@ -102,33 +102,29 @@ def hashmin_labels(
 ) -> "ray.data.Dataset":
     """Connected components via iterative min-label propagation.
 
-    Input: dataset with string columns (unit_a, unit_b). Output:
-    dataset (unit_id:string, label:string) where label is the minimum
-    unit_id of the component. Each round: send each node's current
-    label across every edge, take the min of received + own labels.
-    Converges in O(component diameter) rounds; every round is one
-    groupby shuffle over ~2|E| rows.
+    Input: dataset with columns (unit_a, unit_b) of any orderable type
+    (string unit ids, int64 doc ids). Output: dataset (unit_id, label)
+    of the same type where label is the minimum unit_id of the
+    component. Each round: send each node's current label across every
+    edge, take the min of received + own labels. Converges in
+    O(component diameter) rounds; every round is one groupby shuffle
+    over ~2|E| rows.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from clonehunter_ray.util import safe_join_partitions
 
     num_partitions = safe_join_partitions(num_partitions)
 
     def _init(batch: pa.Table) -> pa.Table:
-        a = batch["unit_a"].to_pylist()
-        b = batch["unit_b"].to_pylist()
-        nodes, labels = [], []
-        for x, y in zip(a, b):
-            lo = min(x, y)
-            nodes.extend((x, y))
-            labels.extend((lo, lo))
-        return pa.table(
-            {
-                "unit_id": pa.array(nodes, pa.string()),
-                "label": pa.array(labels, pa.string()),
-            }
-        )
+        lo = pc.min_element_wise(batch["unit_a"], batch["unit_b"])
+        return pa.concat_tables(
+            [
+                pa.table({"unit_id": batch["unit_a"], "label": lo}),
+                pa.table({"unit_id": batch["unit_b"], "label": lo}),
+            ]
+        ).combine_chunks()
 
     labels = (
         edges_ds.map_batches(_init, batch_format="pyarrow")
@@ -142,14 +138,12 @@ def hashmin_labels(
     )
 
     def _symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch["unit_a"].to_pylist()
-        b = batch["unit_b"].to_pylist()
-        return pa.table(
-            {
-                "src": pa.array(a + b, pa.string()),
-                "dst": pa.array(b + a, pa.string()),
-            }
-        )
+        return pa.concat_tables(
+            [
+                pa.table({"src": batch["unit_a"], "dst": batch["unit_b"]}),
+                pa.table({"src": batch["unit_b"], "dst": batch["unit_a"]}),
+            ]
+        ).combine_chunks()
 
     sym_edges = edges_ds.map_batches(
         _symmetrize, batch_format="pyarrow"
@@ -196,7 +190,10 @@ def hashmin_labels(
                 num_partitions,
                 on=("unit_id",),
             )
-            .filter(lambda r: r["label"] != r["old_label"])
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t["label"], t["old_label"])),
+                batch_format="pyarrow",
+            )
             .count()
         )
         labels = new_labels

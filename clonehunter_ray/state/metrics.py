@@ -44,17 +44,32 @@ def new_metrics_actor():
 
 def report_metrics(actor, updates: dict[str, float]) -> None:
     """Worker-side: add counters (sync, so counts are complete when the
-    stage's last task finishes). No-op without an actor handle."""
+    stage's last task finishes). No-op without an actor handle.
+
+    Swallows actor-death errors: Ray may re-execute a partition task
+    after the run ends (lineage reconstruction of a block consumed
+    later), and a dead metrics actor must degrade to lost counters, not
+    a failed task."""
     if actor is None or not updates:
         return
-    ray.get(actor.add.remote(updates))
+    try:
+        ray.get(actor.add.remote(updates))
+    except Exception:  # noqa: BLE001 - RayActorError et al.
+        pass
 
 
 def read_metrics(actor) -> dict[str, float]:
-    return ray.get(actor.get.remote())
+    try:
+        return ray.get(actor.get.remote())
+    except Exception:  # noqa: BLE001 - actor already gone
+        return {}
 
 
 def drop_metrics(actor) -> None:
+    """Explicit teardown (tests). Pipelines should instead let the
+    handle's lifetime govern the actor's: Ray reclaims it when the last
+    handle (e.g. on a ScanResult) goes out of scope, so post-run task
+    re-execution still finds it alive."""
     try:
         ray.kill(actor)
     except Exception:  # noqa: BLE001 - already gone

@@ -22,6 +22,43 @@ def safe_join_partitions(requested: int) -> int:
     return max(2, min(requested, max(2, cpus // 2)))
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the b'pandas' footer metadata
+    stripped from the schema at the READ operator.
+
+    pandas-written parquet carries schema metadata whose dict value
+    makes ``hash(schema)`` raise — Ray Data then logs "Failed to hash
+    the schemas (for deduplication)" from every downstream operator.
+    Stripping inside a later map_batches is too late for the read op
+    itself, so pass a metadata-free schema (projected to ``columns``,
+    which Ray applies AFTER pruning) into the datasource. Footer-only
+    read; no data is touched on the driver."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    probe = path
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            files = sorted(
+                e.path for e in it
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+        probe = files[0] if files else None
+    try:
+        full = pq.read_schema(probe).remove_metadata() if probe else None
+    except Exception:  # noqa: BLE001 - odd layout; fall back to plain read
+        full = None
+    if full is None:
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
+    schema = (
+        pa.schema([full.field(c) for c in columns]) if columns else full
+    )
+    return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
+
+
 def auto_actor_count(reserve: int = 2, cap: int | None = None) -> int:
     """Size an actor pool to the cluster: CPUs minus ``reserve`` slots
     left for feeder/read tasks (min 2). A fixed small constant (the

@@ -69,3 +69,67 @@ def test_scan_distributed_clustering_branch(ray_session):
         return sorted(frozenset(v) for v in comp.values())
 
     assert comp_map(f_dist) == comp_map(f_driver)
+
+
+def test_hashmin_int64_edges(ray_session):
+    """hashmin_labels is type-generic: int64 doc-id edges label each
+    component with its minimum doc_id."""
+    edges = pa.table(
+        {
+            "unit_a": pa.array([5, 4, 3, 10, 20], pa.int64()),
+            "unit_b": pa.array([4, 3, 2, 11, 21], pa.int64()),
+        }
+    )
+    labels = {
+        r["unit_id"]: r["label"]
+        for r in hashmin_labels(
+            ray.data.from_arrow(edges), num_partitions=4
+        ).iter_rows()
+    }
+    assert labels == {5: 2, 4: 2, 3: 2, 2: 2, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_minhash_keep_distributed_matches_driver(ray_session):
+    """minhash_dedup_keep above driver_max_edges switches to hash-min +
+    join labeling; keep flags and the cluster PARTITION must match the
+    driver union-find path exactly."""
+    import pandas as pd
+
+    from clonehunter_ray.pipelines.dedup import minhash_dedup_keep
+
+    texts = []
+    base = " ".join(f"tok{i} word{i} filler{i}" for i in range(60))
+    for d in range(30):
+        if d % 3 == 2:
+            texts.append(base + f" tail{d // 3}")  # near-dup of the pair below
+        elif d % 3 == 1:
+            texts.append(base + f" tail{d // 3} extra")
+        else:
+            texts.append(f"unique document {d} " + " ".join(
+                f"only{d}_{i}" for i in range(50)
+            ))
+    docs = pa.table(
+        {"doc_id": pa.array(range(30), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+    drv = minhash_dedup_keep(
+        ray.data.from_arrow(docs), threshold=0.7
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = minhash_dedup_keep(
+        ray.data.from_arrow(docs), threshold=0.7, driver_max_edges=0
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert len(drv) == len(dist) == 30
+    assert drv["keep"].tolist() == dist["keep"].tolist()
+    assert (drv["cluster_id"] != -1).sum() > 0  # clusters actually formed
+    # same partition of docs into clusters (ids may be numbered differently)
+    def parts(df):
+        g = df[df.cluster_id != -1].groupby("cluster_id")["doc_id"]
+        return sorted(frozenset(v) for _, v in g)
+    assert parts(drv) == parts(dist)
+    # distributed path: cluster_id is the min member, which is kept
+    in_cl = dist[dist.cluster_id != -1]
+    assert (in_cl.groupby("cluster_id")["doc_id"].min()
+            == in_cl.groupby("cluster_id")["doc_id"].apply(lambda s: s[ (s == s.min())].iloc[0])).all()
+    assert ((dist["doc_id"] == dist["cluster_id"]) == (dist["keep"] & (dist["cluster_id"] != -1))).all()

@@ -303,3 +303,35 @@ def test_label_centroids_values(ray_session):
         .to_numpy()
     )
     assert np.allclose(got, np.round(want, 6), atol=1e-6)
+
+
+def test_revenue_by_nation_join_cutover_matches_broadcast(ray_session):
+    """Above customer_broadcast_limit the customer dimension attaches by
+    partitioned join instead of a driver-side dict; results identical."""
+    bc = (
+        Q.revenue_by_nation(SF_DIR)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    jn = (
+        Q.revenue_by_nation(SF_DIR, customer_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_shipping_priority_join_cutover_matches_broadcast(ray_session):
+    bc = (
+        Q.shipping_priority_revenue(SF_DIR)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    jn = (
+        Q.shipping_priority_revenue(SF_DIR, customer_broadcast_limit=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn)

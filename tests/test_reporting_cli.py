@@ -167,3 +167,69 @@ def test_cli_scan_directory(ray_session, tmp_path):
     pair = data["findings"][0]
     assert {pair["function_a"]["qualified_name"],
             pair["function_b"]["qualified_name"]} == {"f", "g"}
+
+
+def test_write_report_parquet_accepts_dataframe(tmp_path):
+    """ADVICE r2: the CLI hands write_report a pandas DataFrame for
+    every format; the parquet branch must not assume a Ray Dataset."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame([FINDING])
+    out = tmp_path / "f.parquet"
+    reporting.write_report(df, str(out), "parquet")
+    got = pq.read_table(str(out))
+    assert got.num_rows == 1
+    assert got["pair_key"][0].as_py() == FINDING["pair_key"]
+
+
+def test_cli_scan_format_parquet(ray_session, tmp_path):
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    body = "\n".join(f"    v{i} = alpha_{i} + beta_{i}" for i in range(10))
+    (proj / "a.py").write_text(f"def f(x):\n{body}\n    return v9\n")
+    (proj / "b.py").write_text(f"def g(x):\n{body}\n    return v9\n")
+    out = tmp_path / "rep.parquet"
+
+    from clonehunter_ray.cli import main
+
+    rc = main(["scan", str(proj), "--out", str(out), "--format", "parquet"])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(str(out)).num_rows >= 1
+
+
+def _git(cwd, *args):
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+        cwd=cwd, check=True, capture_output=True,
+    )
+
+
+def test_cli_diff_multi_root(ray_session, tmp_path):
+    """ADVICE r2: multi-root diff must prefix the change set with the
+    same root label files_from_directory puts on finding paths."""
+    body = "\n".join(f"    v{i} = alpha_{i} + beta_{i}" for i in range(10))
+    p1 = tmp_path / "left"
+    p2 = tmp_path / "right"
+    p1.mkdir()
+    p2.mkdir()
+    (p1 / "a.py").write_text(f"def f(x):\n{body}\n    return v9\n")
+    _git(p1, "init", "-q")
+    _git(p1, "add", "-A")
+    _git(p1, "commit", "-qm", "base")  # left: fully committed, unchanged
+    _git(p2, "init", "-q")
+    _git(p2, "commit", "-qm", "base", "--allow-empty")
+    (p2 / "b.py").write_text(f"def g(x):\n{body}\n    return v9\n")  # untracked
+
+    from clonehunter_ray.cli import main
+
+    out = tmp_path / "rep.json"
+    rc = main(["diff", str(p1), str(p2), "--out", str(out), "--format", "json"])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["stats"]["finding_count"] >= 1
+    f = data["findings"][0]
+    paths = {f["function_a"]["path"], f["function_b"]["path"]}
+    assert "right/b.py" in paths  # changed-file scoping kept the pair
