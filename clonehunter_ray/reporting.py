@@ -175,37 +175,75 @@ def _sarif_location(path: str, unit_id: str) -> dict:
     }
 
 
-_SBS_MAX_LINES = 200
+# unchanged runs longer than this fold into a "<N lines not shown>"
+# meta row, keeping _SBS_CONTEXT lines of context on each edge
+# (reference html_reporter.py:300-312 renders the same marker text for
+# its hidden-line rows; per-line numbers as reference :259-276)
+_SBS_FOLD_OVER = 8
+_SBS_CONTEXT = 3
 
 
-def _side_by_side_rows(code_a: str, code_b: str) -> list[tuple[str, str, str]]:
-    """Opcode-aligned (css_class, left_line, right_line) rows for the
-    HTML diff viewer (reference html_reporter.py:205-360 renders the
-    same side-by-side opcode table)."""
+def _unit_start_line(unit_id: str) -> int:
+    # unit_id layout: path:qualname:start:end (engine unit identity)
+    try:
+        return int(str(unit_id).rsplit(":", 2)[-2])
+    except (ValueError, IndexError):
+        return 1
+
+
+Row = tuple[str, object, str, object, str]  # (cls, a_no, left, b_no, right)
+
+
+def _side_by_side_rows(
+    code_a: str, code_b: str, start_a: int = 1, start_b: int = 1
+) -> list[Row]:
+    """Opcode-aligned (css_class, a_lineno, left, b_lineno, right) rows
+    for the HTML diff viewer (reference html_reporter.py:196-276 renders
+    the same side-by-side opcode table with line numbers). Long equal
+    runs fold into a ('fold', '', '<N lines not shown>', ...) row."""
     a_lines = code_a.splitlines()
     b_lines = code_b.splitlines()
     sm = difflib.SequenceMatcher(a=a_lines, b=b_lines, autojunk=False)
-    rows: list[tuple[str, str, str]] = []
+    rows: list[Row] = []
+
+    def eq_row(i: int, j: int) -> Row:
+        return ("eq", start_a + i, a_lines[i], start_b + j, b_lines[j])
+
     for tag, i1, i2, j1, j2 in sm.get_opcodes():
         if tag == "equal":
-            for k in range(i2 - i1):
-                rows.append(("eq", a_lines[i1 + k], b_lines[j1 + k]))
+            n = i2 - i1
+            if n > _SBS_FOLD_OVER:
+                head = 0 if i1 == 0 else _SBS_CONTEXT  # no context at edges
+                tail = 0 if i2 == len(a_lines) else _SBS_CONTEXT
+                hidden = n - head - tail
+                for k in range(head):
+                    rows.append(eq_row(i1 + k, j1 + k))
+                marker = f"<{hidden} lines not shown>"
+                rows.append(("fold", "", marker, "", marker))
+                for k in range(n - tail, n):
+                    rows.append(eq_row(i1 + k, j1 + k))
+            else:
+                for k in range(n):
+                    rows.append(eq_row(i1 + k, j1 + k))
         elif tag == "replace":
             span = max(i2 - i1, j2 - j1)
             for k in range(span):
-                left = a_lines[i1 + k] if i1 + k < i2 else ""
-                right = b_lines[j1 + k] if j1 + k < j2 else ""
-                rows.append(("rep", left, right))
+                in_a, in_b = i1 + k < i2, j1 + k < j2
+                rows.append(
+                    (
+                        "rep",
+                        start_a + i1 + k if in_a else "",
+                        a_lines[i1 + k] if in_a else "",
+                        start_b + j1 + k if in_b else "",
+                        b_lines[j1 + k] if in_b else "",
+                    )
+                )
         elif tag == "delete":
             for k in range(i1, i2):
-                rows.append(("del", a_lines[k], ""))
+                rows.append(("del", start_a + k, a_lines[k], "", ""))
         elif tag == "insert":
             for k in range(j1, j2):
-                rows.append(("ins", "", b_lines[k]))
-        if len(rows) > _SBS_MAX_LINES:
-            rows = rows[:_SBS_MAX_LINES]
-            rows.append(("eq", "... (truncated)", "... (truncated)"))
-            break
+                rows.append(("ins", "", "", start_b + k, b_lines[k]))
     return rows
 
 
@@ -215,15 +253,24 @@ def _diff_cell_html(rec: dict, unit_code: dict[str, str]) -> str | None:
     if code_a is None or code_b is None:
         return None
     body = []
-    for cls, left, right in _side_by_side_rows(code_a, code_b):
+    rows = _side_by_side_rows(
+        code_a,
+        code_b,
+        _unit_start_line(rec["unit_a"]),
+        _unit_start_line(rec["unit_b"]),
+    )
+    for cls, a_no, left, b_no, right in rows:
         body.append(
-            f"<tr class='{cls}'><td><pre>{html_mod.escape(left)}</pre></td>"
+            f"<tr class='{cls}'>"
+            f"<td class='ln'>{a_no}</td>"
+            f"<td><pre>{html_mod.escape(left)}</pre></td>"
+            f"<td class='ln'>{b_no}</td>"
             f"<td><pre>{html_mod.escape(right)}</pre></td></tr>"
         )
     return (
         "<table class='sbs'><thead><tr>"
-        f"<th>{html_mod.escape(str(rec['qual_a']))}</th>"
-        f"<th>{html_mod.escape(str(rec['qual_b']))}</th>"
+        f"<th class='ln'></th><th>{html_mod.escape(str(rec['qual_a']))}</th>"
+        f"<th class='ln'></th><th>{html_mod.escape(str(rec['qual_b']))}</th>"
         f"</tr></thead><tbody>{''.join(body)}</tbody></table>"
     )
 
@@ -266,11 +313,15 @@ th, td {{ border: 1px solid #ccc; padding: 4px 8px; font-size: 13px; }}
 th {{ cursor: pointer; background: #f0f0f0; position: sticky; top: 0; }}
 tr.f:nth-child(even) {{ background: #fafafa; }}
 tr.has-diff {{ cursor: pointer; }}
-table.sbs td {{ width: 50%; vertical-align: top; }}
+table.sbs td {{ vertical-align: top; }}
+table.sbs td.ln, table.sbs th.ln {{ width: 3.5em; color: #999;
+  text-align: right; user-select: none; }}
 table.sbs pre {{ margin: 0; white-space: pre-wrap; font-size: 12px; }}
 table.sbs tr.rep td {{ background: #fff7d6; }}
-table.sbs tr.del td:first-child {{ background: #ffe3e3; }}
-table.sbs tr.ins td:last-child {{ background: #e2f5e2; }}
+table.sbs tr.del td:nth-child(2) {{ background: #ffe3e3; }}
+table.sbs tr.ins td:nth-child(4) {{ background: #e2f5e2; }}
+table.sbs tr.fold td {{ background: #f4f4f4; color: #888;
+  font-style: italic; text-align: center; }}
 </style></head>
 <body>
 <h1>{html_mod.escape(title)}</h1>

@@ -175,10 +175,67 @@ def test_html_report_diff_viewer(tmp_path):
 def test_side_by_side_rows_opcodes():
     from clonehunter_ray.reporting import _side_by_side_rows
 
-    rows = _side_by_side_rows("a\nb\nc", "a\nx\nc\nd")
-    assert ("eq", "a", "a") in rows
-    assert ("rep", "b", "x") in rows
-    assert ("ins", "", "d") in rows
+    rows = _side_by_side_rows("a\nb\nc", "a\nx\nc\nd", start_a=10, start_b=20)
+    assert ("eq", 10, "a", 20, "a") in rows
+    assert ("rep", 11, "b", 21, "x") in rows
+    assert ("ins", "", "", 23, "d") in rows
+
+
+def test_side_by_side_rows_fold_long_equal_runs():
+    """Unchanged runs longer than the fold threshold collapse into a
+    '<N lines not shown>' row with context kept on each edge (reference
+    html_reporter.py:300-312 hidden-row parity)."""
+    from clonehunter_ray.reporting import _side_by_side_rows
+
+    same = [f"line{i}" for i in range(20)]
+    a = "\n".join(["left only"] + same + ["tail a"])
+    b = "\n".join(["right only"] + same + ["tail b"])
+    rows = _side_by_side_rows(a, b)
+    folds = [r for r in rows if r[0] == "fold"]
+    assert len(folds) == 1
+    assert "lines not shown>" in folds[0][2]
+    # 3 context lines survive on each side of the fold
+    kept = [r[2] for r in rows if r[0] == "eq"]
+    assert kept[:3] == ["line0", "line1", "line2"]
+    assert kept[-3:] == ["line17", "line18", "line19"]
+    hidden = int(folds[0][2].split("<")[1].split(" ")[0])
+    assert hidden == 20 - 6
+
+
+def test_html_diff_has_line_numbers_and_fold(tmp_path):
+    from clonehunter_ray import reporting
+
+    body = "\n".join(f"    x{i} = {i}" for i in range(15))
+    finding = {
+        "pair_key": "a.py:f:40:56||b.py:g:7:23",
+        "unit_a": "a.py:f:40:56",
+        "unit_b": "b.py:g:7:23",
+        "path_a": "a.py",
+        "path_b": "b.py",
+        "qual_a": "f",
+        "qual_b": "g",
+        "score": 0.97,
+        "duplicated_lines": 15,
+        "reasons": ["func_threshold"],
+        "n_evidence": 2,
+        "best_evidence": "FUNC->FUNC|jac=0.97",
+    }
+    out = tmp_path / "r.html"
+    reporting.write_html_report(
+        [finding],
+        str(out),
+        unit_code={
+            "a.py:f:40:56": f"def f():\n{body}\n    return x0",
+            "b.py:g:7:23": f"def g():\n{body}\n    return x1",
+        },
+    )
+    html = out.read_text()
+    # line numbers from the unit spans: a starts at 40, b at 7
+    assert "<td class='ln'>40</td>" in html
+    assert "<td class='ln'>7</td>" in html
+    # the 15 identical body lines fold, 3 context lines kept each side
+    assert "lines not shown&gt;" in html
+    assert "class='fold'" in html
 
 
 def test_config_loader_accepts_expansion_group(tmp_path):

@@ -73,6 +73,15 @@ def main() -> None:
     print(f"total:      {total:8.2f}s  ({n_files / total:.1f} files/s)")
     print("--- pairs stage stats (tail) ---")
     print("\n".join(pairs.stats().splitlines()[-40:]))
+
+    # full scan() end-to-end: includes the clustering + stats tail the
+    # stage-by-stage profile above misses (driver union-find, counts)
+    from clonehunter_ray.pipelines.scan import scan
+
+    t0 = time.monotonic()
+    res = scan(read(), cfg)
+    t_e2e = time.monotonic() - t0
+    print(f"scan() e2e: {t_e2e:8.2f}s  timing={res.stats['timing']}")
     ray.shutdown()
 
 
