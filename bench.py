@@ -228,22 +228,46 @@ def run_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+    # probe gate: a rep only counts toward the headline when the
+    # bracketing hardware probes show the host actually delivering >=
+    # this fraction of the nominal hi/lo parallelism ratio (co-tenant
+    # load can eat half the cores mid-rep; measuring scan scaling in
+    # such a window measures the neighbors, not the engine). Gated-out
+    # reps are still recorded. 0 disables the gate.
+    probe_min = float(os.environ.get("GRAFT_PROBE_MIN", "0")) * (hi / lo)
     lo_times, hi_times, probes, norm_effs = [], [], [], []
+    gated_lo, gated_hi = [], []
     last_lo = last_hi = None
     for _ in range(n_runs):
-        probe = cpu_probe(lo, hi)
-        probes.append(round(probe, 2))
+        probe_pre = cpu_probe(lo, hi)
         last_hi = run_at(hi)
-        hi_times.append(last_hi["value"])
         last_lo = run_at(lo)
+        probe_post = cpu_probe(lo, hi)
+        probe = min(probe_pre, probe_post)
+        probes.append((round(probe_pre, 2), round(probe_post, 2)))
+        hi_times.append(last_hi["value"])
         lo_times.append(last_lo["value"])
         norm_effs.append(
             round((last_lo["value"] / last_hi["value"]) / probe, 3)
         )
+        if not probe_min or probe >= probe_min:
+            gated_hi.append(last_hi["value"])
+            gated_lo.append(last_lo["value"])
     import statistics
 
-    t_lo, t_hi = min(lo_times), min(hi_times)
+    if gated_lo:
+        t_lo, t_hi = min(gated_lo), min(gated_hi)
+    else:  # every rep gated out: fall back to all reps, flagged below
+        t_lo, t_hi = min(lo_times), min(hi_times)
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-rep PAIRED speedup: lo and hi of the same rep ran minutes
+    # apart in the same noise regime — mixing best-lo with best-hi from
+    # different windows (the per-level best above) compares different
+    # hosts in effect. The paired number is the physically meaningful
+    # scaling measurement; per-level best kept for continuity.
+    paired = [
+        round((l / h) / (hi / lo), 3) for l, h in zip(lo_times, hi_times)
+    ]
     print(
         json.dumps(
             {
@@ -258,6 +282,13 @@ def run_scaling() -> None:
                 "files_per_sec_hi": round(last_hi["corpus_files"] / t_hi, 1),
                 "speedup": round(t_lo / t_hi, 3),
                 "scaling_efficiency": round(eff, 3),
+                "paired_efficiency_per_rep": paired,
+                "paired_efficiency_best": max(paired) if paired else None,
+                "paired_efficiency_median": (
+                    round(statistics.median(paired), 3) if paired else None
+                ),
+                "probe_gate_min": round(probe_min, 2) if probe_min else None,
+                "reps_gated_in": len(gated_lo),
                 "hardware_probe_speedups": probes,
                 "normalized_efficiency_per_rep": norm_effs,
                 # headline = MEDIAN across reps (a max would cherry-pick

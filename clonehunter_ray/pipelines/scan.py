@@ -288,8 +288,8 @@ def _pairs_broadcast(
 
     from clonehunter_ray.stages.candidates import (
         dedupe_pairs_partition_indexed,
-        emit_pairs_partition_indexed,
-        explode_bands_indexed,
+        emit_pairs_packed_partition,
+        explode_bands_packed,
         make_broadcast_handle,
     )
 
@@ -297,35 +297,27 @@ def _pairs_broadcast(
     # single time and every worker maps it zero-copy (per-worker
     # combining copied the payload into every worker heap). A split
     # light/heavy handle pair was A/B-tested and is NOT faster: the
-    # heavy blob combine runs late and contends with the band-shuffle
-    # sorts, while the single combine (num_cpus=0, starts the moment
-    # the signature blocks exist) overlaps the explode+sort for free.
+    # heavy blob combine runs late and contends with the pipeline,
+    # while the single combine (num_cpus=0, starts the moment the
+    # signature blocks exist) overlaps for free.
     ref = make_broadcast_handle(signatures, payload_cols, "snippet_id")
     light_ref = ref
 
-    bands = (
-        signatures.select_columns(["snippet_id", "band_keys"])
-        .map_batches(
-            explode_bands_indexed,
-            fn_kwargs={"index_ref": light_ref},
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: t.append_column(
-                "part",
-                pa.array(
-                    (
-                        t["band_key"].to_numpy(zero_copy_only=False)
-                        % np.uint64(nparts)
-                    ).astype(np.int64),
-                    pa.int64(),
-                ),
-            ),
-            batch_format="pyarrow",
-        )
+    # packed band shuffle: each explode task pre-splits its band rows
+    # by part and ships P blob rows, so the groupby sort handles
+    # thousands of fat rows instead of millions of 12-byte rows (the
+    # per-row sort machinery was the slowest, worst-scaling pairs
+    # operator — 19 s at 100k files / 16 CPUs; see
+    # candidates.explode_bands_packed)
+    packed = signatures.select_columns(
+        ["snippet_id", "band_keys"]
+    ).map_batches(
+        explode_bands_packed,
+        fn_kwargs={"index_ref": light_ref, "num_partitions": nparts},
+        batch_format="pyarrow",
     )
-    candidates = bands.groupby("part").map_groups(
-        lambda g: emit_pairs_partition_indexed(
+    candidates = packed.groupby("part").map_groups(
+        lambda g: emit_pairs_packed_partition(
             g,
             cap,
             skew_mode=config.signature.skew_mode,

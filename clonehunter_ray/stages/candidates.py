@@ -398,6 +398,85 @@ def explode_bands_indexed(
     return pa.table({"band_key": flat, "sid": pa.array(sids, pa.int32())})
 
 
+def explode_bands_packed(
+    batch: pa.Table, index_ref, num_partitions: int
+) -> pa.Table:
+    """signatures batch -> AT MOST ``num_partitions`` rows of
+    (part: i64, keys: binary, sids: binary) where the blobs are the
+    raw little-endian u64 band keys / i32 sids of this batch's rows
+    falling in that band-hash partition.
+
+    Map-side packing for the band shuffle: the groupby("part") sort
+    then moves ~blocks x P FAT rows instead of |snippets| x |bands|
+    12-byte rows (measured 19 s of per-row sort machinery at 11.3M
+    rows / 100k files — the slowest, worst-scaling pairs operator; the
+    bytes still move, the per-row cost vanishes). The all-parallel
+    shape also survives this host's memory-bandwidth contention bursts,
+    which made a single-task combine variant 2-4x slower, not faster."""
+    et = explode_bands_indexed(batch, index_ref)
+    keys = et["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sids = et["sid"].to_numpy(zero_copy_only=False).astype(np.int32)
+    # plain python-int modulus: u64-scalar variants hit slow numpy
+    # paths under memory pressure; int is always the fast loop
+    part = (keys % num_partitions).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    part_s, keys_s, sids_s = part[order], keys[order], sids[order]
+    uniq, starts = np.unique(part_s, return_index=True)
+    bounds = np.append(starts, len(part_s))
+    out_part: list[int] = []
+    out_keys: list[bytes] = []
+    out_sids: list[bytes] = []
+    for i, p in enumerate(uniq):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        out_part.append(int(p))
+        out_keys.append(keys_s[lo:hi].tobytes())
+        out_sids.append(sids_s[lo:hi].tobytes())
+    return pa.table(
+        {
+            "part": pa.array(out_part, pa.int64()),
+            "keys": pa.array(out_keys, pa.binary()),
+            "sids": pa.array(out_sids, pa.binary()),
+        }
+    )
+
+
+def emit_pairs_packed_partition(
+    partition: pa.Table,
+    max_bucket_pairs_full: int,
+    skew_mode: str,
+    salt_rounds: int,
+    metrics=None,
+) -> pa.Table:
+    """One part group of packed band fragments -> candidate pairs.
+    Unpacks the blobs (zero-copy frombuffer views), concatenates, and
+    runs the standard vectorized emission — row-for-row the same
+    partition contents as the unpacked groupby, so output pairs and
+    capped-bucket metrics are identical."""
+    kb = [
+        np.frombuffer(b, dtype=np.uint64)
+        for b in partition["keys"].to_pylist()
+    ]
+    sb = [
+        np.frombuffer(b, dtype=np.int32)
+        for b in partition["sids"].to_pylist()
+    ]
+    if not kb:
+        return _SID_PAIRS_SCHEMA.empty_table()
+    part_tbl = pa.table(
+        {
+            "band_key": pa.array(np.concatenate(kb), pa.uint64()),
+            "sid": pa.array(np.concatenate(sb), pa.int32()),
+        }
+    )
+    return emit_pairs_partition_indexed(
+        part_tbl,
+        max_bucket_pairs_full,
+        skew_mode=skew_mode,
+        salt_rounds=salt_rounds,
+        metrics=metrics,
+    )
+
+
 def salted_bucket_pairs_int(
     bucket: np.ndarray,
     cap: int,

@@ -140,20 +140,24 @@ def resume_missing(
     """Anti-join: rows of ``input_ds`` whose ``key`` is not present in
     ``checkpoint_ds`` (broadcast key set; the checkpoint key column is
     small relative to payloads)."""
+    import pyarrow as pa
     import ray
 
-    done = set()
+    key_type = pa.string()
+    chunks = []
     for batch in checkpoint_ds.select_columns([key]).iter_batches(
         batch_format="pyarrow"
     ):
-        done.update(batch[key].to_pylist())
+        key_type = batch.schema.field(key).type
+        if batch.num_rows:
+            chunks.append(batch[key].combine_chunks())
+    done = pa.concat_arrays(chunks) if chunks else pa.array([], key_type)
     done_ref = ray.put(done)
 
     def _filter(batch):
-        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        have = ray.get(done_ref)
-        mask = [k not in have for k in batch[key].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        mask = pc.is_in(batch[key], value_set=ray.get(done_ref))
+        return batch.filter(pc.invert(pc.fill_null(mask, False)))
 
     return input_ds.map_batches(_filter, batch_format="pyarrow")
