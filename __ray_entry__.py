@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_numbers_documents": Q.redact_numbers_documents,
         "stratified_sample_embeddings": Q.stratified_sample_embeddings,
         "label_centroids": Q.label_centroids,
+        "language_id_documents": lambda sf: text_analysis.language_id(_docs(sf)),
+        "doc_quality_scores": lambda sf: text_analysis.quality_scores(_docs(sf)),
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -134,8 +136,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": lambda sf: similarity.embedding_near_dup_pairs(
             _emb(sf), threshold=0.4, n_bits=4
         ),
-        "language_id_documents": lambda sf: text_analysis.language_id(_docs(sf)),
-        "doc_quality_scores": lambda sf: text_analysis.quality_scores(_docs(sf)),
         "fingerprint_documents": lambda sf: text_analysis.fingerprint_documents(
             _docs(sf)
         ),
@@ -143,22 +143,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,
         "media_feature_extract": _media_features,
+        "media_container_stats": _media_stats,
+        "media_exact_dedup": _media_dedup,
+        "media_video_frame_sample": _media_frames,
     }
+
+
+def _media_ds(n: int = 128):
+    import ray.data
+
+    from clonehunter_ray.pipelines.multimodal import synthesize_media_table
+
+    return ray.data.from_arrow(synthesize_media_table(n, seed=42))
 
 
 def _media_features(sf_dir: str):
     """Rows-only: multimodal actor-pool feature extraction over a
-    deterministic synthetic media table (binary payload column; the
-    decode kernel is a deterministic fake — no codecs here)."""
-    import ray.data
+    deterministic synthetic media table (binary payload column). The
+    BMP/WAV/y4m payloads are decoded FOR REAL (stdlib+numpy);
+    compressed codecs raise DecodeError."""
+    from clonehunter_ray.pipelines.multimodal import extract_media_features
 
-    from clonehunter_ray.pipelines.multimodal import (
-        extract_media_features,
-        synthesize_media_table,
-    )
+    return extract_media_features(_media_ds(), dim=16)
 
-    media = ray.data.from_arrow(synthesize_media_table(128, seed=42))
-    return extract_media_features(media, dim=16)
+
+def _media_stats(sf_dir: str):
+    """Rows-only: container-level triage (size, magic-byte MIME sniff,
+    byte entropy, sha256) over binary media payloads — no decode."""
+    from clonehunter_ray.pipelines.multimodal import media_container_stats
+
+    return media_container_stats(_media_ds())
+
+
+def _media_dedup(sf_dir: str):
+    """Rows-only: exact payload dedup by sha256 (keep min media_id);
+    only (sha256, id) rows cross the shuffle."""
+    from clonehunter_ray.pipelines.multimodal import dedup_media_exact
+
+    return dedup_media_exact(_media_ds())
+
+
+def _media_frames(sf_dir: str):
+    """Rows-only: evenly sample frames from y4m video payloads; frames
+    re-encoded as BMP for downstream image stages. The driver-facing
+    result carries a sha256 digest per frame instead of the raw BMP
+    bytes (the compare harness stringifies object columns, and raw
+    binary isn't utf-8)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from clonehunter_ray.pipelines.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media_ds(), k=4)
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.sha256(b).hexdigest() for b in batch["frame_bmp"].to_pylist()
+        ]
+        return batch.drop_columns(["frame_bmp"]).append_column(
+            "frame_sha256", pa.array(digests, pa.string())
+        )
+
+    return frames.map_batches(_digest, batch_format="pyarrow")
 
 
 def _corpus_for(sf_dir: str):
@@ -218,6 +265,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT)
                      AS n_tokens
             FROM documents
+        """,
+        "doc_quality_scores": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(ts) > 0 THEN
+                       CAST(list_aggregate(list_transform(ts, x -> length(x)),
+                                           'sum') AS DOUBLE) / len(ts)
+                   ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN len(ts) > 0 THEN
+                       CAST(len(list_filter(ts, x -> list_contains(
+                           ['a', 'and', 'are', 'as', 'auf', 'con', 'dans',
+                            'das', 'de', 'del', 'den', 'der', 'des', 'die',
+                            'du', 'ein', 'eine', 'el', 'en', 'es', 'est',
+                            'et', 'for', 'für', 'im', 'in', 'is', 'ist',
+                            'it', 'la', 'las', 'le', 'les', 'los', 'mit',
+                            'nicht', 'no', 'of', 'on', 'para', 'pas', 'por',
+                            'pour', 'que', 'qui', 'sich', 'sur', 'that',
+                            'the', 'this', 'to', 'un', 'una', 'und', 'une',
+                            'von', 'was', 'with', 'y', 'zu'], x)))
+                            AS DOUBLE) / len(ts)
+                   ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN len(ts) > 0 THEN
+                       CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+                   ELSE 0.0 END AS distinct_ratio
+            FROM t
         """,
         "doc_quality_counts": """
             SELECT doc_id,
@@ -382,6 +460,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate
             ORDER BY revenue DESC, o_orderdate, l.l_orderkey
             LIMIT 10
+        """,
+        "language_id_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS tx,
+                       regexp_extract_all(
+                           lower(substr(coalesce(text, ''), 1, 4000)),
+                           '[a-z0-9_]+') AS ts
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       length(regexp_replace(substr(tx, 1, 2000),
+                              '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+                       length(substr(tx, 1, 2000)) AS n_head,
+                       len(ts) AS n,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(len(list_filter(ts, x -> list_contains(
+                               ['the','and','of','to','a','in','is','that',
+                                'for','it','with','as','was','on','are',
+                                'this'], x))) AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS s_en,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(len(list_filter(ts, x -> list_contains(
+                               ['der','die','das','und','ist','nicht','ein',
+                                'eine','zu','den','mit','von','auf','für',
+                                'im','sich'], x))) AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS s_de,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(len(list_filter(ts, x -> list_contains(
+                               ['le','la','les','et','est','un','une','de',
+                                'des','du','que','pour','dans','qui','sur',
+                                'pas'], x))) AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS s_fr,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(len(list_filter(ts, x -> list_contains(
+                               ['el','la','los','las','y','es','un','una',
+                                'de','del','que','para','en','por','con',
+                                'no'], x))) AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS s_es
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                       WHEN n_head = 0 THEN 'unknown'
+                       WHEN n_cjk > n_head * 0.05 THEN 'zh'
+                       WHEN n = 0 THEN 'unknown'
+                       WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.01
+                           THEN 'unknown'
+                       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                           THEN 'en'
+                       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                       WHEN s_fr >= s_es THEN 'fr'
+                       ELSE 'es'
+                   END AS pred_lang
+            FROM scored
         """,
         "redact_numbers_documents": """
             SELECT doc_id,

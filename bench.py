@@ -70,6 +70,7 @@ def run_bench() -> dict:
     from clonehunter_ray.config import EngineConfig, ExecConfig
     from clonehunter_ray.pipelines import dedup, queries as Q
     from clonehunter_ray.pipelines.scan import scan
+    from clonehunter_ray.util import read_parquet_clean
 
     sf = sf_of(SF_DIR)
     n_files = int(

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import ray
 import ray.data
 
 from clonehunter_ray.config import EngineConfig
@@ -40,7 +39,6 @@ from clonehunter_ray.stages.candidates import (
     explode_bands,
 )
 from clonehunter_ray.stages.extract import add_content_sha256, extract_units_batch
-from clonehunter_ray.stages.rollup import rollup_group
 from clonehunter_ray.stages.signatures import SignatureStage
 from clonehunter_ray.stages.snippets import generate_snippets_batch
 from clonehunter_ray.stages.verify import verify_pairs_batch
@@ -489,33 +487,25 @@ def scan(
     t0 = time.monotonic()
     n_findings = findings.count()
     cluster_map: dict[str, int] = {}
+    n_clusters = 0
     if config.cluster.enabled:
         n_edges = n_findings
         if n_edges <= config.cluster.driver_max_edges:
             findings, cluster_map = C.add_cluster_ids(findings, config.cluster)
+            n_clusters = len(set(cluster_map.values()))
         else:
+            # scale path: distributed hash-min labels + partitioned
+            # join attach — NO driver-side label dict (the labelled
+            # node set grows with the corpus). cluster_map stays empty
+            # here by design; consumers needing unit->cluster at this
+            # scale should read it off the findings dataset.
             labels_ds = C.hashmin_labels(
                 findings.select_columns(["unit_a", "unit_b"])
             )
-            lab = {
-                r["unit_id"]: r["label"] for r in labels_ds.iter_rows()
-            }
-            dense: dict[str, int] = {}
-            for i, root_label in enumerate(sorted(set(lab.values())), start=1):
-                dense[root_label] = i
-            cluster_map = {u: dense[l] for u, l in lab.items()}
-            ref = ray.put(cluster_map)
-
-            def _add(batch):
-                import pyarrow as pa
-
-                m = ray.get(ref)
-                ids = [m.get(u, -1) for u in batch["unit_a"].to_pylist()]
-                return batch.append_column(
-                    "cluster_id", pa.array(ids, pa.int64())
-                )
-
-            findings = findings.map_batches(_add, batch_format="pyarrow")
+            findings = C.attach_cluster_ids_join(
+                findings, labels_ds, config.exec.shuffle_partitions or 16
+            )
+            n_clusters = labels_ds.groupby("label").count().count()
         if config.cluster.min_size > 1:
             findings = C.filter_min_cluster_size(
                 findings, config.cluster.min_size
@@ -540,7 +530,7 @@ def scan(
             "snippets": signatures.count(),
             "verified_pairs": pairs.count(),
             "findings": n_findings,
-            "clusters": len(set(cluster_map.values())),
+            "clusters": n_clusters,
         },
         "lsh": lsh,
         "checkpoint": dict(ckpt_stats),

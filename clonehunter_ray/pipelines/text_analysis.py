@@ -67,9 +67,9 @@ def language_id(docs_ds: "ray.data.Dataset", concurrency: int = 2):
     )
 
 
-def quality_scores(docs_ds: "ray.data.Dataset"):
-    """Heuristic quality scores: mean token length, stopword ratio,
-    repetition (distinct/total token ratio).
+def quality_scores_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch quality-score kernel: mean token length, stopword
+    ratio, repetition (distinct/total token ratio).
 
     Fully vectorized for the 100 TB text path: tokenization is the
     Arrow C++ chain lower -> split on the token alphabet's complement
@@ -82,55 +82,58 @@ def quality_scores(docs_ds: "ray.data.Dataset"):
     import pyarrow.compute as pc
 
     stops = pa.array(sorted(frozenset().union(*_STOPWORDS.values())))
+    n_docs = batch.num_rows
+    low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    flat = flat.filter(pa.array(keep, pa.bool_()))
 
-    def score(batch: pa.Table) -> pa.Table:
-        n_docs = batch.num_rows
-        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-        toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
-        flat = pc.list_flatten(toks).combine_chunks()
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parent = parent[keep]
-        flat = flat.filter(pa.array(keep, pa.bool_()))
-
-        n_tokens = np.bincount(parent, minlength=n_docs)
-        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        sum_lens = np.bincount(parent, weights=tok_lens, minlength=n_docs)
-        stop_hits = np.bincount(
-            parent,
-            weights=pc.is_in(flat, value_set=stops).to_numpy(
-                zero_copy_only=False
-            ),
-            minlength=n_docs,
-        )
-        # distinct tokens per doc: dictionary-encode once, then count
-        # unique (doc, code) composite keys per doc
-        codes = pc.dictionary_encode(flat).indices.to_numpy(
+    n_tokens = np.bincount(parent, minlength=n_docs)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_lens = np.bincount(parent, weights=tok_lens, minlength=n_docs)
+    stop_hits = np.bincount(
+        parent,
+        weights=pc.is_in(flat, value_set=stops).to_numpy(
             zero_copy_only=False
-        ).astype(np.int64)
-        vocab = int(codes.max()) + 1 if len(codes) else 1
-        distinct_keys = np.unique(parent.astype(np.int64) * vocab + codes)
-        n_distinct = np.bincount(distinct_keys // vocab, minlength=n_docs)
+        ),
+        minlength=n_docs,
+    )
+    # distinct tokens per doc: dictionary-encode once, then count
+    # unique (doc, code) composite keys per doc
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    distinct_keys = np.unique(parent.astype(np.int64) * vocab + codes)
+    n_distinct = np.bincount(distinct_keys // vocab, minlength=n_docs)
 
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mean_len = np.where(n_tokens > 0, sum_lens / n_tokens, 0.0)
-            stop_ratio = np.where(n_tokens > 0, stop_hits / n_tokens, 0.0)
-            distinct_ratio = np.where(
-                n_tokens > 0, n_distinct / n_tokens, 0.0
-            )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
-                "mean_token_len": pa.array(np.round(mean_len, 4), pa.float64()),
-                "stopword_ratio": pa.array(np.round(stop_ratio, 4), pa.float64()),
-                "distinct_ratio": pa.array(
-                    np.round(distinct_ratio, 4), pa.float64()
-                ),
-            }
+    # unrounded: every ratio is an exact-integer-valued double over
+    # an exact count, so a SQL oracle computing the same quotients
+    # matches bit-for-bit (rounding would have to match the SQL
+    # engine's tie-breaking instead)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_len = np.where(n_tokens > 0, sum_lens / n_tokens, 0.0)
+        stop_ratio = np.where(n_tokens > 0, stop_hits / n_tokens, 0.0)
+        distinct_ratio = np.where(
+            n_tokens > 0, n_distinct / n_tokens, 0.0
         )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+        }
+    )
 
-    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+def quality_scores(docs_ds: "ray.data.Dataset"):
+    return docs_ds.map_batches(quality_scores_batch, batch_format="pyarrow")
+
 
 
 def fingerprint_documents(docs_ds: "ray.data.Dataset", window: int = 8):

@@ -74,22 +74,101 @@ def filter_min_cluster_size(
     per cluster_id, keep clusters with >= min_size findings."""
     if min_size <= 1:
         return findings_ds
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     counts_ds = findings_ds.groupby("cluster_id").count()
-    keep = {
+    keep = [
         r["cluster_id"]
         for r in counts_ds.iter_rows()
         if r["count()"] >= min_size
-    }
-    keep_ref = ray.put(keep)
+    ]
+    keep_ref = ray.put(pa.array(keep, pa.int64()))
 
     def _filter(batch):
-        import pyarrow as pa
-
-        k = ray.get(keep_ref)
-        mask = [c in k for c in batch["cluster_id"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        mask = pc.fill_null(
+            pc.is_in(batch["cluster_id"], value_set=ray.get(keep_ref)), False
+        )
+        return batch.filter(mask)
 
     return findings_ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def attach_cluster_ids_join(
+    findings_ds: "ray.data.Dataset",
+    labels_ds: "ray.data.Dataset",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Scale-path cluster-id attach: partitioned left-outer join of
+    ``findings.unit_a`` against hash-min labels (no driver-side label
+    dict — the labelled-node set grows with the corpus).
+
+    ``cluster_id`` is a stable 63-bit hash of the component label (the
+    component's min unit_id), NOT a dense rank: dense renumbering
+    needs a global sort of the distinct labels, and the id's only
+    contract downstream (rollup grouping, min-size filter, reports) is
+    "same component <=> same id"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.functions.hashing import hash_token_u64
+    from clonehunter_ray.util import safe_join_partitions
+
+    # pyarrow's hash join rejects list<...> payload columns; pack any
+    # list<string> column (reasons) into a \x1f-delimited string for the
+    # shuffle and unpack after. Reason tags never contain \x1f or are
+    # empty strings, so the round-trip is lossless.
+    SEP = "\x1f"
+
+    def _pack_lists(batch: pa.Table) -> pa.Table:
+        for i, field in enumerate(batch.schema):
+            if pa.types.is_list(field.type) or pa.types.is_large_list(
+                field.type
+            ):
+                packed = pc.binary_join(
+                    batch.column(i).combine_chunks(), SEP
+                )
+                batch = batch.set_column(
+                    i, f"__packed__{field.name}", packed
+                )
+        return batch
+
+    joined = findings_ds.map_batches(
+        _pack_lists, batch_format="pyarrow"
+    ).join(
+        labels_ds,
+        "left_outer",
+        safe_join_partitions(num_partitions),
+        on=("unit_a",),
+        right_on=("unit_id",),
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ids = [
+            (hash_token_u64(l) & 0x7FFFFFFFFFFFFFFF) if l is not None else -1
+            for l in batch["label"].to_pylist()
+        ]
+        drop = [c for c in ("label", "unit_id") if c in batch.column_names]
+        batch = batch.drop_columns(drop).append_column(
+            "cluster_id", pa.array(ids, pa.int64())
+        )
+        for i, field in enumerate(batch.schema):
+            if field.name.startswith("__packed__"):
+                unpacked = pc.split_pattern(
+                    batch.column(i), pattern=SEP
+                )
+                empties = pc.equal(batch.column(i), "")
+                unpacked = pc.if_else(
+                    empties,
+                    pa.scalar([], pa.list_(pa.string())),
+                    unpacked.cast(pa.list_(pa.string())),
+                )
+                batch = batch.set_column(
+                    i, field.name[len("__packed__"):], unpacked
+                )
+        return batch
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
 
 
 # -- distributed label propagation (scale path) -----------------------------

@@ -66,7 +66,9 @@ def test_scan_distributed_clustering_branch(ray_session):
             comp.setdefault(row.cluster_id, set()).update(
                 (row.unit_a, row.unit_b)
             )
-        return sorted(frozenset(v) for v in comp.values())
+        # sort by a TOTAL order (frozenset < is subset comparison, a
+        # partial order — sorted() over it is encounter-order dependent)
+        return sorted((tuple(sorted(v)) for v in comp.values()))
 
     assert comp_map(f_dist) == comp_map(f_driver)
 
@@ -126,7 +128,7 @@ def test_minhash_keep_distributed_matches_driver(ray_session):
     # same partition of docs into clusters (ids may be numbered differently)
     def parts(df):
         g = df[df.cluster_id != -1].groupby("cluster_id")["doc_id"]
-        return sorted(frozenset(v) for _, v in g)
+        return sorted(tuple(sorted(v)) for _, v in g)
     assert parts(drv) == parts(dist)
     # distributed path: cluster_id is the min member, which is kept
     in_cl = dist[dist.cluster_id != -1]

@@ -34,7 +34,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
+            )
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
