@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_container_stats": _media_stats,
         "media_exact_dedup": _media_dedup,
         "media_video_frame_sample": _media_frames,
+        "media_resize_images": _media_resize,
     }
 
 
@@ -206,6 +207,29 @@ def _media_frames(sf_dir: str):
         )
 
     return frames.map_batches(_digest, batch_format="pyarrow")
+
+
+def _media_resize(sf_dir: str):
+    """Rows-only: decode BMP images, nearest-neighbor resize to 8x8,
+    re-encode. Driver-facing result carries the resized payload's
+    sha256 (raw binary breaks harnesses that stringify columns)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from clonehunter_ray.pipelines.multimodal import resize_images
+
+    resized = resize_images(_media_ds(), out_h=8, out_w=8)
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.sha256(b).hexdigest() for b in batch["payload"].to_pylist()
+        ]
+        return batch.drop_columns(["payload"]).append_column(
+            "payload_sha256", pa.array(digests, pa.string())
+        )
+
+    return resized.map_batches(_digest, batch_format="pyarrow")
 
 
 def _corpus_for(sf_dir: str):

@@ -224,7 +224,9 @@ def main(argv: list[str] | None = None) -> int:
         "file_count": result.files.count(),
         "unit_count": result.units.count(),
         "snippet_count": result.snippets.count(),
-        "pair_count": result.pairs.count(),
+        # streamed pairs are a lazy view — .count() would re-run the
+        # band shuffle; the scan already tallied the count in-stream
+        "pair_count": result.stats["counts"]["verified_pairs"],
         "finding_count": len(findings_df),
         **result.stats,  # timing / counts / lsh / checkpoint blocks
     }

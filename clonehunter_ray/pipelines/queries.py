@@ -300,14 +300,20 @@ def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     partials = emb.map_batches(score, batch_format="pyarrow")
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = range(1, len(g) + 1)
         # integer-only output: DuckDB's list_cosine_similarity runs in
         # float32, so float columns can't hash-match across engines;
-        # neighbor gaps (~1e-3 in this data) make ranks precision-stable
-        return g[["query_id", "vec_id", "rank"]]
+        # neighbor gaps (~1e-3 in this data) make ranks precision-stable.
+        # Explicit Arrow schema: every group block hashes identically, so
+        # Ray Data's schema dedup never falls back to per-block schemas.
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
+                "vec_id": pa.array(g["vec_id"].to_numpy(), pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+            }
+        )
 
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pandas"
@@ -345,15 +351,17 @@ def lineitem_pricing_summary(sf_dir: str):
         Sum("n", alias_name="count_order"),
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "sum_qty": batch["s_qty"].round(2),
-                "sum_base_price": batch["s_base"].round(2),
-                "sum_disc_price": batch["s_disc"].round(2),
-                "count_order": batch["count_order"].astype("int64"),
+                "l_returnflag": pa.array(batch["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(batch["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(batch["s_qty"].round(2), pa.float64()),
+                "sum_base_price": pa.array(batch["s_base"].round(2), pa.float64()),
+                "sum_disc_price": pa.array(batch["s_disc"].round(2), pa.float64()),
+                "count_order": pa.array(
+                    batch["count_order"].astype("int64"), pa.int64()
+                ),
             }
         )
 
@@ -500,25 +508,30 @@ def events_asof_latest_view(sf_dir: str):
         expr="event_type == 'purchase' or event_type == 'view'"
     )
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    asof_schema = pa.schema(
+        [
+            ("purchase_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("view_id", pa.int64()),
+        ]
+    )
+
+    def asof_group(g: pd.DataFrame) -> pa.Table:
         views = g[g["event_type"] == "view"].sort_values("ts")
         buys = g[g["event_type"] == "purchase"]
         if views.empty or buys.empty:
-            return pd.DataFrame(
-                {"purchase_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "view_id": pd.Series(dtype="int64")}
-            )
+            return asof_schema.empty_table()
         vt = views["ts"].to_numpy()
         vid = views["event_id"].to_numpy()
         idx = np.searchsorted(vt, buys["ts"].to_numpy(), side="left") - 1
         keep = idx >= 0
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
                 "purchase_id": buys["event_id"].to_numpy()[keep],
                 "user_id": buys["user_id"].to_numpy()[keep],
                 "view_id": vid[idx[keep]],
-            }
+            },
+            schema=asof_schema,
         )
 
     return ev.groupby("user_id").map_groups(asof_group, batch_format="pandas")
@@ -531,14 +544,20 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     the partition column, no global sort."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def topk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True]
         ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["o_totalprice"] = g["o_totalprice"].round(2)
-        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].to_numpy(), pa.int64()),
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+                "o_totalprice": pa.array(
+                    g["o_totalprice"].round(2).to_numpy(), pa.float64()
+                ),
+                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+            }
+        )
 
     return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
 
@@ -653,14 +672,14 @@ def events_sessionization(sf_dir: str, gap_minutes: int = 30):
     gap = np.timedelta64(gap_minutes * 60, "s")
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def sessions(g: pd.DataFrame) -> pa.Table:
         ts = np.sort(g["ts"].to_numpy())
         n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "n_events": np.array([len(ts)], dtype=np.int64),
+                "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
             }
         )
 
@@ -939,13 +958,25 @@ def events_rolling_7d(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_events"))
     )
 
-    def rolling(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("day").copy()
-        g["n_7d"] = (
-            g["n_events"].rolling(window=7, min_periods=1).sum().astype("int64")
+    def rolling(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("day")
+        return pa.table(
+            {
+                "day": pa.array(g["day"], pa.string()),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n_events": pa.array(
+                    g["n_events"].astype("int64").to_numpy(), pa.int64()
+                ),
+                "n_7d": pa.array(
+                    g["n_events"]
+                    .rolling(window=7, min_periods=1)
+                    .sum()
+                    .astype("int64")
+                    .to_numpy(),
+                    pa.int64(),
+                ),
+            }
         )
-        g["n_events"] = g["n_events"].astype("int64")
-        return g[["day", "event_type", "n_events", "n_7d"]]
 
     return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
 

@@ -438,6 +438,17 @@ def build_findings(
     )
 
 
+def _tally_rows(batch, metrics=None, counter: str = "rows"):
+    """Pass-through batch map that counts rows into the run's metrics
+    actor — lets a lazy (streamed) stage report its cardinality without
+    a materialize barrier. Task retries can double-count; the counter
+    is a run statistic, not a correctness input."""
+    from clonehunter_ray.state import metrics as M
+
+    M.report_metrics(metrics, {counter: batch.num_rows})
+    return batch
+
+
 def scan(
     files_ds: "ray.data.Dataset",
     config: EngineConfig | None = None,
@@ -473,11 +484,27 @@ def scan(
     )
     timing["signatures"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    pairs = ckpt.checkpoint_or_compute(
-        lambda: build_pairs(signatures, config, metrics_handle),
-        root, "pairs", fp, ckpt_stats,
-    )
-    timing["pairs"] = round(time.monotonic() - t0, 3)
+    if root is None:
+        # STREAMING pairs -> findings: without a checkpoint root there
+        # is no reason to barrier between the two wide stages — verify
+        # output blocks flow straight into the rollup shuffle's map
+        # side, overlapping the tail of the pair stage with the head of
+        # the findings stage. The verified-pair count for ScanStats is
+        # tallied in-stream (counting the lazy dataset afterwards would
+        # re-run the whole band shuffle).
+        ckpt_stats["pairs"] = "streamed"
+        pairs = build_pairs(signatures, config, metrics_handle).map_batches(
+            _tally_rows,
+            fn_kwargs={"metrics": metrics_handle, "counter": "verified_pairs"},
+            batch_format="pyarrow",
+        )
+        timing["pairs"] = 0.0  # fused into the findings stage below
+    else:
+        pairs = ckpt.checkpoint_or_compute(
+            lambda: build_pairs(signatures, config, metrics_handle),
+            root, "pairs", fp, ckpt_stats,
+        )
+        timing["pairs"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     findings = ckpt.checkpoint_or_compute(
         lambda: build_findings(pairs, config), root, "findings", fp, ckpt_stats,
@@ -522,13 +549,19 @@ def scan(
     # materialized or checkpointed by now), capped-LSH recall
     # accounting from the run's metrics actor, checkpoint hit/miss
     lsh = {k: int(v) for k, v in M.read_metrics(metrics_handle).items()}
+    # in streaming mode the verified-pair count was tallied in-stream
+    # (the pairs dataset is a lazy view; counting it would re-run the
+    # band shuffle) — it is a run counter, not an LSH stat
+    n_pairs = int(lsh.pop("verified_pairs", -1))
+    if root is not None:
+        n_pairs = pairs.count()
     if root and lsh and ckpt_stats.get("pairs") == "miss":
         ckpt.update_lineage(root, "pairs", {"lsh": lsh})
     stats = {
         "timing": timing,
         "counts": {
             "snippets": signatures.count(),
-            "verified_pairs": pairs.count(),
+            "verified_pairs": n_pairs,
             "findings": n_findings,
             "clusters": n_clusters,
         },

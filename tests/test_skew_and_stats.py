@@ -126,10 +126,14 @@ def test_scan_stats_block(ray_session, tiny_corpus):
         assert stats["timing"][stage] >= 0
     assert stats["counts"]["snippets"] > 0
     assert stats["counts"]["findings"] == res.findings.count()
+    # streamed pairs: the count is tallied in-stream by the metrics
+    # actor, and must agree with an actual count of the lazy dataset
+    assert stats["counts"]["verified_pairs"] == res.pairs.count()
     assert stats["lsh"]["lsh_buckets_multi"] > 0
     assert "lsh_buckets_capped" in stats["lsh"]
+    assert "verified_pairs" not in stats["lsh"]
     assert stats["checkpoint"] == {
-        "signatures": "memory", "pairs": "memory", "findings": "memory"
+        "signatures": "memory", "pairs": "streamed", "findings": "memory"
     }
 
 
