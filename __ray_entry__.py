@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_numbers_documents": Q.redact_numbers_documents,
         "stratified_sample_embeddings": Q.stratified_sample_embeddings,
         "label_centroids": Q.label_centroids,
+        "embedding_cosine_pairs_exact": lambda sf: (
+            similarity.embedding_cosine_pairs_exact(
+                _emb(sf), threshold=0.4, ids_only=True
+            )
+        ),
         "language_id_documents": lambda sf: text_analysis.language_id(_docs(sf)),
         "doc_quality_scores": lambda sf: text_analysis.quality_scores(_docs(sf)),
         # rows-only (non-SQL-expressible)
@@ -343,6 +348,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(a.ts) > 0 AND len(b.ts) > 0
               AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+        """,
+        "embedding_cosine_pairs_exact": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY a_id, b_id
         """,
         "knn_cosine_topk": """
             WITH q AS (

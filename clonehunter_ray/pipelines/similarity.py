@@ -319,3 +319,115 @@ def embedding_near_dup_pairs(
         .groupby("part")
         .map_groups(dedupe, batch_format="pyarrow")
     )
+
+
+# -- exact all-pairs baseline -------------------------------------------------
+
+_EXACT_PAIR_MATRIX_CACHE: dict = {}
+
+
+def embedding_cosine_pairs_exact(
+    emb_ds: "ray.data.Dataset", threshold: float = 0.4, ids_only: bool = False
+):
+    """Exact all-pairs embedding cosine >= threshold — the brute-force,
+    oracle-checkable counterpart of ``embedding_near_dup_pairs`` (the
+    hyperplane-LSH scale path, whose recall pytest pins against this
+    function on identical inputs).
+
+    Shape: the normalized corpus is broadcast ONCE as a plasma combined
+    table (``make_broadcast_handle`` — blocks never funnel through the
+    driver); each ``map_batches`` task computes its block-row of the
+    Gram matrix against the broadcast matrix and keeps ``a_id < b_id``
+    pairs, so every pair is emitted exactly once and no shuffle or
+    driver-side collection happens anywhere. This is the documented
+    QUADRATIC baseline: O(n^2 / blocks) work per task, viable exactly as
+    long as the corpus matrix fits the object store — the same
+    assumption brute-force kNN makes. Past that, use the LSH path.
+
+    Output: (a_id:int64, b_id:int64, cos5:float64). For cross-engine
+    value checks compare only the integer id columns — DuckDB's
+    ``list_cosine_similarity`` computes in float32, so float scores
+    can't hash-match across engines (same caveat as knn_cosine_topk).
+    """
+    from clonehunter_ray.stages.candidates import (
+        get_broadcast_payload,
+        make_broadcast_handle,
+    )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "vecn": pa.array([], pa.binary()),
+                }
+            )
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "vecn": pa.array([r.tobytes() for r in matn], pa.binary()),
+            }
+        )
+
+    norm = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(normalize, batch_format="pyarrow")
+        .materialize()  # consumed twice: broadcast handle + block-row scan
+    )
+    handle = make_broadcast_handle(norm, ["vec_id", "vecn"], key_col="vec_id")
+
+    # ids_only drops the float score INSIDE the single emit stage: a
+    # downstream projection would leave the executor's empty-block
+    # pass-through emitting mixed schemas (and DuckDB cross-checks can
+    # only hash-match integer columns anyway — its
+    # list_cosine_similarity runs in float32).
+    fields = [("a_id", pa.int64()), ("b_id", pa.int64())]
+    if not ids_only:
+        fields.append(("cos5", pa.float64()))
+    _SCHEMA = pa.schema(fields)
+
+    def _corpus_matrix() -> tuple[np.ndarray, np.ndarray]:
+        """Decode the broadcast table to (ids, matrix) once per worker
+        process; keyed by the handle's uuid like _PAYLOAD_CACHE."""
+        key = handle[0]
+        cached = _EXACT_PAIR_MATRIX_CACHE.get(key)
+        if cached is None:
+            payload, _ = get_broadcast_payload(handle, need_index=False)
+            ids = payload["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rows = payload["vecn"].to_pylist()
+            mat = (
+                np.stack([np.frombuffer(r, dtype=np.float64) for r in rows])
+                if rows
+                else np.empty((0, 0))
+            )
+            _EXACT_PAIR_MATRIX_CACHE.clear()  # one live handle per worker
+            cached = (ids, mat)
+            _EXACT_PAIR_MATRIX_CACHE[key] = cached
+        return cached
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        all_ids, all_mat = _corpus_matrix()
+        if len(all_ids) == 0:
+            return _SCHEMA.empty_table()
+        my_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        my_mat = np.stack(
+            [np.frombuffer(r, dtype=np.float64) for r in batch["vecn"].to_pylist()]
+        )
+        sims = my_mat @ all_mat.T  # (block rows, corpus)
+        keep = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
+        ai, bj = np.nonzero(keep)
+        cols = {
+            "a_id": pa.array(my_ids[ai], pa.int64()),
+            "b_id": pa.array(all_ids[bj], pa.int64()),
+        }
+        if not ids_only:
+            cols["cos5"] = pa.array(np.round(sims[ai, bj], 5), pa.float64())
+        return pa.table(cols)
+
+    return norm.map_batches(emit, batch_format="pyarrow")

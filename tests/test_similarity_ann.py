@@ -57,3 +57,69 @@ def test_lsh_knn_returns_ranked_neighbors(ray_session):
         assert len(sub) >= 1
         # the query itself is its own nearest neighbor
         assert sub[sub["rank"] == 1].vec_id.iloc[0] == q
+
+
+def test_exact_cosine_pairs_match_numpy_and_duckdb(ray_session):
+    """embedding_cosine_pairs_exact is the oracle-checkable brute-force
+    baseline: block-row Gram against a plasma-broadcast corpus matrix.
+    Pin it against (a) a local numpy all-pairs reference and (b) the
+    DuckDB list_cosine_similarity SQL the driver harness runs."""
+    import duckdb
+
+    from clonehunter_ray.pipelines.similarity import embedding_cosine_pairs_exact
+
+    rows = _clustered_embeddings(n=120, dim=8, n_clusters=4, seed=11)
+    ds = ray.data.from_items(rows)
+    got = (
+        embedding_cosine_pairs_exact(ds, threshold=0.6)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+    mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    ai, bj = np.nonzero((sims >= 0.6) & (np.arange(len(rows))[:, None] < np.arange(len(rows))[None, :]))
+    assert list(zip(got["a_id"], got["b_id"])) == list(zip(ai.tolist(), bj.tolist()))
+    assert np.allclose(got["cos5"], np.round(sims[ai, bj], 5))
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+                "embedding": pa.array([r["embedding"] for r in rows], pa.list_(pa.float64())),
+            }
+        ),
+    )
+    odf = con.execute(
+        """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.6
+           ORDER BY a_id, b_id"""
+    ).fetchdf()
+    assert list(zip(got["a_id"], got["b_id"])) == list(zip(odf["a_id"], odf["b_id"]))
+
+
+def test_lsh_near_dup_recall_vs_exact_pairs(ray_session):
+    """The LSH scale path's recall is pinned against the exact baseline
+    ON IDENTICAL INPUTS: every LSH pair must be a true pair (precision
+    1.0 — verification is exact cosine), and recall must clear 0.9 on
+    clustered data with hamming<=1 multi-probe."""
+    from clonehunter_ray.pipelines.similarity import (
+        embedding_cosine_pairs_exact,
+        embedding_near_dup_pairs,
+    )
+
+    rows = _clustered_embeddings(n=150, dim=12, n_clusters=5, seed=7)
+    ds = ray.data.from_items(rows)
+    exact = embedding_cosine_pairs_exact(ds, threshold=0.8, ids_only=True).to_pandas()
+    lsh = embedding_near_dup_pairs(ds, threshold=0.8, n_bits=4).to_pandas()
+    truth = set(zip(exact["a_id"], exact["b_id"]))
+    got = set(zip(lsh["a_id"], lsh["b_id"]))
+    assert truth, "test data must produce true pairs"
+    assert got <= truth  # exact verification => no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f}"
