@@ -46,8 +46,10 @@ def main() -> None:
     cfg = EngineConfig(exec=ExecConfig(signature_actors=actors))
 
     def read():
+        # corpus-sized blocks (~400 files/block), same policy as bench.py
         return ray.data.read_parquet(
-            files_path, override_num_blocks=max(32, ncpu * 4)
+            files_path,
+            override_num_blocks=max(32, ncpu * 4, n_files // 400),
         )
 
     t0 = time.monotonic()
