@@ -725,15 +725,21 @@ def customers_without_orders(sf_dir: str):
 
 
 def shipping_priority_revenue(
-    sf_dir: str, k: int = 10, customer_broadcast_limit: int = 1_000_000
+    sf_dir: str,
+    k: int = 10,
+    customer_broadcast_limit: int = 1_000_000,
+    orders_broadcast_limit: int = 2_000_000,
 ):
     """TPC-H Q3 flavor: top-k open orders of BUILDING-segment customers
     by pending revenue. Ray shape: the segment's custkeys semi-join-
     filter orders — broadcast below ``customer_broadcast_limit``
     customer rows, partitioned hash join above (no unconditional
     driver-side dict of a fact-scale table) — lineitem pre-aggregated
-    per orderkey behind its date filter (combiner), one partitioned
-    hash join, tiny final groupby + sort-limit."""
+    per orderkey behind its date filter (combiner), then the
+    doubly-filtered orders side (segment x date cuts it to a few % of
+    the table) attaches via a broadcast sorted-array searchsorted map
+    below ``orders_broadcast_limit`` rows or a partitioned hash join
+    above, tiny final groupby + sort-limit."""
     from clonehunter_ray.util import safe_join_partitions
 
     cutoff = pd.Timestamp("1995-03-15")
@@ -785,9 +791,41 @@ def shipping_priority_revenue(
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_partial, batch_format="pandas")
 
-    joined = line.join(
-        orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    orders = orders.materialize()  # doubly-filtered: tiny vs the table
+    if orders.count() <= orders_broadcast_limit:
+        odf = orders.to_pandas()
+        okeys = odf["o_orderkey"].to_numpy(dtype=np.int64)
+        osort = np.argsort(okeys)
+        oref = ray.put((okeys[osort], odf["o_orderdate"].to_numpy()[osort]))
+        _JOINED_SCHEMA = pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.string()),
+                ("v", pa.float64()),
+            ]
+        )
+
+        def attach(batch: pd.DataFrame) -> pa.Table:
+            keys, dates = ray.get(oref)
+            if len(keys) == 0 or len(batch) == 0:
+                return _JOINED_SCHEMA.empty_table()
+            lk = batch["l_orderkey"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+            m = keys[pos] == lk
+            b = batch.loc[m]
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(lk[m], pa.int64()),
+                    "o_orderdate": pa.array(dates[pos[m]], pa.string()),
+                    "v": pa.array(b["v"].to_numpy(), pa.float64()),
+                }
+            )
+
+        joined = line.map_batches(attach, batch_format="pandas")
+    else:
+        joined = line.join(
+            orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("v", alias_name="v_sum")
     )
