@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
         ),
+        "minhash_dedup_keep_best": lambda sf: dedup.minhash_dedup_keep_best(
+            _docs(sf), threshold=0.8
+        ),
         "simhash_dup_documents": lambda sf: dedup.simhash_dup_pairs(
             _docs(sf), max_hamming=3
         ),

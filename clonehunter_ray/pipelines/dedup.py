@@ -559,3 +559,147 @@ def _dedupe_simhash_pairs_partition(t: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False).cast(
         _SIMHASH_PAIRS_SCHEMA
     )
+
+
+def minhash_dedup_keep_best(
+    docs_ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    config: SignatureConfig | None = None,
+    driver_max_edges: int = 2_000_000,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Quality-aware near-dedup keep list: within each near-dup cluster
+    keep the HIGHEST-QUALITY document (ties -> min doc_id) instead of
+    an arbitrary representative — the canonical LLM-training-data
+    recipe (when several near-copies exist, keep the best one).
+
+    Quality = n_tokens * distinct_ratio (length x lexical diversity)
+    from the vectorized text_analysis quality kernel; monotonic in
+    content, cheap, and deterministic.
+
+    Distributed shape (no stage materializes the corpus):
+    1. cluster labels from the same union-find / hash-min machinery as
+       ``minhash_dedup_keep`` (driver edges only below
+       ``driver_max_edges``; partitioned label join above);
+    2. per-doc quality scored inside ``map_batches``;
+    3. label + quality attached with ONE partitioned hash join;
+    4. per-cluster winner via map-side partial argmax (one candidate
+       row per cluster per block) -> tiny global groupby — only
+       cluster-count rows cross the final shuffle;
+    5. winners re-attached by a partitioned left-outer join on
+       cluster_id; unclustered docs (cluster_id == -1) always keep.
+
+    Returns (doc_id:int64, cluster_id:int64, quality:float64,
+    keep:bool).
+    """
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.pipelines.text_analysis import quality_scores_batch
+    from clonehunter_ray.util import safe_join_partitions
+
+    base = minhash_dedup_keep(
+        docs_ds, threshold, config, driver_max_edges
+    ).select_columns(["doc_id", "cluster_id"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = quality_scores_batch(batch)
+        quality = q["n_tokens"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) * q["distinct_ratio"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                # q_-prefixed: Ray's hash join needs distinct key names
+                # on the two sides
+                "q_doc_id": q["doc_id"].cast(pa.int64()),
+                "quality": pa.array(quality, pa.float64()),
+            }
+        )
+
+    quality = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    nj = safe_join_partitions(num_partitions)
+    labeled = base.join(
+        quality, "inner", nj, on=("doc_id",), right_on=("q_doc_id",)
+    ).select_columns(["doc_id", "cluster_id", "quality"])
+
+    # ONE schema for the partials AND the reduce output: Ray's groupby
+    # emits empty partitions with the pre-group schema without calling
+    # the UDF, and the downstream join concatenates right-side blocks —
+    # any schema drift between UDF blocks and passed-through empties
+    # breaks it. best_quality rides along (harmlessly) for that reason.
+    _WINNER_SCHEMA = pa.schema(
+        [
+            ("w_cluster_id", pa.int64()),
+            ("best_doc", pa.int64()),
+            ("best_quality", pa.float64()),
+        ]
+    )
+
+    def _first_per_cluster(
+        cl: np.ndarray, ids: np.ndarray, qv: np.ndarray
+    ) -> pa.Table:
+        """First row per cluster after (quality desc, doc_id asc)."""
+        order = np.lexsort((ids, -qv, cl))
+        _, first = np.unique(cl[order], return_index=True)
+        take = order[first]
+        return pa.table(
+            {
+                "w_cluster_id": pa.array(cl[take], pa.int64()),
+                "best_doc": pa.array(ids[take], pa.int64()),
+                "best_quality": pa.array(qv[take], pa.float64()),
+            }
+        )
+
+    def partial_best(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = cl != -1
+        if not mask.any():
+            return _WINNER_SCHEMA.empty_table()
+        return _first_per_cluster(
+            cl[mask],
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[mask],
+            batch["quality"].to_numpy(zero_copy_only=False)[mask],
+        )
+
+    def global_best(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _WINNER_SCHEMA.empty_table()
+        return _first_per_cluster(
+            group["w_cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            group["best_doc"].to_numpy(zero_copy_only=False).astype(np.int64),
+            group["best_quality"].to_numpy(zero_copy_only=False),
+        )
+
+    winners = (
+        labeled.map_batches(partial_best, batch_format="pyarrow")
+        .groupby("w_cluster_id")
+        .map_groups(global_best, batch_format="pyarrow")
+        # Ray's map_groups emits ZERO-SCHEMA empty blocks for empty sort
+        # partitions and map_batches skips empty blocks, so the schema
+        # can't be repaired in-stream; repartition rebuilds blocks from
+        # rows, dropping the poisoned empties before the hash join.
+        # Winners are one row per cluster — the repartition is tiny.
+        .repartition(nj)
+    )
+
+    out = labeled.join(
+        winners, "left_outer", nj, on=("cluster_id",), right_on=("w_cluster_id",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster_id"]
+        keep = pc.or_kleene(
+            pc.equal(cl, -1),
+            pc.equal(batch["doc_id"], pc.fill_null(batch["best_doc"], -2)),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cluster_id": cl.cast(pa.int64()),
+                "quality": batch["quality"].cast(pa.float64()),
+                "keep": pc.cast(keep, pa.bool_()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -135,3 +135,60 @@ def test_minhash_keep_distributed_matches_driver(ray_session):
     assert (in_cl.groupby("cluster_id")["doc_id"].min()
             == in_cl.groupby("cluster_id")["doc_id"].apply(lambda s: s[ (s == s.min())].iloc[0])).all()
     assert ((dist["doc_id"] == dist["cluster_id"]) == (dist["keep"] & (dist["cluster_id"] != -1))).all()
+
+
+def test_minhash_keep_best_quality_representative(ray_session):
+    """minhash_dedup_keep_best keeps the HIGHEST-quality doc per
+    near-dup cluster (ties -> min doc_id), exactly one keeper per
+    cluster, unclustered docs always kept — on both the driver
+    union-find and the distributed hash-min label paths."""
+    from clonehunter_ray.pipelines.dedup import minhash_dedup_keep_best
+
+    texts = []
+    base = " ".join(f"tok{i} word{i} filler{i}" for i in range(60))
+    for d in range(30):
+        if d % 3 == 2:
+            # near-dup of the d % 3 == 1 doc but with MORE distinct
+            # content -> higher quality, must win over the lower id
+            texts.append(base + f" tail{d // 3} bonus{d} extra{d} rich{d}")
+        elif d % 3 == 1:
+            texts.append(base + f" tail{d // 3} extra")
+        else:
+            texts.append(f"unique document {d} " + " ".join(
+                f"only{d}_{i}" for i in range(50)
+            ))
+    docs = pa.table(
+        {"doc_id": pa.array(range(30), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+    for max_edges in (2_000_000, 0):  # driver path, distributed path
+        out = (
+            minhash_dedup_keep_best(
+                ray.data.from_arrow(docs), threshold=0.7,
+                driver_max_edges=max_edges, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 30
+        clustered = out[out.cluster_id != -1]
+        assert len(clustered) > 0
+        # exactly one keeper per cluster, and it is the quality argmax
+        for _, g in clustered.groupby("cluster_id"):
+            keepers = g[g.keep]
+            assert len(keepers) == 1
+            best = g.sort_values(
+                ["quality", "doc_id"], ascending=[False, True]
+            ).iloc[0]
+            assert keepers.iloc[0]["doc_id"] == best["doc_id"]
+        # unclustered docs always keep
+        assert out[out.cluster_id == -1]["keep"].all()
+        # the richer near-dup (higher id, higher quality) beats its pair
+        pair_clusters = clustered.groupby("cluster_id").filter(
+            lambda g: set(g.doc_id % 3) == {1, 2}
+        )
+        if len(pair_clusters):
+            kept = pair_clusters[pair_clusters.keep]
+            assert (kept.doc_id % 3 == 2).all()
