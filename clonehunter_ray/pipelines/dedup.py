@@ -619,9 +619,14 @@ def minhash_dedup_keep_best(
         score, batch_format="pyarrow"
     )
     nj = safe_join_partitions(num_partitions)
-    labeled = base.join(
-        quality, "inner", nj, on=("doc_id",), right_on=("q_doc_id",)
-    ).select_columns(["doc_id", "cluster_id", "quality"])
+    labeled = (
+        base.join(quality, "inner", nj, on=("doc_id",), right_on=("q_doc_id",))
+        .select_columns(["doc_id", "cluster_id", "quality"])
+        # consumed twice (winner partials + final attach): materialize
+        # the NARROW table (3 scalar cols, ~20 B/row — spills fine)
+        # instead of executing the label+quality join twice
+        .materialize()
+    )
 
     # ONE schema for the partials AND the reduce output: Ray's groupby
     # emits empty partitions with the pre-group schema without calling
