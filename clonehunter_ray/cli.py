@@ -109,6 +109,11 @@ def _overrides(args) -> dict:
         "expansion.max_chars": args.expand_max_chars,
         "cluster.min_size": args.cluster_min_size,
         "exec.checkpoint_dir": args.checkpoint_dir,
+        # --save-tables re-consumes ScanResult.pairs; a streamed (lazy)
+        # pairs view would re-run the band shuffle + verify for the write
+        "exec.materialize_pairs": (
+            True if getattr(args, "save_tables", None) else None
+        ),
     }
 
 

@@ -198,6 +198,12 @@ class ExecConfig:
     # comfortably within a 128 GB node; measured: the join path was 7x
     # slower than broadcast at 423k snippets.
     broadcast_signatures_limit: int = 2_000_000
+    # Without a checkpoint dir the scan STREAMS verified pairs straight
+    # into the findings shuffle (no barrier). Set True when the caller
+    # will consume ScanResult.pairs separately (e.g. CLI --save-tables):
+    # a streamed pairs view re-runs the whole band shuffle + verify on
+    # every extra consumption.
+    materialize_pairs: bool = False
 
 
 @dataclass(frozen=True)

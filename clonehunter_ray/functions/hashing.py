@@ -356,8 +356,12 @@ def binary_column_u64(col) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # offsets are int32 for binary, int64 for large_binary — reading
+    # large offsets as int32 interleaves each int64's low/high words
+    # and produces negative/garbage row lengths
+    offs_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     try:
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        offs = np.frombuffer(col.buffers()[1], dtype=offs_dtype)[
             col.offset : col.offset + len(col) + 1
         ]
         data = np.frombuffer(col.buffers()[2], dtype=np.uint8)

@@ -219,8 +219,14 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     rows: dict[str, list] = {name: [] for name in MEDIA_SCHEMA.names}
     for i in range(n):
         kind = kinds[i % 3]
-        # every 8th row reuses an earlier row's content seed -> exact dup
-        content_seed = (seed * 1000 + i - (i % 24)) if i % 8 == 7 else (seed * 1000 + i)
+        # every 8th row (past the first 24) reuses the row 24 earlier's
+        # content seed -> exact dup. The 24-stride keeps the SAME kind
+        # (24 % 3 == 0), so all three media kinds get dedup positives —
+        # a same-seed row of a different kind would take a different
+        # payload branch and produce a unique payload, not a duplicate.
+        content_seed = (
+            seed * 1000 + i - 24 if (i % 8 == 7 and i >= 24) else seed * 1000 + i
+        )
         crng = np.random.RandomState(content_seed % (2**31))
         if kind == "image":
             h, w = int(crng.randint(8, 48)), int(crng.randint(8, 48))
@@ -322,7 +328,17 @@ class MediaFeatureStage:
         }.get(kind)
         if fn is None:
             raise DecodeError(f"unknown media kind {kind!r}")
-        raw = fn(payload)
+        try:
+            raw = fn(payload)
+        except DecodeError:
+            raise
+        except (ValueError, struct.error, wave.Error, EOFError, IndexError) as e:
+            # truncated/corrupt payloads surface as codec-internal
+            # errors (struct unpack past EOF, short numpy buffers,
+            # missing y4m headers) — normalize them to DecodeError so
+            # on_undecodable="null" keeps its contract: one bad payload
+            # must not kill a 100 TB job
+            raise DecodeError(f"malformed {kind} payload: {e}") from e
         v = np.resize(raw, self.dim)  # tile/truncate to the fixed width
         n = np.linalg.norm(v)
         return v / n if n else v

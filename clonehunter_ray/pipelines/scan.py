@@ -484,7 +484,7 @@ def scan(
     )
     timing["signatures"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    if root is None:
+    if root is None and not config.exec.materialize_pairs:
         # STREAMING pairs -> findings: without a checkpoint root there
         # is no reason to barrier between the two wide stages — verify
         # output blocks flow straight into the rollup shuffle's map
@@ -551,9 +551,13 @@ def scan(
     lsh = {k: int(v) for k, v in M.read_metrics(metrics_handle).items()}
     # in streaming mode the verified-pair count was tallied in-stream
     # (the pairs dataset is a lazy view; counting it would re-run the
-    # band shuffle) — it is a run counter, not an LSH stat
-    n_pairs = int(lsh.pop("verified_pairs", -1))
-    if root is not None:
+    # band shuffle) — it is a run counter, not an LSH stat. Default 0:
+    # a clone-free corpus emits only empty blocks, so the counter is
+    # never reported, and 0 IS the true count (not a -1 sentinel).
+    n_pairs = int(lsh.pop("verified_pairs", 0))
+    if ckpt_stats.get("pairs") != "streamed":
+        # checkpointed or exec.materialize_pairs: the dataset is
+        # concrete, count it directly (no in-stream tally ran)
         n_pairs = pairs.count()
     if root and lsh and ckpt_stats.get("pairs") == "miss":
         ckpt.update_lineage(root, "pairs", {"lsh": lsh})

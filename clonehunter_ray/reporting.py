@@ -181,6 +181,11 @@ def _sarif_location(path: str, unit_id: str) -> dict:
 # its hidden-line rows; per-line numbers as reference :259-276)
 _SBS_FOLD_OVER = 8
 _SBS_CONTEXT = 3
+# changed (rep/del/ins) runs fold later than equal runs — the changed
+# lines are the content users came to inspect — but they must still be
+# bounded: a mostly-different pair of 10k-line units would otherwise
+# render every row
+_SBS_NONEQ_FOLD_OVER = 120
 
 
 def _unit_start_line(unit_id: str) -> int:
@@ -226,10 +231,11 @@ def _side_by_side_rows(
                 for k in range(n):
                     rows.append(eq_row(i1 + k, j1 + k))
         elif tag == "replace":
+            block: list[Row] = []
             span = max(i2 - i1, j2 - j1)
             for k in range(span):
                 in_a, in_b = i1 + k < i2, j1 + k < j2
-                rows.append(
+                block.append(
                     (
                         "rep",
                         start_a + i1 + k if in_a else "",
@@ -238,13 +244,36 @@ def _side_by_side_rows(
                         b_lines[j1 + k] if in_b else "",
                     )
                 )
+            rows.extend(_fold_noneq(block))
         elif tag == "delete":
-            for k in range(i1, i2):
-                rows.append(("del", start_a + k, a_lines[k], "", ""))
+            rows.extend(
+                _fold_noneq(
+                    [("del", start_a + k, a_lines[k], "", "") for k in range(i1, i2)]
+                )
+            )
         elif tag == "insert":
-            for k in range(j1, j2):
-                rows.append(("ins", "", "", start_b + k, b_lines[k]))
+            rows.extend(
+                _fold_noneq(
+                    [("ins", "", "", start_b + k, b_lines[k]) for k in range(j1, j2)]
+                )
+            )
     return rows
+
+
+def _fold_noneq(block: list[Row]) -> list[Row]:
+    """Fold the MIDDLE of long replace/delete/insert runs: equal runs
+    were already folded, but a mostly-different pair of large units
+    (capped-bucket or substring-rescue matches) would otherwise emit an
+    unbounded number of changed rows — megabytes of HTML per finding."""
+    if len(block) <= _SBS_NONEQ_FOLD_OVER:
+        return block
+    hidden = len(block) - 2 * _SBS_CONTEXT
+    marker = f"<{hidden} changed lines not shown>"
+    return (
+        block[:_SBS_CONTEXT]
+        + [("fold", "", marker, "", marker)]
+        + block[-_SBS_CONTEXT:]
+    )
 
 
 def _diff_cell_html(rec: dict, unit_code: dict[str, str]) -> str | None:

@@ -160,3 +160,23 @@ def test_jaccard_batch_matches_scalar_path():
     got3 = H.jaccard_batch(col_a.slice(10, 100), col_b.slice(10, 100))
     assert np.array_equal(got3, got[10:110])
     assert len(H.jaccard_batch(col_a.slice(0, 0), col_b.slice(0, 0))) == 0
+
+
+def test_binary_column_u64_large_binary_offsets():
+    """large_binary columns carry int64 offsets — reading them as int32
+    interleaves each offset's words and produces negative row lengths."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clonehunter_ray.functions.hashing import binary_column_u64, jaccard_batch
+
+    blobs = [
+        np.array([1, 5, 9], dtype=np.uint64).tobytes(),
+        np.array([5, 9], dtype=np.uint64).tobytes(),
+    ]
+    for typ in (pa.binary(), pa.large_binary()):
+        vals, lens = binary_column_u64(pa.array(blobs, typ))
+        assert lens.tolist() == [3, 2]
+        assert vals.tolist() == [1, 5, 9, 5, 9]
+        sims = jaccard_batch(pa.array(blobs, typ), pa.array(blobs[::-1], typ))
+        assert np.allclose(sims, [2 / 3, 2 / 3])

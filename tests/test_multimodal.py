@@ -116,7 +116,13 @@ def test_media_table_deterministic_typed_real_payloads():
 def test_media_table_has_planted_exact_dups():
     t = synthesize_media_table(48, seed=7)
     payloads = t["payload"].to_pylist()
+    kinds = t["kind"].to_pylist()
     assert len(set(payloads)) < len(payloads)
+    # EVERY media kind must have dedup positives (the 24-stride seed
+    # reuse stays within one kind; a cross-kind reuse is never a dup)
+    for kind in ("image", "audio", "video"):
+        kp = [p for p, k in zip(payloads, kinds) if k == kind]
+        assert len(set(kp)) < len(kp), f"no planted dup for {kind}"
 
 
 # -------------------------------------------------------- feature stage
@@ -223,3 +229,35 @@ def test_sample_video_frames_and_resize_images(ray_session):
     assert len(resized) == n_images
     for p in resized.payload:
         assert decode_bmp(p).shape == (8, 8, 3)
+
+
+def test_null_mode_survives_truncated_payloads():
+    """on_undecodable='null' must survive MALFORMED (not just
+    unsupported-codec) payloads: truncated BMP/WAV/y4m raise
+    codec-internal struct/ValueError which must normalize to
+    DecodeError, zero-vector + decode_ok=false — one bad payload must
+    not kill the job."""
+    import pyarrow as pa
+
+    stage = MediaFeatureStage(dim=8, on_undecodable="null")
+    bad = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "kind": pa.array(["image", "video", "audio"], pa.string()),
+            "payload": pa.array(
+                [b"BM" + b"\x00" * 8, b"YUV4MPEG2 W16 H16", b"RIFF\x00\x00"],
+                pa.binary(),
+            ),
+        }
+    )
+    out = stage(bad)
+    assert out["decode_ok"].to_pylist() == [False, False, False]
+    assert all(f == [0.0] * 8 for f in out["feature"].to_pylist())
+
+    import pytest
+
+    from clonehunter_ray.pipelines.multimodal import DecodeError
+
+    strict = MediaFeatureStage(dim=8, on_undecodable="raise")
+    with pytest.raises(DecodeError):
+        strict(bad)

@@ -340,3 +340,67 @@ def test_cli_json_report_stats_and_compare(ray_session, tmp_path):
     assert payload["timing"]  # top-level timing block
     diffs = [f for f in payload["findings"] if "compare" in f]
     assert diffs and "unified_diff" in diffs[0]["compare"]
+
+
+def test_streaming_scan_zero_pairs_reports_zero(ray_session):
+    """A clone-free corpus in streaming mode (no checkpoint root) emits
+    only empty pair blocks, so the in-stream tally never fires — the
+    stats must report verified_pairs 0, not a -1 sentinel."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from clonehunter_ray.config import EngineConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    files = pa_.table(
+        {
+            "repo": pa_.array(["r"] * 4),
+            "path": pa_.array([f"u{i}.py" for i in range(4)]),
+            "commit": pa_.array(["c"] * 4),
+            "lang": pa_.array(["python"] * 4),
+            "content": pa_.array(
+                [
+                    "\n".join(
+                        f"def f{i}_{j}(x):\n    return x * {i * 97 + j} + {i + j}"
+                        for j in range(3)
+                    )
+                    for i in range(4)
+                ]
+            ),
+        }
+    )
+    res = scan(rd.from_arrow(files), EngineConfig())
+    assert res.findings.count() == 0
+    assert res.stats["counts"]["verified_pairs"] == 0
+
+
+def test_scan_materialize_pairs_not_streamed(ray_session, tiny_corpus):
+    """exec.materialize_pairs=True (the CLI --save-tables path) must
+    barrier the pair stage so ScanResult.pairs is reusable without
+    re-running the band shuffle."""
+    import ray.data as rd
+
+    from clonehunter_ray.config import EngineConfig, ExecConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    files, _ = tiny_corpus
+    res = scan(
+        rd.from_arrow(files),
+        EngineConfig(exec=ExecConfig(materialize_pairs=True)),
+    )
+    assert res.stats["checkpoint"]["pairs"] != "streamed"
+    # pairs is concretely countable and agrees with the tallied stat
+    assert res.pairs.count() == res.stats["counts"]["verified_pairs"]
+
+
+def test_side_by_side_folds_long_changed_runs():
+    """Long replace/delete/insert runs fold their middle like equal runs
+    do — a mostly-different pair of big units must not render thousands
+    of rows."""
+    from clonehunter_ray.reporting import _side_by_side_rows
+
+    a = "\n".join(f"left only line {i}" for i in range(400))
+    b = "\n".join(f"right only line {i}" for i in range(400))
+    rows = _side_by_side_rows(a, b)
+    assert len(rows) < 50
+    assert any(r[0] == "fold" and "changed lines" in r[2] for r in rows)
