@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "language_id_documents": lambda sf: text_analysis.language_id(_docs(sf)),
         "doc_quality_scores": lambda sf: text_analysis.quality_scores(_docs(sf)),
+        "doc_repetition_signals": Q.doc_repetition_signals,
+        "decontaminate_documents": Q.decontaminate_documents,
+        "frequent_gram_stats_documents": Q.frequent_gram_stats_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -580,6 +583,106 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             GROUP BY label, dim
+        """,
+        "doc_repetition_signals": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ts) >= 2 THEN
+                           list_transform(range(1, len(ts)),
+                                          i -> ts[i] || ' ' || ts[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t
+            ), c AS (
+                SELECT doc_id, gram, count(*) AS n
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(sum(n) AS BIGINT) AS n_2grams,
+                       CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+                       CAST(max(n) AS BIGINT) AS top_2gram_n
+                FROM c GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.n_2grams, 0) AS n_2grams,
+                   coalesce(agg.n_distinct_2grams, 0) AS n_distinct_2grams,
+                   coalesce(agg.top_2gram_n, 0) AS top_2gram_n,
+                   CASE WHEN coalesce(agg.n_2grams, 0) > 0 THEN
+                       CAST(agg.n_2grams - agg.n_distinct_2grams AS DOUBLE)
+                           / agg.n_2grams
+                   ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN coalesce(agg.n_2grams, 0) > 0 THEN
+                       CAST(agg.top_2gram_n AS DOUBLE) / agg.n_2grams
+                   ELSE 0.0 END AS top_2gram_frac
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        """,
+        "decontaminate_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(ts) >= 4 THEN
+                        list_transform(range(1, len(ts) - 2),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' ||
+                                 ts[i+2] || ' ' || ts[i+3])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0
+            ), hits AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM g JOIN bench USING (gram)
+                WHERE g.doc_id % 13 <> 0
+                GROUP BY g.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT)
+                       AS n_contaminated_grams,
+                   coalesce(hits.n, 0) > 0 AS contaminated
+            FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+            WHERE t.doc_id % 13 <> 0
+        """,
+        "frequent_gram_stats_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(ts) >= 3 THEN
+                        list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), freq AS (
+                SELECT gram FROM (
+                    SELECT gram, count(DISTINCT doc_id) AS df
+                    FROM g GROUP BY gram
+                ) WHERE df >= 5
+            ), tot AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), hits AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM g JOIN freq USING (gram) GROUP BY g.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(tot.n, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hits.n, 0) AS BIGINT) AS n_frequent,
+                   CASE WHEN coalesce(tot.n, 0) > 0 THEN
+                       CAST(coalesce(hits.n, 0) AS DOUBLE) / tot.n
+                   ELSE 0.0 END AS frequent_frac
+            FROM t
+            LEFT JOIN tot ON t.doc_id = tot.doc_id
+            LEFT JOIN hits ON t.doc_id = hits.doc_id
         """,
         "token_vocabulary_topk": """
             SELECT tok, count(*) AS n

@@ -182,6 +182,71 @@ def token_set_hashes(token_hashes: np.ndarray) -> np.ndarray:
     return np.unique(token_hashes)
 
 
+def flat_gram_hashes(
+    token_hash_lists: list[np.ndarray], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positional k-gram hashes of a whole BATCH of rows, flattened.
+
+    Returns ``(gram_hashes: uint64[M], row_idx: int64[M])`` with one
+    entry per k-gram instance in document order. Rows shorter than k
+    contribute NO grams — strict SQL n-gram semantics, unlike
+    :func:`shingle_hashes`'s short-row fallback — so per-row
+    count/distinct/membership aggregates over these hashes match a SQL
+    oracle building gram *strings* (64-bit mix; within-corpus collision
+    odds are negligible and the test corpora are deterministic).
+
+    One vectorized pass over the concatenated token-hash array: grams
+    that straddle a row boundary are masked out, never computed per
+    row in Python.
+    """
+    n_rows = len(token_hash_lists)
+    lens = np.fromiter(
+        (len(x) for x in token_hash_lists), dtype=np.int64, count=n_rows
+    )
+    total = int(lens.sum())
+    if total < k or n_rows == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.uint64) for x in token_hash_lists if len(x)]
+    )
+    m = total - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ flat[j : j + m]
+    acc = _mix64(acc)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    valid = row_of[:m] == row_of[k - 1 :]
+    return acc[valid], row_of[:m][valid]
+
+
+def run_stats_per_row(
+    gram_hashes: np.ndarray, row_idx: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row (total, distinct, top-count) over (row, gram) instances.
+
+    One lexsort + run-length pass, no per-row Python loop: returns
+    ``(n_grams, n_distinct, top_n)`` int64 arrays of length ``n_rows``
+    where ``top_n[r]`` is the multiplicity of the most-repeated gram in
+    row r (0 for gram-less rows).
+    """
+    n_grams = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    top_n = np.zeros(n_rows, dtype=np.int64)
+    if gram_hashes.size:
+        order = np.lexsort((gram_hashes, row_idx))
+        g = gram_hashes[order]
+        r = row_idx[order]
+        new_run = np.empty(g.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_doc = r[run_starts]
+        run_len = np.diff(np.append(run_starts, g.size))
+        n_distinct += np.bincount(run_doc, minlength=n_rows).astype(np.int64)
+        np.maximum.at(top_n, run_doc, run_len)
+    return n_grams, n_distinct, top_n
+
+
 # -- MinHash ----------------------------------------------------------------
 
 

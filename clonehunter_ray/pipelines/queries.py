@@ -264,6 +264,194 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
     )
 
 
+def doc_repetition_signals(sf_dir: str):
+    """Gopher-style per-document repetition quality signals over token
+    2-grams: total / distinct / top-gram multiplicity plus the derived
+    duplicate-gram and top-gram fractions (Rae et al. 2021 §A1.1 uses
+    these to drop boilerplate-heavy docs before LLM training).
+
+    Ray shape: one stateless vectorized map_batches — batch-flattened
+    gram hashing (flat_gram_hashes) + a single lexsort/run-length pass
+    per batch (run_stats_per_row); no shuffle, no per-row Python loop.
+    Fractions are exact-integer-ratio doubles, so the DuckDB oracle
+    matches bit-for-bit.
+    """
+
+    def signals(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, 2)
+        n, d, top = H.run_stats_per_row(grams, rows, batch.num_rows)
+        safe = np.maximum(n, 1).astype(np.float64)
+        dup_frac = np.where(n > 0, (n - d) / safe, 0.0)
+        top_frac = np.where(n > 0, top / safe, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_2grams": pa.array(n, pa.int64()),
+                "n_distinct_2grams": pa.array(d, pa.int64()),
+                "top_2gram_n": pa.array(top, pa.int64()),
+                "dup_2gram_frac": pa.array(dup_frac, pa.float64()),
+                "top_2gram_frac": pa.array(top_frac, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow"
+    )
+
+
+def _collect_gram_set(ds, k: int, min_df: int | None = None) -> np.ndarray:
+    """Driver-side sorted uint64 gram-hash set of a SMALL dataset side.
+
+    With ``min_df`` unset: the distinct k-gram hashes of every row
+    (per-batch np.unique, global np.unique of the concatenation). With
+    ``min_df`` set: per-row-DISTINCT grams are partially counted per
+    batch, summed in a tiny groupby shuffle (rows = distinct grams, not
+    gram instances), and only grams whose document frequency reaches
+    ``min_df`` are collected — the heavy-hitter set is small by
+    construction. Only 8-byte hashes ever reach the driver.
+    """
+
+    def batch_grams(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        if min_df is None:
+            # int64 reinterpretation: lossless, and Ray's shuffle/key
+            # machinery boxes uint64 > 2^63-1 into Python ints it can't
+            # rebuild into Arrow blocks
+            return pa.table(
+                {"gram": pa.array(np.unique(grams).view(np.int64), pa.int64())}
+            )
+        # distinct (row, gram) -> per-gram count of rows in this batch
+        order = np.lexsort((grams, rows))
+        g, r = grams[order], rows[order]
+        if g.size:
+            first = np.empty(g.size, dtype=bool)
+            first[0] = True
+            first[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1])
+            gu, cnt = np.unique(g[first], return_counts=True)
+        else:
+            gu = np.empty(0, dtype=np.uint64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(gu.view(np.int64), pa.int64()),
+                "pdf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_batch = ds.map_batches(batch_grams, batch_format="pyarrow")
+    if min_df is not None:
+        per_batch = per_batch.groupby("gram").sum("pdf")
+    chunks = []
+    for b in per_batch.iter_batches(batch_format="pyarrow"):
+        g = b["gram"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if min_df is not None:
+            g = g[b["sum(pdf)"].to_numpy(zero_copy_only=False) >= min_df]
+        chunks.append(g.view(np.uint64))
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(chunks))
+
+
+def _count_gram_hits(grams: np.ndarray, rows: np.ndarray, gram_set, n_rows: int):
+    """Per-row count of gram INSTANCES whose hash is in the sorted
+    ``gram_set`` (searchsorted membership — the set is already sorted)."""
+    n_total = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    if gram_set.size and grams.size:
+        pos = np.searchsorted(gram_set, grams).clip(max=gram_set.size - 1)
+        hit = gram_set[pos] == grams
+        n_hit = np.bincount(rows[hit], minlength=n_rows).astype(np.int64)
+    else:
+        n_hit = np.zeros(n_rows, dtype=np.int64)
+    return n_total, n_hit
+
+
+def decontaminate_documents(sf_dir: str, k: int = 4, bench_mod: int = 13):
+    """Benchmark decontamination: flag every training document sharing
+    at least one token 4-gram with the held-out benchmark set (docs
+    with ``doc_id % 13 == 0``) — the standard n-gram-overlap test-set
+    decontamination recipe for LLM training corpora.
+
+    Ray shape: the benchmark side is SMALL by design (eval sets are
+    thousands of docs even when the corpus is 100 TB), so its distinct
+    gram-hash set is collected once, sorted, and plasma-broadcast via
+    ray.put; the training side then streams through one stateless
+    map_batches doing a vectorized searchsorted membership test. If
+    the contamination source were corpus-scale, the right shape is the
+    gram-hash-partitioned semi-join (explode ids-only (gram, doc_id),
+    groupby gram partition, emit flagged doc_ids) — the machinery
+    pipelines/dedup.py already uses for band buckets.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % bench_mod == 0) == want_bench
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return f
+
+    bench_set = _collect_gram_set(
+        docs.map_batches(_mod_filter(True), batch_format="pyarrow"), k
+    )
+    set_ref = ray.put(bench_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        gs = ray.get(set_ref)
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        _, n_hit = _count_gram_hits(grams, rows, gs, batch.num_rows)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_contaminated_grams": pa.array(n_hit, pa.int64()),
+                "contaminated": pa.array(n_hit > 0, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(_mod_filter(False), batch_format="pyarrow").map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def frequent_gram_stats_documents(sf_dir: str, k: int = 3, min_df: int = 5):
+    """Boilerplate detection: for each document, the fraction of its
+    token 3-gram instances whose gram occurs in >= ``min_df`` distinct
+    documents corpus-wide (CCNet/C4-style frequent-fragment signal).
+
+    Ray shape, two passes: (1) heavy-hitter discovery — per-batch
+    partial document-frequency counts over per-doc-DISTINCT grams
+    (each doc lives in exactly one block, so batch partials sum to the
+    true df), one tiny groupby('gram') shuffle over (gram, pdf) rows,
+    threshold filter; the surviving frequent-gram set is small by the
+    heavy-hitter property and is broadcast sorted via ray.put. (2) one
+    stateless map_batches counting per-doc instances in the set.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    freq_set = _collect_gram_set(docs, k, min_df=min_df)
+    set_ref = ray.put(freq_set)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        gs = ray.get(set_ref)
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        n_total, n_hit = _count_gram_hits(grams, rows, gs, batch.num_rows)
+        safe = np.maximum(n_total, 1).astype(np.float64)
+        frac = np.where(n_total > 0, n_hit / safe, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_total, pa.int64()),
+                "n_frequent": pa.array(n_hit, pa.int64()),
+                "frequent_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k ANN baseline: query matrix broadcast
     once via ray.put, per-batch numpy matmul + per-batch top-k, final
