@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_signals": Q.doc_repetition_signals,
         "decontaminate_documents": Q.decontaminate_documents,
         "frequent_gram_stats_documents": Q.frequent_gram_stats_documents,
+        "doc_length_quantiles": Q.doc_length_quantiles,
+        "hash_sample_documents": Q.hash_sample_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -649,6 +651,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(hits.n, 0) > 0 AS contaminated
             FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
             WHERE t.doc_id % 13 <> 0
+        """,
+        "doc_length_quantiles": """
+            SELECT 0.25 AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT)
+                AS value FROM documents
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                FROM documents
+            UNION ALL
+            SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT)
+                FROM documents
+            UNION ALL
+            SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+                FROM documents
+            UNION ALL
+            SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
+                FROM documents
+        """,
+        "hash_sample_documents": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')
         """,
         "frequent_gram_stats_documents": """
             WITH t AS (

@@ -452,6 +452,73 @@ def frequent_gram_stats_documents(sf_dir: str, k: int = 3, min_df: int = 5):
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact distributed quantiles of n_chars WITHOUT a global sort:
+    per-batch (value, count) combiner -> tiny groupby('n_chars') sum
+    shuffle (rows = distinct values, not documents) -> driver-side
+    cumulative walk over the sorted histogram. At 100 TB the shuffle
+    moves one row per distinct length — bounded by the value domain,
+    independent of corpus size. Matches DuckDB quantile_disc (value at
+    index ceil(q*n)-1 of the sorted column).
+    """
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "n_chars": pa.array(v.astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("n_chars")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    values = agg["n_chars"].to_numpy()
+    counts = agg["sum(cnt)"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, int(np.ceil(q * n)) - 1)
+        out_q.append(float(q))
+        out_v.append(int(values[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def hash_sample_documents(sf_dir: str):
+    """Deterministic content-hash sampling: keep documents whose
+    sha256(text) first byte < 0x40 (a reproducible ~25% sample —
+    the standard way to subsample a 100 TB corpus so every re-run,
+    resume, and downstream join sees the same rows with no RNG state).
+    One stateless map_batches filter; no shuffle.
+    """
+
+    def sample(batch: pa.Table) -> pa.Table:
+        hexes = H.sha256_hex_many(batch["text"].to_pylist())
+        mask = pa.array([h[0] in "0123" for h in hexes], pa.bool_())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+            }
+        ).filter(mask)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"]).map_batches(
+        sample, batch_format="pyarrow"
+    )
+
+
 def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k ANN baseline: query matrix broadcast
     once via ray.put, per-batch numpy matmul + per-batch top-k, final

@@ -335,3 +335,31 @@ def test_shipping_priority_join_cutover_matches_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_length_quantiles_match_duckdb(ray_session, con2):
+    # exact distributed quantiles via histogram combiner — no sort
+    _check(
+        Q.doc_length_quantiles(SF_DIR),
+        con2,
+        """
+        SELECT 0.25 AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value
+        FROM documents
+        UNION ALL SELECT 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents
+        UNION ALL SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents
+        UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+        UNION ALL SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
+        """,
+    )
+
+
+def test_hash_sample_matches_duckdb(ray_session, con2):
+    # deterministic sha256-prefix sampling — reproducible, no RNG state
+    _check(
+        Q.hash_sample_documents(SF_DIR),
+        con2,
+        """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')
+        """,
+    )
