@@ -35,6 +35,12 @@ def _build_parser() -> argparse.ArgumentParser:
             default="json",
         )
         sp.add_argument("--checkpoint-dir")
+        sp.add_argument(
+            "--partition-by",
+            help="with --format parquet: write a resumable hive-partitioned "
+            "directory tree (one <col>=<val>/ dir per value, per-partition "
+            "_SUCCESS markers; re-runs skip finished partitions)",
+        )
         sp.add_argument("--threshold-func", type=float, dest="t_func")
         sp.add_argument("--threshold-win", type=float, dest="t_win")
         sp.add_argument("--threshold-exp", type=float, dest="t_exp")
@@ -223,6 +229,24 @@ def main(argv: list[str] | None = None) -> int:
             out_dir = os.path.join(args.save_tables, name)
             os.makedirs(out_dir, exist_ok=True)
             ds.write_parquet(out_dir)
+
+    if args.format == "parquet" and getattr(args, "partition_by", None):
+        from clonehunter_ray.state.checkpoint import write_partitioned_output
+
+        sink_stats = write_partitioned_output(
+            findings, args.out, args.partition_by
+        )
+        stats = {
+            "file_count": result.files.count(),
+            "finding_count": sink_stats["rows"],
+            "partitions_written": sink_stats["written"],
+            "partitions_skipped": sink_stats["skipped"],
+            **result.stats,
+        }
+        print(json.dumps(stats))
+        if owns_ray:
+            ray.shutdown()
+        return 0
 
     findings_df = findings.to_pandas()  # report rendering is driver-side
     stats = {

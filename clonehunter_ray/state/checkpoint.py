@@ -161,3 +161,115 @@ def resume_missing(
         return batch.filter(pc.invert(pc.fill_null(mask, False)))
 
     return input_ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _partition_dirname(col: str, value) -> str:
+    """Hive-style directory name with filesystem-hostile chars hex-escaped."""
+    s = str(value)
+    safe = "".join(
+        c if (c.isalnum() or c in "._-") else f"%{ord(c):02X}" for c in s
+    )
+    return f"{col}={safe}"
+
+
+def finished_partitions(out_dir: str, col: str) -> set:
+    """Partition VALUES (as strings) whose directory carries _SUCCESS."""
+    done = set()
+    prefix = f"{col}="
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return done
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        if os.path.exists(os.path.join(out_dir, name, "_SUCCESS")):
+            raw = name[len(prefix) :]
+            # reverse the %XX escaping
+            out, i = [], 0
+            while i < len(raw):
+                if raw[i] == "%" and i + 3 <= len(raw):
+                    try:
+                        out.append(chr(int(raw[i + 1 : i + 3], 16)))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            done.add("".join(out))
+    return done
+
+
+def write_partitioned_output(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    partition_col: str,
+    skip_finished: bool = True,
+) -> dict:
+    """Resumable hive-partitioned Parquet sink.
+
+    One directory per partition value (``out_dir/<col>=<val>/`` with a
+    Parquet part file and a ``_SUCCESS`` marker), each written ON THE
+    WORKERS inside a ``groupby(partition_col).map_groups`` — never one
+    giant driver-side file. A re-run with ``skip_finished`` filters out
+    rows whose partition already carries ``_SUCCESS``, so a failed job
+    resumes exactly where it stopped, and each partition is atomic
+    (tmp-file + rename before the marker). Assumes ``out_dir`` is
+    shared storage on a multi-node cluster — the same assumption every
+    checkpoint here makes.
+
+    Returns ``{"written": n_partitions, "skipped": n_skipped,
+    "rows": n_rows_written}``.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_partitions(out_dir, partition_col) if skip_finished else set()
+    done_ref = ray.put(done)
+
+    if done:
+
+        def _skip(batch: pa.Table) -> pa.Table:
+            finished = ray.get(done_ref)
+            mask = pa.array(
+                [str(v) not in finished for v in batch[partition_col].to_pylist()],
+                pa.bool_(),
+            )
+            return batch.filter(mask)
+
+        ds = ds.map_batches(_skip, batch_format="pyarrow")
+
+    stats_schema = pa.schema([("value", pa.string()), ("rows", pa.int64())])
+
+    def _write_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return stats_schema.empty_table()
+        value = group[partition_col][0].as_py()
+        d = os.path.join(out_dir, _partition_dirname(partition_col, value))
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "part-0.parquet.tmp")
+        pq.write_table(group, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        with open(os.path.join(d, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        return pa.table(
+            {
+                "value": pa.array([str(value)], pa.string()),
+                "rows": pa.array([group.num_rows], pa.int64()),
+            },
+            schema=stats_schema,
+        )
+
+    written = (
+        ds.groupby(partition_col)
+        .map_groups(_write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "written": int(len(written)),
+        "skipped": len(done),
+        "rows": int(written["rows"].sum()) if len(written) else 0,
+    }

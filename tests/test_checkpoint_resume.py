@@ -84,3 +84,72 @@ def test_resume_missing_anti_join(ray_session):
     missing = ckpt.resume_missing(inp, done, "k")
     ks = sorted(r["k"] for r in missing.iter_rows())
     assert ks == [1, 3, 5, 7, 9]
+
+
+def test_partitioned_output_writes_and_resumes(ray_session, tmp_path):
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": ["a", "a", "b", "c/x", "b"],
+                "v": [1, 2, 3, 4, 5],
+            }
+        )
+    )
+    stats = ckpt.write_partitioned_output(ds, out, "shard")
+    assert stats == {"written": 3, "skipped": 0, "rows": 5}
+    # hive dirs with per-partition _SUCCESS; hostile chars escaped
+    assert os.path.exists(os.path.join(out, "shard=a", "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "shard=c%2Fx", "_SUCCESS"))
+    back = ray.data.read_parquet(
+        [os.path.join(out, d, "part-0.parquet") for d in os.listdir(out)]
+    )
+    assert back.count() == 5
+    assert sorted(r["v"] for r in back.take_all()) == [1, 2, 3, 4, 5]
+
+    # simulate a failed partition: drop b's marker, re-run -> only b
+    os.remove(os.path.join(out, "shard=b", "_SUCCESS"))
+    stats2 = ckpt.write_partitioned_output(ds, out, "shard")
+    assert stats2 == {"written": 1, "skipped": 2, "rows": 2}
+    assert os.path.exists(os.path.join(out, "shard=b", "_SUCCESS"))
+
+
+def test_partitioned_output_via_cli(ray_session, tmp_path):
+    import subprocess
+    import sys
+
+    src = tmp_path / "repo"
+    src.mkdir()
+    body = "def f{i}():\n    x = {i}\n    y = x + 1\n    return y * 2\n"
+    for i in range(4):
+        (src / f"m{i}.py").write_text(body.format(i=i) + body.format(i=i + 100))
+    out = str(tmp_path / "parts")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "clonehunter_ray.cli",
+            "scan",
+            str(src),
+            "--format",
+            "parquet",
+            "--partition-by",
+            "cluster_id",
+            "--out",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    stats = json.loads(line)
+    assert "partitions_written" in stats
+    if stats["partitions_written"]:
+        dirs = [d for d in os.listdir(out) if d.startswith("cluster_id=")]
+        assert len(dirs) == stats["partitions_written"]
+        assert all(
+            os.path.exists(os.path.join(out, d, "_SUCCESS")) for d in dirs
+        )
