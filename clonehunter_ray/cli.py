@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -146,7 +147,10 @@ def _load_files(args):
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if getattr(args, "partition_by", None) and args.format != "parquet":
+        parser.error("--partition-by requires --format parquet")
 
     import ray
 
@@ -172,8 +176,6 @@ def main(argv: list[str] | None = None) -> int:
     findings = result.findings
 
     if args.cmd == "diff":
-        import os
-
         # git runs in each scan root (not the invoker's CWD), and its
         # repo-root-relative paths are rebased onto that root so they
         # compare against findings' root-relative paths. Multi-root
@@ -219,8 +221,6 @@ def main(argv: list[str] | None = None) -> int:
             findings = findings.limit(0)
 
     if args.save_tables:
-        import os
-
         for name, ds in (
             ("signatures", result.signatures),
             ("pairs", result.pairs),
@@ -230,15 +230,33 @@ def main(argv: list[str] | None = None) -> int:
             os.makedirs(out_dir, exist_ok=True)
             ds.write_parquet(out_dir)
 
-    if args.format == "parquet" and getattr(args, "partition_by", None):
+    if getattr(args, "partition_by", None):
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
         from clonehunter_ray.state.checkpoint import write_partitioned_output
 
         sink_stats = write_partitioned_output(
             findings, args.out, args.partition_by
         )
+        # rows already on disk in skipped partitions, from parquet
+        # footers only — finding_count stays the corpus total across
+        # resumed runs, matching the non-partitioned path's semantics
+        skipped_rows = 0
+        if sink_stats["skipped"]:
+            for part in _glob.glob(
+                os.path.join(args.out, f"{args.partition_by}=*", "*.parquet")
+            ):
+                skipped_rows += _pq.read_metadata(part).num_rows
+            skipped_rows -= sink_stats["rows"]
         stats = {
             "file_count": result.files.count(),
-            "finding_count": sink_stats["rows"],
+            "unit_count": result.units.count(),
+            "snippet_count": result.snippets.count(),
+            "pair_count": result.stats["counts"]["verified_pairs"],
+            "finding_count": sink_stats["rows"] + skipped_rows,
+            "findings_written": sink_stats["rows"],
             "partitions_written": sink_stats["written"],
             "partitions_skipped": sink_stats["skipped"],
             **result.stats,

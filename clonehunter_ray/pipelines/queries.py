@@ -486,6 +486,11 @@ def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []
+    if n == 0:
+        # quantiles of an empty column: empty result, like the oracle
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value": pa.array([], pa.int64())}
+        )
     for q in qs:
         idx = max(0, int(np.ceil(q * n)) - 1)
         out_q.append(float(q))
@@ -504,8 +509,15 @@ def hash_sample_documents(sf_dir: str):
     """
 
     def sample(batch: pa.Table) -> pa.Table:
-        hexes = H.sha256_hex_many(batch["text"].to_pylist())
-        mask = pa.array([h[0] in "0123" for h in hexes], pa.bool_())
+        texts = batch["text"].to_pylist()
+        # NULL text drops the row — sha256(NULL) IS NULL in the oracle
+        mask = pa.array(
+            [
+                t is not None and H.sha256_hex(t)[0] in "0123"
+                for t in texts
+            ],
+            pa.bool_(),
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

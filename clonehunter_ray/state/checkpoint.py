@@ -164,16 +164,17 @@ def resume_missing(
 
 
 def _partition_dirname(col: str, value) -> str:
-    """Hive-style directory name with filesystem-hostile chars hex-escaped."""
-    s = str(value)
-    safe = "".join(
-        c if (c.isalnum() or c in "._-") else f"%{ord(c):02X}" for c in s
-    )
-    return f"{col}={safe}"
+    """Hive-style directory name; URL-quoting makes every distinct value
+    a distinct directory and round-trips all codepoints."""
+    from urllib.parse import quote
+
+    return f"{col}={quote(str(value), safe='._-')}"
 
 
 def finished_partitions(out_dir: str, col: str) -> set:
     """Partition VALUES (as strings) whose directory carries _SUCCESS."""
+    from urllib.parse import unquote
+
     done = set()
     prefix = f"{col}="
     try:
@@ -184,20 +185,7 @@ def finished_partitions(out_dir: str, col: str) -> set:
         if not name.startswith(prefix):
             continue
         if os.path.exists(os.path.join(out_dir, name, "_SUCCESS")):
-            raw = name[len(prefix) :]
-            # reverse the %XX escaping
-            out, i = [], 0
-            while i < len(raw):
-                if raw[i] == "%" and i + 3 <= len(raw):
-                    try:
-                        out.append(chr(int(raw[i + 1 : i + 3], 16)))
-                        i += 3
-                        continue
-                    except ValueError:
-                        pass
-                out.append(raw[i])
-                i += 1
-            done.add("".join(out))
+            done.add(unquote(name[len(prefix) :]))
     return done
 
 
