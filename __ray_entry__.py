@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_documents": lambda sf: dedup.simhash_dup_pairs(
             _docs(sf), max_hamming=3
         ),
+        "incremental_dedup_stream": lambda sf: dedup.incremental_dedup_stream(
+            _docs(sf), threshold=0.8
+        ),
         "lsh_knn_cosine": lambda sf: similarity.lsh_knn_cosine(
             _emb(sf), query_ids=[0, 1, 2, 3, 4], k=10
         ),

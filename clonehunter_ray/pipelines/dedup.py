@@ -337,6 +337,50 @@ def minhash_dedup_pairs(
     return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
+def incremental_dedup_stream(
+    docs_ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    chunk_rows: int = 200,
+    n_shards: int = 4,
+    config: SignatureConfig | None = None,
+) -> pa.Table:
+    """Streaming-ingest near-dedup: documents arrive in doc_id order in
+    chunks; each chunk is checked against everything indexed BEFORE it
+    (query-then-add against state/lsh_index.ShardedLshIndex), returning
+    (doc_id, dup_of, jaccard) with dup_of the EARLIEST matching indexed
+    doc — the append-only semantics the batch re-band pipelines can't
+    express. The driver only routes id/band/blob arrays chunk by chunk;
+    signature hashing and Jaccard verification run vectorized on the
+    shard actors, and corpus payloads never leave their owning shard.
+    """
+    from clonehunter_ray.state.lsh_index import ShardedLshIndex
+
+    index = ShardedLshIndex(n_shards=n_shards, config=config)
+    parts: list[pa.Table] = []
+    try:
+        for batch in (
+            docs_ds.select_columns(["doc_id", "text"])
+            .sort("doc_id")
+            .iter_batches(batch_size=chunk_rows, batch_format="pyarrow")
+        ):
+            parts.append(index.query_then_add(batch, threshold))
+    finally:
+        index.shutdown()
+    flagged = pa.concat_tables(parts) if parts else None
+    if flagged is None or flagged.num_rows == 0:
+        return pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("dup_of", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ).empty_table()
+    # keep the EARLIEST dup_of per doc (deterministic representative)
+    df = flagged.to_pandas().sort_values(["doc_id", "dup_of"])
+    df = df.groupby("doc_id", as_index=False).first()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def minhash_dedup_keep(
     docs_ds: "ray.data.Dataset",
     threshold: float = 0.8,
