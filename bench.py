@@ -159,6 +159,16 @@ def run_bench() -> dict:
     timed("doc_quality_scores", _all_docs_quality)
     timed("shipping_priority_revenue", Q.shipping_priority_revenue)
     timed("events_sessionization", Q.events_sessionization)
+    timed("doc_repetition_signals", Q.doc_repetition_signals)
+    timed(
+        "incremental_dedup_stream",
+        lambda sf_dir: dedup.incremental_dedup_stream(
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            threshold=0.8,
+        ),
+    )
 
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
