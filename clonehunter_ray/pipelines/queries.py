@@ -29,12 +29,17 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from clonehunter_ray.functions import hashing as H
 
 
-def _pt(df: pd.DataFrame) -> pa.Table:
+def _pt(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     """pandas UDF result -> metadata-free Arrow table (same hashable-
-    schema requirement as _strip_meta, for blocks we produce)."""
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-        None
-    )
+    schema requirement as _strip_meta, for blocks we produce).
+
+    Pass ``schema`` for UDFs that can return EMPTY frames with object
+    columns: pandas->Arrow inference types an empty object column as
+    ``null``, and the streaming executor then warns about RefBundle
+    schema drift between batches."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False, schema=schema
+    ).replace_schema_metadata(None)
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -1013,13 +1018,21 @@ def shipping_priority_revenue(
     cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     nparts = safe_join_partitions(16)
 
+    date_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_orderdate", pa.string())]
+    )
+    seg_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderdate", pa.string())]
+    )
+
     def date_filter(batch: pd.DataFrame) -> pa.Table:
         out = batch.loc[
             batch["o_orderdate"] < cutoff,
             ["o_orderkey", "o_custkey", "o_orderdate"],
         ].copy()
         out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
-        return _pt(out)
+        return _pt(out, schema=date_schema)
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
@@ -1034,7 +1047,9 @@ def shipping_priority_revenue(
 
         def seg_filter(batch: pd.DataFrame) -> pa.Table:
             m = np.isin(batch["o_custkey"].to_numpy(), ray.get(bref))
-            return _pt(batch.loc[m, ["o_orderkey", "o_orderdate"]])
+            return _pt(
+                batch.loc[m, ["o_orderkey", "o_orderdate"]], schema=seg_schema
+            )
 
         orders = orders.map_batches(seg_filter, batch_format="pandas")
     else:
