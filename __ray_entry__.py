@@ -77,7 +77,13 @@ def _scan_documents(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from clonehunter_ray.pipelines import dedup, queries as Q, similarity, text_analysis
+    from clonehunter_ray.pipelines import (
+        dedup,
+        queries as Q,
+        similarity,
+        text_analysis,
+        training,
+    )
 
     def _docs(sf_dir):
         from clonehunter_ray.util import read_parquet_clean
@@ -130,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_gram_stats_documents": Q.frequent_gram_stats_documents,
         "doc_length_quantiles": Q.doc_length_quantiles,
         "hash_sample_documents": Q.hash_sample_documents,
+        "mixture_sample_documents": training.mixture_sample_documents,
+        "normalize_text_documents": training.normalize_text_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -155,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": lambda sf: text_analysis.fingerprint_documents(
             _docs(sf)
         ),
+        "pack_sequences_documents": training.pack_sequences_documents,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,
@@ -674,6 +683,28 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')
+        """,
+        "mixture_sample_documents": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE text IS NOT NULL AND (
+              CASE
+                WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN TRUE
+                WHEN source IN ('src5','src6','src7','src8','src9')
+                    THEN substr(sha256('mix:' || text), 1, 2) < '80'
+                WHEN source IN ('src10','src11','src12','src13','src14')
+                    THEN substr(sha256('mix:' || text), 1, 2) < '40'
+                ELSE substr(sha256('mix:' || text), 1, 2) < '20'
+              END)
+        """,
+        "normalize_text_documents": """
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(text),
+                                       '\\s+', ' ', 'g')) AS norm_text,
+                   length(trim(regexp_replace(nfc_normalize(text),
+                                              '\\s+', ' ', 'g')))
+                       AS n_norm_chars
+            FROM documents
         """,
         "frequent_gram_stats_documents": """
             WITH t AS (

@@ -170,6 +170,13 @@ def run_bench() -> dict:
         ),
     )
 
+    def _pack(sf_dir):
+        from clonehunter_ray.pipelines import training
+
+        return training.pack_sequences_documents(sf_dir)
+
+    timed("pack_sequences_documents", _pack)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),

@@ -1,0 +1,235 @@
+"""Training-data export operators: mixture sampling, text
+normalization, sequence packing.
+
+These are the last-mile ops a pretraining pipeline runs after
+dedup/quality filtering (pipelines/dedup.py, text_analysis.py) and
+before tokenized shards are written: re-weight the source mixture,
+canonicalize text, and pack variable-length documents into fixed
+token-budget bins. The reference has no analogue (it stops at clone
+findings); these follow the same engine rules — stateless
+``map_batches`` over Arrow batches, no shuffle, per-block locality.
+
+Scale notes (100 TB):
+
+- ``mixture_sample`` is a pure per-row filter keyed on a salted
+  content hash — deterministic across re-runs/resumes, no RNG state,
+  no shuffle; the rates dict is closure-captured (it is tiny — one
+  float per source).
+- ``normalize_text`` is entirely pyarrow.compute kernels (NFC
+  normalize, RE2 whitespace collapse, trim) — zero Python per row.
+- ``pack_sequences`` packs WITHIN each input block (bins never span
+  blocks). That is the standard shard-local packing used for LLM
+  batch construction: it needs no shuffle, keeps outputs resumable
+  per input shard, and wastes at most one partial bin per block. The
+  per-block first-fit-decreasing loop is inherently sequential but
+  O(docs x open_bins) on a few-thousand-row block — not a hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rate_threshold(rate: float) -> str | None:
+    """Map a sampling rate in [0, 1] to a 2-hex-char threshold on the
+    first byte of a sha256 hex digest (lexicographic compare on
+    lowercase hex == numeric compare). ``None`` means keep-all."""
+    if rate >= 1.0:
+        return None
+    return format(max(0, min(256, int(round(rate * 256)))), "02x")
+
+
+def mixture_sample_batch(
+    batch: pa.Table,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> pa.Table:
+    """Filter one Arrow batch to the per-source mixture rates.
+
+    A row survives iff the first byte of sha256(salt + text) falls
+    below ``rate * 256`` for its source. NULL text never survives
+    (sha256(NULL) IS NULL in the SQL oracle)."""
+    sources = batch[source_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    keep = []
+    for s, t in zip(sources, texts):
+        if t is None:
+            keep.append(False)
+            continue
+        thresh = _rate_threshold(rates.get(s, default_rate))
+        if thresh is None:
+            keep.append(True)
+        else:
+            h = hashlib.sha256((salt + t).encode("utf-8")).hexdigest()
+            keep.append(h[:2] < thresh)
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def mixture_sample(
+    ds,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix:",
+    columns: list[str] | None = None,
+):
+    """Deterministic per-source mixture re-weighting of a Dataset.
+
+    The standard way to hit a target pretraining mixture (e.g. web at
+    0.25, reference text at 1.0) without RNG state: every re-run,
+    resume, and downstream join sees the same rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = mixture_sample_batch(batch, rates, default_rate, salt)
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """NFC-normalize, collapse ASCII whitespace runs to one space, and
+    trim one Arrow batch. NULL text stays NULL; ``doc_id`` keeps its
+    input type.
+
+    Whitespace collapse/trim/length are pyarrow.compute (RE2) kernels.
+    NFC composition goes through ``unicodedata`` — but ONLY for rows
+    that actually contain non-ASCII bytes (byte length != char
+    length), so an ASCII corpus pays zero Python rows. (This build's
+    ``pc.utf8_normalize(form="NFC")`` does not compose combining
+    sequences, so it cannot match DuckDB's ``nfc_normalize``.)"""
+    col = pc.cast(batch[text_col], pa.string())
+    non_ascii = pc.fill_null(
+        pc.not_equal(pc.binary_length(col), pc.utf8_length(col)), False
+    )
+    if pc.any(non_ascii).as_py():
+        import unicodedata
+
+        vals = col.to_pylist()
+        mask = non_ascii.to_pylist()
+        vals = [
+            unicodedata.normalize("NFC", v) if (m and v is not None) else v
+            for v, m in zip(vals, mask)
+        ]
+        col = pa.array(vals, pa.string())
+    collapsed = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "norm_text": pc.cast(collapsed, pa.string()),
+            "n_norm_chars": pc.cast(pc.utf8_length(collapsed), pa.int64()),
+        }
+    )
+
+
+def pack_bins_batch(batch: pa.Table, budget: int) -> pa.Table:
+    """First-fit-decreasing packing of one block's documents into
+    token-budget bins.
+
+    Deterministic: docs are ordered by (n_tokens desc, doc_id asc);
+    ``bin_id`` is the doc_id of the bin's first (largest) member —
+    globally unique across blocks with no coordination, and keeps the
+    input doc_id type. A document longer than the budget gets a bin of
+    its own (truncation is the tokenizer's job, not the packer's)."""
+    id_type = batch["doc_id"].type
+    ids = batch["doc_id"].to_pylist()
+    toks = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # np.array(ids) is int64 or '<U*' — both lexsort-able natively
+    order = np.lexsort((np.array(ids), -toks))
+    open_rem: list[int] = []  # remaining capacity per open bin
+    open_key: list = []
+    open_n: list[int] = []  # members per open bin
+    out_bin: list = [None] * len(ids)
+    out_slot = np.zeros(len(ids), dtype=np.int64)
+    for i in order:
+        n = int(toks[i])
+        placed = False
+        for b in range(len(open_rem)):
+            if open_rem[b] >= n:
+                open_rem[b] -= n
+                out_bin[i] = open_key[b]
+                out_slot[i] = open_n[b]
+                open_n[b] += 1
+                placed = True
+                break
+        if not placed:
+            open_key.append(ids[i])
+            open_rem.append(max(0, budget - n))
+            open_n.append(1)
+            out_bin[i] = ids[i]
+            out_slot[i] = 0
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, id_type),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "bin_id": pa.array(out_bin, id_type),
+            "bin_slot": pa.array(out_slot, pa.int64()),
+        }
+    )
+
+
+def pack_sequences(ds, budget: int, text_col: str = "text"):
+    """Token-count then shard-local FFD packing (see module docstring
+    for the bins-never-span-blocks contract)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+        n = pc.cast(pc.count_substring_regex(low, "[a-z0-9_]+"), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(count, batch_format="pyarrow").map_batches(
+        lambda b: pack_bins_batch(b, budget),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sf_dir query wrappers (driver harness; oracle SQL in __ray_entry__)
+# ---------------------------------------------------------------------------
+
+# Demo mixture: full reference-text sources, progressively downsampled
+# web-ish tiers. Keys match the synthetic documents.source domain.
+MIXTURE_RATES = {
+    **{f"src{i}": 1.0 for i in range(0, 5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.25 for i in range(10, 15)},
+}
+MIXTURE_DEFAULT = 0.125
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    from clonehunter_ray.util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def mixture_sample_documents(sf_dir: str):
+    """Deterministic per-source mixture sample of the documents table."""
+    return mixture_sample(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars", "text"]),
+        MIXTURE_RATES,
+        default_rate=MIXTURE_DEFAULT,
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+
+
+def normalize_text_documents(sf_dir: str):
+    """NFC + whitespace-canonical text for every document."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        normalize_text_batch, batch_format="pyarrow"
+    )
+
+
+def pack_sequences_documents(sf_dir: str, budget: int = 256):
+    """Shard-local FFD packing of documents into 256-token bins."""
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget)

@@ -1,0 +1,181 @@
+"""Training-data export operators (pipelines/training.py): mixture
+sampling and text normalization pinned against the DuckDB SQL shipped
+in ``__ray_entry__.oracle_sql()``; sequence packing pinned by its
+invariants (FFD legality, determinism, near-optimal bin count).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __ray_entry__ as entry  # noqa: E402
+
+from clonehunter_ray.pipelines import training as T  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# -- kernel units (no Ray needed) -------------------------------------------
+
+
+def test_rate_threshold_mapping():
+    assert T._rate_threshold(1.0) is None
+    assert T._rate_threshold(0.5) == "80"
+    assert T._rate_threshold(0.25) == "40"
+    assert T._rate_threshold(0.125) == "20"
+    assert T._rate_threshold(0.0) == "00"  # keeps nothing
+
+
+def test_mixture_sample_batch_null_text_dropped():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array(["x", None, "y"]),
+        }
+    )
+    out = T.mixture_sample_batch(batch, {"a": 1.0}, default_rate=1.0, salt="s:")
+    assert out["doc_id"].to_pylist() == [1, 3]
+
+
+def test_normalize_text_batch_kernels():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # decomposed a + U+0301: NFC must COMPOSE it to U+00E1
+            "text": pa.array(["a\u0301  b\t\nc", "  x  ", None]),
+        }
+    )
+    out = T.normalize_text_batch(batch)
+    assert out["norm_text"].to_pylist() == ["\u00e1 b c", "x", None]
+    assert out["n_norm_chars"].to_pylist() == [5, 1, None]
+
+
+def test_normalize_text_batch_matches_duckdb_nfc():
+    texts = ["a\u0301b", "nai\u0308ve", "\ufb01le  x", "plain ascii", None]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = T.normalize_text_batch(batch)["norm_text"].to_pylist()
+    con = duckdb.connect()
+    for t, mine in zip(texts, out):
+        db = con.execute(
+            "SELECT trim(regexp_replace(nfc_normalize(?), '\\s+', ' ', 'g'))",
+            [t],
+        ).fetchone()[0]
+        assert mine == db
+
+
+def test_pack_bins_batch_ffd_invariants():
+    rng = np.random.default_rng(7)
+    n = 400
+    toks = rng.integers(1, 300, size=n)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)], pa.string()),
+            "n_tokens": pa.array(toks, pa.int64()),
+        }
+    )
+    budget = 256
+    out = T.pack_bins_batch(batch, budget)
+    assert out.num_rows == n  # every doc exactly once
+    assert len(set(out["doc_id"].to_pylist())) == n
+    import collections
+
+    sums: dict = collections.defaultdict(int)
+    members: dict = collections.defaultdict(int)
+    for bid, nt in zip(out["bin_id"].to_pylist(), out["n_tokens"].to_pylist()):
+        sums[bid] += nt
+        members[bid] += 1
+    for bid, s in sums.items():
+        # over-budget bins are exactly the single docs longer than budget
+        assert s <= budget or members[bid] == 1
+    # near-optimal: FFD uses at most ~1.5x the fractional lower bound
+    # (11/9 OPT + 1 classically; generous slack for the big-item bins)
+    fits = toks[toks <= budget]
+    lb = int(np.ceil(fits.sum() / budget)) + int((toks > budget).sum())
+    assert len(sums) <= 1.5 * lb + 1
+    # deterministic
+    out2 = T.pack_bins_batch(batch, budget)
+    assert out.equals(out2)
+    # bin_id is a member of its own bin, slot 0
+    first = {
+        bid: slot
+        for bid, did, slot in zip(
+            out["bin_id"].to_pylist(),
+            out["doc_id"].to_pylist(),
+            out["bin_slot"].to_pylist(),
+        )
+        if bid == did
+    }
+    assert set(first) == set(sums) and all(s == 0 for s in first.values())
+
+
+# -- Ray pipelines vs oracle -------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_sample_documents_oracle():
+    mine = _norm(entry_query("mixture_sample_documents"))
+    oracle = _norm(_oracle(entry.oracle_sql()["mixture_sample_documents"]))
+    assert mine.shape == oracle.shape
+    assert (mine.astype(str).values == oracle.astype(str).values).all()
+    # the mixture actually downsamples: fewer rows than the corpus
+    n_docs = len(_oracle("SELECT doc_id FROM documents"))
+    assert 0 < len(mine) < n_docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_normalize_text_documents_oracle():
+    mine = _norm(entry_query("normalize_text_documents"))
+    oracle = _norm(_oracle(entry.oracle_sql()["normalize_text_documents"]))
+    assert mine.shape == oracle.shape
+    assert (mine.astype(str).values == oracle.astype(str).values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_documents_pipeline():
+    df = entry_query("pack_sequences_documents")
+    n_docs = len(_oracle("SELECT doc_id FROM documents"))
+    assert len(df) == n_docs and df["doc_id"].is_unique
+    g = df.groupby("bin_id")["n_tokens"].agg(["sum", "size"])
+    assert ((g["sum"] <= 256) | (g["size"] == 1)).all()
+    # doc_id keeps the input dtype (int64 in the testdata tables)
+    assert str(df["doc_id"].dtype) == "int64"
+
+
+def entry_query(name: str):
+    import pandas as pd
+    import ray.data
+
+    res = entry.queries()[name](SF_DIR)
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    assert isinstance(res, pd.DataFrame)
+    return res
