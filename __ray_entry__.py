@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": Q.token_count_documents,
         "doc_quality_counts": Q.doc_quality_counts,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "duplicate_clusters_documents": Q.duplicate_clusters_documents,
         "knn_cosine_topk": Q.knn_cosine_topk,
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "events_daily_counts": Q.events_daily_counts,
@@ -368,6 +369,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(a.ts) > 0 AND len(b.ts) > 0
               AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+        """,
+        "duplicate_clusters_documents": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+                FROM documents WHERE doc_id < 500
+            ), edges AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                WHERE len(a.ts) > 0 AND len(b.ts) > 0
+                  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+            ), sym AS (
+                SELECT a_id AS src, b_id AS dst FROM edges
+                UNION ALL
+                SELECT b_id AS src, a_id AS dst FROM edges
+            ), reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+                WHERE s.dst <> r.src
+            ), lab AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT)
+                       AS cluster_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+            LEFT JOIN lab l USING (doc_id)
         """,
         "embedding_cosine_pairs_exact": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -269,6 +269,63 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
     )
 
 
+def duplicate_clusters_documents(
+    sf_dir: str, threshold: float = 0.6, max_id: int = 500
+):
+    """Connected-component cluster ids over the exact token-Jaccard
+    near-dup graph: every doc_id < max_id gets the MIN doc_id of its
+    component (singletons label themselves).
+
+    This oracle-checks the engine's distributed clustering core —
+    ``stages/clustering.py:hashmin_labels`` (iterative min-label
+    propagation, one groupby shuffle per round, converges in
+    O(diameter) rounds) — the same code path ``scan()`` uses above
+    ``driver_max_edges``. The DuckDB oracle computes the identical
+    labels via a recursive-CTE transitive closure over the identical
+    edge set (ngram_jaccard_pairs' SQL), so label parity pins the
+    propagation end-to-end, not just on synthetic pytest graphs.
+    The label attach is a partitioned left-outer join (no driver-side
+    label dict), coalescing missing labels to the doc's own id."""
+    from clonehunter_ray.stages.clustering import hashmin_labels
+    from clonehunter_ray.util import safe_join_partitions
+
+    edges = (
+        ngram_jaccard_pairs(sf_dir, threshold=threshold, max_id=max_id)
+        .select_columns(["a_id", "b_id"])
+        .map_batches(
+            lambda t: t.rename_columns(["unit_a", "unit_b"]),
+            batch_format="pyarrow",
+        )
+    )
+    labels = hashmin_labels(edges).map_batches(
+        lambda t: t.rename_columns(["doc_id", "min_label"]),
+        batch_format="pyarrow",
+    )
+    docs = _read(sf_dir, "documents", ["doc_id"]).filter(
+        expr=f"doc_id < {max_id}"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cluster_id": pc.cast(
+                    pc.coalesce(batch["min_label"], batch["doc_id"]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.join(
+        labels,
+        "left_outer",
+        safe_join_partitions(8),
+        on=("doc_id",),
+    ).map_batches(finish, batch_format="pyarrow")
+
+
 def doc_repetition_signals(sf_dir: str):
     """Gopher-style per-document repetition quality signals over token
     2-grams: total / distinct / top-gram multiplicity plus the derived

@@ -192,3 +192,38 @@ def test_minhash_keep_best_quality_representative(ray_session):
         if len(pair_clusters):
             kept = pair_clusters[pair_clusters.keep]
             assert (kept.doc_id % 3 == 2).all()
+
+
+def test_duplicate_clusters_documents_vs_recursive_cte(ray_session):
+    """End-to-end oracle parity for the distributed clustering core:
+    hashmin_labels over the exact token-Jaccard edge set must produce
+    the identical (doc_id, cluster_id) labeling as a DuckDB
+    recursive-CTE transitive closure (singletons label themselves)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from clonehunter_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        Q.duplicate_clusters_documents(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.sql(entry.oracle_sql()["duplicate_clusters_documents"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(mine) == len(want) > 0
+    assert (mine["doc_id"].values == want["doc_id"].values).all()
+    assert (mine["cluster_id"].values == want["cluster_id"].values).all()
+    # labels are canonical: every cluster_id is the min member id
+    g = mine.groupby("cluster_id")["doc_id"].min()
+    assert (g.index.values == g.values).all()
