@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_counts": Q.doc_quality_counts,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "duplicate_clusters_documents": Q.duplicate_clusters_documents,
+        "ensemble_dup_pairs": Q.ensemble_dup_pairs,
         "knn_cosine_topk": Q.knn_cosine_topk,
         "lineitem_pricing_summary": Q.lineitem_pricing_summary,
         "events_daily_counts": Q.events_daily_counts,
@@ -398,6 +399,28 @@ def oracle_sql() -> dict[str, str]:
                        AS cluster_id
             FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
             LEFT JOIN lab l USING (doc_id)
+        """,
+        "ensemble_dup_pairs": """
+            WITH cand AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ), toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+                FROM documents
+            )
+            SELECT c.a_id, c.b_id,
+                   round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                         / (len(ta.ts) + len(tb.ts)
+                            - len(list_intersect(ta.ts, tb.ts))), 6) AS jac6
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.a_id
+            JOIN toks tb ON tb.doc_id = c.b_id
+            WHERE len(ta.ts) > 0 AND len(tb.ts) > 0
+              AND CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                  / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+                  >= 0.5
         """,
         "embedding_cosine_pairs_exact": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

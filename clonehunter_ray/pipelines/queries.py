@@ -326,6 +326,91 @@ def duplicate_clusters_documents(
     ).map_batches(finish, batch_format="pyarrow")
 
 
+def ensemble_dup_pairs(
+    sf_dir: str, cos_threshold: float = 0.4, jac_threshold: float = 0.5
+):
+    """Multi-signal near-dup pairs: embedding cosine >= cos_threshold
+    AND exact token-set Jaccard >= jac_threshold.
+
+    The production dedup recipe when one signal alone over-fires
+    (embeddings catch paraphrases but also topic-siblings; lexical
+    Jaccard anchors the decision to shared surface text). Shape:
+    candidates come from the exact cosine pair path (normalized corpus
+    broadcast once via plasma, block-row Gram per task, no shuffle);
+    the token-hash payload is then attached from a second plasma
+    broadcast table and Jaccard-verified per batch — candidates stay
+    ids-only end-to-end, payloads never ride a shuffle. Both stages
+    are the same kernels the single-signal paths use
+    (similarity.embedding_cosine_pairs_exact, H.jaccard_batch), so the
+    ensemble adds one stateless verify stage, not new machinery."""
+    from clonehunter_ray.pipelines.similarity import embedding_cosine_pairs_exact
+    from clonehunter_ray.stages.candidates import (
+        get_broadcast_payload,
+        make_broadcast_handle,
+    )
+
+    cand = embedding_cosine_pairs_exact(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=cos_threshold,
+        ids_only=True,
+    )
+
+    def toks(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        sets = [H.token_set_hashes(x) for x in th]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "tok_hashes": pa.array([s.tobytes() for s in sets], pa.binary()),
+            }
+        )
+
+    tok = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(toks, batch_format="pyarrow")
+        .materialize()
+    )
+    handle = make_broadcast_handle(tok, ["doc_id", "tok_hashes"], key_col="doc_id")
+
+    out_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("jac6", pa.float64())]
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        table, idx = get_broadcast_payload(handle)
+        blobs = table["tok_hashes"]
+        # drop candidates with no document row (ids are 1:1 in the
+        # testdata; this guards corpora where embeddings outrun docs)
+        a_ids = batch["a_id"].to_pylist()
+        b_ids = batch["b_id"].to_pylist()
+        keep = [i for i, (x, y) in enumerate(zip(a_ids, b_ids)) if x in idx and y in idx]
+        if len(keep) < batch.num_rows:
+            batch = batch.take(pa.array(keep, pa.int64()))
+            a_ids = [a_ids[i] for i in keep]
+            b_ids = [b_ids[i] for i in keep]
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        rows_a = pa.array([idx[x] for x in a_ids], pa.int64())
+        rows_b = pa.array([idx[y] for y in b_ids], pa.int64())
+        jac = H.jaccard_batch(blobs.take(rows_a), blobs.take(rows_b))
+        sel_np = np.flatnonzero(jac >= jac_threshold)
+        sel = pa.array(sel_np, pa.int64())
+        return pa.table(
+            {
+                "a_id": batch["a_id"].take(sel),
+                "b_id": batch["b_id"].take(sel),
+                "jac6": pa.array(
+                    [round(float(v), 6) for v in jac[sel_np]], pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def doc_repetition_signals(sf_dir: str):
     """Gopher-style per-document repetition quality signals over token
     2-grams: total / distinct / top-gram multiplicity plus the derived

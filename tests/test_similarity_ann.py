@@ -123,3 +123,39 @@ def test_lsh_near_dup_recall_vs_exact_pairs(ray_session):
     assert got <= truth  # exact verification => no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ensemble_dup_pairs_vs_oracle(ray_session):
+    """Multi-signal dedup (cosine AND token Jaccard) must equal the
+    DuckDB join of the two single-signal oracles, and be a strict
+    subset of the cosine-only candidate set."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from clonehunter_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        Q.ensemble_dup_pairs(sf)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = (
+        con.sql(entry.oracle_sql()["ensemble_dup_pairs"])
+        .df()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert len(mine) == len(want) > 0
+    assert (mine[["a_id", "b_id"]].values == want[["a_id", "b_id"]].values).all()
+    assert (abs(mine["jac6"].values - want["jac6"].values) < 1e-9).all()
+    cos_only = con.sql(
+        "SELECT count(*) FROM embeddings a JOIN embeddings b"
+        " ON a.vec_id < b.vec_id"
+        " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ).fetchone()[0]
+    assert len(mine) < cos_only  # the lexical gate actually prunes
