@@ -228,6 +228,35 @@ def hashmin_labels(
         _symmetrize, batch_format="pyarrow"
     ).materialize()
 
+    # Convergence witness. Min-label propagation is pointwise
+    # NON-INCREASING (new label = min of old + received), so for
+    # integer labels the total label sum is a complete change
+    # detector: sum unchanged <=> no label changed. That replaces the
+    # per-round compare JOIN (a third shuffle) with a local per-batch
+    # reduction. Per-batch sums stay exact in int64 for any realistic
+    # id domain (ids < 2^40 x 2^23-row batches < 2^63); the driver
+    # total is a Python int, so no overflow across batches. String
+    # labels (the scan path's unit ids) keep the join-based check.
+    _sch = labels.schema()  # ray.data Schema: .names / .types (Arrow)
+    int_labels = pa.types.is_integer(
+        dict(zip(_sch.names, _sch.types))["label"]
+    )
+
+    def _label_sum(ds) -> int:
+        parts = ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [int(pc.sum(t["label"]).as_py() or 0)], pa.int64()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        return sum(int(r["s"]) for r in parts)
+
+    prev_sum = _label_sum(labels) if int_labels else None
+
     for _ in range(max_iters):
         # join labels onto each directed edge's source, send to dest
         lab_src = labels.map_batches(
@@ -258,24 +287,34 @@ def hashmin_labels(
             )
             .materialize()
         )
-        # converged when no label changed (tiny join to compare)
-        changed = (
-            new_labels.join(
-                labels.map_batches(
-                    lambda t: t.rename_columns(["unit_id", "old_label"]),
+        if int_labels:
+            # sum witness (see above): exact, no extra shuffle
+            new_sum = _label_sum(new_labels)
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            # converged when no label changed (tiny join to compare)
+            changed = (
+                new_labels.join(
+                    labels.map_batches(
+                        lambda t: t.rename_columns(["unit_id", "old_label"]),
+                        batch_format="pyarrow",
+                    ),
+                    "inner",
+                    num_partitions,
+                    on=("unit_id",),
+                )
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.not_equal(t["label"], t["old_label"])
+                    ),
                     batch_format="pyarrow",
-                ),
-                "inner",
-                num_partitions,
-                on=("unit_id",),
+                )
+                .count()
             )
-            .map_batches(
-                lambda t: t.filter(pc.not_equal(t["label"], t["old_label"])),
-                batch_format="pyarrow",
-            )
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            labels = new_labels
+            if changed == 0:
+                break
     return labels
