@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": Q.hash_sample_documents,
         "mixture_sample_documents": training.mixture_sample_documents,
         "normalize_text_documents": training.normalize_text_documents,
+        "export_training_shards": training.export_training_shards,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -749,6 +750,20 @@ def oracle_sql() -> dict[str, str]:
                     THEN substr(sha256('mix:' || text), 1, 2) < '40'
                 ELSE substr(sha256('mix:' || text), 1, 2) < '20'
               END)
+        """,
+        "export_training_shards": """
+            SELECT source, count(*) AS n_rows FROM documents
+            WHERE text IS NOT NULL AND (
+              CASE
+                WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN TRUE
+                WHEN source IN ('src5','src6','src7','src8','src9')
+                    THEN substr(sha256('mix:' || text), 1, 2) < '80'
+                WHEN source IN ('src10','src11','src12','src13','src14')
+                    THEN substr(sha256('mix:' || text), 1, 2) < '40'
+                ELSE substr(sha256('mix:' || text), 1, 2) < '20'
+              END)
+            GROUP BY source
         """,
         "normalize_text_documents": """
             SELECT doc_id,

@@ -233,3 +233,83 @@ def normalize_text_documents(sf_dir: str):
 def pack_sequences_documents(sf_dir: str, budget: int = 256):
     """Shard-local FFD packing of documents into 256-token bins."""
     return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget)
+
+
+def export_training_shards(
+    sf_dir: str,
+    out_dir: str | None = None,
+    budget: int = 256,
+):
+    """The composed end-to-end training-data export: mixture sample ->
+    normalize -> token count -> shard-local pack -> resumable
+    hive-partitioned Parquet sink (one directory per source, written
+    on the workers, ``_SUCCESS`` per partition so a re-run skips
+    finished sources).
+
+    Every stage is a stateless map_batches over the same flowing
+    blocks — one pipeline, no driver collection, the only shuffle is
+    the sink's partition groupby. Returns the per-source manifest
+    (source, n_rows) read back from the written partitions; since no
+    stage after the mixture filter drops or adds rows, the manifest
+    equals the mixture's per-source kept counts and is exactly
+    SQL-checkable.
+    """
+    import os
+    import tempfile
+
+    from clonehunter_ray.state.checkpoint import write_partitioned_output
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="training_shards_")
+
+    ds = mixture_sample(
+        _docs(sf_dir, ["doc_id", "source", "text"]),
+        MIXTURE_RATES,
+        default_rate=MIXTURE_DEFAULT,
+    )
+
+    def normalize_keep_source(batch: pa.Table) -> pa.Table:
+        out = normalize_text_batch(batch)
+        return out.append_column("source", batch["source"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["norm_text"], ""))
+        n = pc.cast(pc.count_substring_regex(low, "[a-z0-9_]+"), pa.int64())
+        return batch.append_column("n_tokens", n)
+
+    def pack_block(batch: pa.Table) -> pa.Table:
+        packed = pack_bins_batch(
+            batch.select(["doc_id", "n_tokens"]), budget
+        )
+        # pack_bins_batch emits exactly one output row per input row,
+        # in input order (only bin assignment is computed), so the new
+        # columns align positionally
+        return batch.append_column(
+            "bin_id", packed["bin_id"]
+        ).append_column("bin_slot", packed["bin_slot"])
+
+    staged = (
+        ds.map_batches(normalize_keep_source, batch_format="pyarrow")
+        .map_batches(count_tokens, batch_format="pyarrow")
+        .map_batches(pack_block, batch_format="pyarrow", batch_size=None)
+    )
+    write_partitioned_output(staged, out_dir, "source")
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        part = os.path.join(out_dir, name, "part-0.parquet")
+        if name.startswith("source=") and os.path.exists(part):
+            rows.append(
+                (
+                    name.split("=", 1)[1],
+                    pq.read_metadata(part).num_rows,
+                )
+            )
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

@@ -179,3 +179,36 @@ def entry_query(name: str):
         return res.to_pandas()
     assert isinstance(res, pd.DataFrame)
     return res
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_training_shards_end_to_end(tmp_path):
+    """Composed export pipeline: the written per-source manifest equals
+    the SQL mixture counts, shard files carry the full export schema,
+    bins are legal, and a re-run skips finished partitions."""
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "shards")
+    manifest = T.export_training_shards(SF_DIR, out_dir=out_dir).to_pandas()
+    want = _oracle(entry.oracle_sql()["export_training_shards"])
+    m = _norm(manifest)
+    w = _norm(want)
+    assert m.shape == w.shape
+    assert (m.astype(str).values == w.astype(str).values).all()
+    # shard files have the full export schema and legal bins
+    one = os.path.join(
+        out_dir, f"source={manifest['source'].iloc[0]}", "part-0.parquet"
+    )
+    t = pq.read_table(one)
+    assert set(t.column_names) >= {
+        "doc_id", "source", "norm_text", "n_tokens", "bin_id", "bin_slot"
+    }
+    df = t.to_pandas()
+    g = df.groupby("bin_id")["n_tokens"].agg(["sum", "size"])
+    assert ((g["sum"] <= 256) | (g["size"] == 1)).all()
+    # a re-run against the same out_dir skips every finished partition
+    # (the _SUCCESS markers survive) and reports identical counts
+    manifest2 = T.export_training_shards(SF_DIR, out_dir=out_dir).to_pandas()
+    assert (
+        _norm(manifest2).astype(str).values == m.astype(str).values
+    ).all()
