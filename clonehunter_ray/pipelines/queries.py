@@ -297,12 +297,28 @@ def duplicate_clusters_documents(
             batch_format="pyarrow",
         )
     )
-    labels = hashmin_labels(edges).map_batches(
-        lambda t: t.rename_columns(["doc_id", "min_label"]),
-        batch_format="pyarrow",
-    )
+    raw_labels = hashmin_labels(edges)
     docs = _read(sf_dir, "documents", ["doc_id"]).filter(
         expr=f"doc_id < {max_id}"
+    )
+    if raw_labels.schema() is None:
+        # empty edge set (no pair cleared the threshold): every doc is
+        # its own singleton cluster — no join to run (and pyarrow's
+        # hash join rejects a schema-less empty right side)
+        def _singletons(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "cluster_id": pc.cast(t["doc_id"], pa.int64()),
+                }
+            )
+
+        return docs.map_batches(_singletons, batch_format="pyarrow")
+    labels = raw_labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "min_label"]),
+        batch_format="pyarrow",
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -27,20 +27,25 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from clonehunter_ray.functions.hashing import sha256_hex
 
 
 def _rate_threshold(rate: float) -> str | None:
     """Map a sampling rate in [0, 1] to a 2-hex-char threshold on the
     first byte of a sha256 hex digest (lexicographic compare on
-    lowercase hex == numeric compare). ``None`` means keep-all."""
-    if rate >= 1.0:
+    lowercase hex == numeric compare). ``None`` means keep-all.
+
+    Rates that round to a full byte range (>= 255.5/256) are keep-all:
+    format(256) would be the 3-char string '100', which INVERTS the
+    2-char lexicographic compare and silently drops ~94% of rows."""
+    t = int(round(rate * 256))
+    if t >= 256:
         return None
-    return format(max(0, min(256, int(round(rate * 256)))), "02x")
+    return format(max(0, t), "02x")
 
 
 def mixture_sample_batch(
@@ -58,17 +63,21 @@ def mixture_sample_batch(
     (sha256(NULL) IS NULL in the SQL oracle)."""
     sources = batch[source_col].to_pylist()
     texts = batch[text_col].to_pylist()
+    # per-batch threshold cache: one derivation per distinct source,
+    # not one per row
+    thresholds = {
+        s: _rate_threshold(rates.get(s, default_rate)) for s in set(sources)
+    }
     keep = []
     for s, t in zip(sources, texts):
         if t is None:
             keep.append(False)
             continue
-        thresh = _rate_threshold(rates.get(s, default_rate))
+        thresh = thresholds[s]
         if thresh is None:
             keep.append(True)
         else:
-            h = hashlib.sha256((salt + t).encode("utf-8")).hexdigest()
-            keep.append(h[:2] < thresh)
+            keep.append(sha256_hex(salt + t)[:2] < thresh)
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
@@ -119,8 +128,12 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             for v, m in zip(vals, mask)
         ]
         col = pa.array(vals, pa.string())
-    collapsed = pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    # trim exactly ' ' (what the \s+ collapse can leave at the edges):
+    # pc.utf8_trim_whitespace would ALSO strip non-ASCII whitespace
+    # like U+2028, which DuckDB's trim() does not — oracle divergence
+    collapsed = pc.utf8_trim(
+        pc.replace_substring_regex(col, pattern=r"\s+", replacement=" "),
+        characters=" ",
     )
     return pa.table(
         {
@@ -163,7 +176,12 @@ def pack_bins_batch(batch: pa.Table, budget: int) -> pa.Table:
                 break
         if not placed:
             open_key.append(ids[i])
-            open_rem.append(max(0, budget - n))
+            # deliberately NOT clamped at 0: an over-budget singleton
+            # carries negative remaining capacity, so even a 0-token
+            # doc (n == 0 satisfies rem >= n for rem == 0) can never
+            # join it and break the bins-over-budget-are-singletons
+            # invariant
+            open_rem.append(budget - n)
             open_n.append(1)
             out_bin[i] = ids[i]
             out_slot[i] = 0
@@ -254,13 +272,23 @@ def export_training_shards(
     equals the mixture's per-source kept counts and is exactly
     SQL-checkable.
     """
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     from clonehunter_ray.state.checkpoint import write_partitioned_output
 
     if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="training_shards_")
+        # deterministic scratch path per input dir, wiped before the
+        # run: repeated harness invocations reuse ONE directory
+        # (bounded /tmp use) and the wipe guarantees a fresh export
+        # rather than skip-resuming over a previous run's partitions
+        key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"training_shards_{key}"
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     ds = mixture_sample(
         _docs(sf_dir, ["doc_id", "source", "text"]),
@@ -296,14 +324,22 @@ def export_training_shards(
     write_partitioned_output(staged, out_dir, "source")
 
     import pyarrow.parquet as pq
+    from urllib.parse import unquote
 
     rows = []
     for name in sorted(os.listdir(out_dir)):
         part = os.path.join(out_dir, name, "part-0.parquet")
-        if name.startswith("source=") and os.path.exists(part):
+        # count only COMPLETE partitions (_SUCCESS is the sink's
+        # completion marker) and unquote the hive dirname back to the
+        # raw source value (the sink URL-quotes it)
+        if (
+            name.startswith("source=")
+            and os.path.exists(part)
+            and os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
+        ):
             rows.append(
                 (
-                    name.split("=", 1)[1],
+                    unquote(name.split("=", 1)[1]),
                     pq.read_metadata(part).num_rows,
                 )
             )

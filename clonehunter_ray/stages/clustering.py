@@ -238,6 +238,9 @@ def hashmin_labels(
     # total is a Python int, so no overflow across batches. String
     # labels (the scan path's unit ids) keep the join-based check.
     _sch = labels.schema()  # ray.data Schema: .names / .types (Arrow)
+    if _sch is None:
+        # empty edge set -> no labeled nodes; already converged
+        return labels
     int_labels = pa.types.is_integer(
         dict(zip(_sch.names, _sch.types))["label"]
     )

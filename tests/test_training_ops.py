@@ -45,6 +45,44 @@ def test_rate_threshold_mapping():
     assert T._rate_threshold(0.25) == "40"
     assert T._rate_threshold(0.125) == "20"
     assert T._rate_threshold(0.0) == "00"  # keeps nothing
+    # rates rounding to the full byte range are keep-all, NOT the
+    # 3-char '100' whose lexicographic compare would drop ~94% of rows
+    assert T._rate_threshold(0.999) is None
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "source": pa.array(["w"] * 200),
+            "text": pa.array([f"doc {i}" for i in range(200)]),
+        }
+    )
+    out = T.mixture_sample_batch(batch, {"w": 0.999}, 1.0, "s:")
+    assert out.num_rows == 200
+
+
+def test_pack_zero_token_doc_never_joins_oversize_bin():
+    out = T.pack_bins_batch(
+        pa.table(
+            {
+                "doc_id": pa.array(["big", "empty"]),
+                "n_tokens": pa.array([300, 0], pa.int64()),
+            }
+        ),
+        budget=256,
+    )
+    bins = dict(zip(out["doc_id"].to_pylist(), out["bin_id"].to_pylist()))
+    assert bins["big"] != bins["empty"]  # oversize bin stays a singleton
+    # but a 0-token doc MAY join an exactly-full legal bin
+    out2 = T.pack_bins_batch(
+        pa.table(
+            {
+                "doc_id": pa.array(["full", "empty"]),
+                "n_tokens": pa.array([256, 0], pa.int64()),
+            }
+        ),
+        budget=256,
+    )
+    b2 = dict(zip(out2["doc_id"].to_pylist(), out2["bin_id"].to_pylist()))
+    assert b2["full"] == b2["empty"]
 
 
 def test_mixture_sample_batch_null_text_dropped():
@@ -73,7 +111,16 @@ def test_normalize_text_batch_kernels():
 
 
 def test_normalize_text_batch_matches_duckdb_nfc():
-    texts = ["a\u0301b", "nai\u0308ve", "\ufb01le  x", "plain ascii", None]
+    # includes U+2028 at string edges: DuckDB's trim() strips only
+    # ' ', so the engine must not Unicode-trim it away
+    texts = [
+        "a\u0301b",
+        "nai\u0308ve",
+        "\ufb01le  x",
+        "plain ascii",
+        "\u2028x\u2028",
+        None,
+    ]
     batch = pa.table(
         {
             "doc_id": pa.array(list(range(len(texts))), pa.int64()),
@@ -212,3 +259,16 @@ def test_export_training_shards_end_to_end(tmp_path):
     assert (
         _norm(manifest2).astype(str).values == m.astype(str).values
     ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_clusters_empty_edge_set_is_all_singletons():
+    from clonehunter_ray.pipelines import queries as Q
+
+    df = (
+        Q.duplicate_clusters_documents(SF_DIR, threshold=1.01)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(df) > 0
+    assert (df["doc_id"].values == df["cluster_id"].values).all()
