@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "pack_sequences_documents": training.pack_sequences_documents,
+        "approx_distinct_users_hll": Q.approx_distinct_users_hll,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,

@@ -1,0 +1,81 @@
+"""Mergeable cardinality sketches (HyperLogLog).
+
+At 100 TB an exact COUNT(DISTINCT) (queries.py:
+distinct_users_per_event_type) still ships one row per distinct value
+through a shuffle; a HyperLogLog register array is a CONSTANT 2^p
+bytes per group regardless of cardinality, merges with an elementwise
+max, and answers within ~1.04/sqrt(2^p) relative error. This module
+is the numpy kernel; the Ray shape (per-batch partial registers ->
+tiny groupby merge) lives in pipelines/queries.py.
+
+Flajolet et al. 2007 (HyperLogLog) with the standard linear-counting
+small-range correction; hashing is a vectorized splitmix64 over
+uint64 keys (Steele et al. 2014), no Python per-row work anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# splitmix64 constants
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array — a
+    full-avalanche 64-bit hash (every input bit affects every output
+    bit), so sequential ids spread uniformly across registers."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + _C1
+        z = (z ^ (z >> np.uint64(30))) * _C2
+        z = (z ^ (z >> np.uint64(27))) * _C3
+        return z ^ (z >> np.uint64(31))
+
+
+def hll_partial(keys: np.ndarray, p: int = 12) -> np.ndarray:
+    """One batch's HLL register array (uint8[2^p]) from uint64 keys."""
+    if p < 12:
+        # the float64-log2 rho trick below is exact only for suffixes
+        # of <= 52 bits (= 64 - p with p >= 12)
+        raise ValueError("hll_partial requires p >= 12")
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(keys) == 0:
+        return regs
+    h = splitmix64(np.asarray(keys, dtype=np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # remaining (64-p)-bit suffix; rho = leading-zero count + 1.
+    # The suffix has <= 52 bits after the shift *only* when p >= 12,
+    # which keeps floor(log2(w)) exact in float64 (52-bit mantissa).
+    w = (h << np.uint64(p)) >> np.uint64(p)
+    nbits = 64 - p
+    # log2(0) guarded: w == 0 means all suffix bits zero -> rho = nbits+1
+    safe = np.maximum(w, np.uint64(1)).astype(np.float64)
+    rho = (nbits - np.floor(np.log2(safe))).astype(np.uint8)
+    rho = np.where(w == 0, np.uint8(nbits + 1), rho)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(reg_blobs) -> np.ndarray:
+    """Merge register blobs (iterable of bytes / uint8 arrays) by
+    elementwise max — the defining property that makes the sketch
+    safe to pre-aggregate per batch and combine across any partitioning."""
+    stacked = np.stack(
+        [np.frombuffer(b, dtype=np.uint8) for b in reg_blobs]
+    )
+    return stacked.max(axis=0)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with the linear-counting small-range
+    correction (the regime the test corpora live in)."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(est)

@@ -1011,6 +1011,55 @@ def distinct_users_per_event_type(sf_dir: str):
     return out
 
 
+def approx_distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate COUNT(DISTINCT user_id) per event_type via
+    HyperLogLog (functions/sketches.py) — the 100 TB alternative to
+    ``distinct_users_per_event_type``: instead of shipping one row per
+    distinct (type, user) through the shuffle, each batch emits ONE
+    2^p-byte register blob per event type present, and the groupby
+    merges blobs with an elementwise max. Shuffle volume is
+    O(batches x types x 4 KiB), independent of cardinality.
+
+    Approximate by design (rho ~1.6% at p=12) -> rows-only in the
+    driver harness; pytest pins relative error vs the exact query."""
+    from clonehunter_ray.functions import sketches as S
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_t, out_r = [], []
+        for t in np.unique(types):
+            out_t.append(str(t))
+            out_r.append(S.hll_partial(users[types == t], p).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        merged = S.hll_merge(group["regs"].to_pylist())
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "approx_users": pa.array(
+                    [int(round(S.hll_estimate(merged)))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def order_priority_counts(sf_dir: str):
     """Filtered groupby count (TPC-H Q4 flavor): 1996 orders by
     priority. The date filter runs inside the read's map stage so only

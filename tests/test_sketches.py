@@ -1,0 +1,67 @@
+"""HyperLogLog sketch kernel (functions/sketches.py) and the
+approx-distinct pipeline: merge semantics (register max == sketch of
+the union), estimate accuracy across cardinality regimes, and the Ray
+pipeline pinned against the exact COUNT(DISTINCT) oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from clonehunter_ray.functions import sketches as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_partial_requires_p12():
+    with pytest.raises(ValueError):
+        S.hll_partial(np.arange(10, dtype=np.uint64), p=8)
+
+
+def test_hll_merge_equals_sketch_of_union():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
+    b = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
+    merged = S.hll_merge(
+        [S.hll_partial(a).tobytes(), S.hll_partial(b).tobytes()]
+    )
+    union = S.hll_partial(np.concatenate([a, b]))
+    assert (merged == union).all()
+
+
+@pytest.mark.parametrize("n", [100, 2_000, 50_000, 400_000])
+def test_hll_estimate_accuracy(n):
+    # sequential keys are the adversarial case for a weak hash — the
+    # splitmix64 avalanche must spread them uniformly
+    keys = np.arange(n, dtype=np.uint64)
+    est = S.hll_estimate(S.hll_partial(keys))
+    assert abs(est - n) / n < 0.05  # p=12 -> sigma ~1.6%
+
+
+def test_hll_estimate_duplicates_dont_inflate():
+    keys = np.tile(np.arange(500, dtype=np.uint64), 100)  # 50k rows, 500 distinct
+    est = S.hll_estimate(S.hll_partial(keys))
+    assert abs(est - 500) / 500 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_users_pipeline_vs_exact():
+    from clonehunter_ray.pipelines import queries as Q
+
+    approx = (
+        Q.approx_distinct_users_hll(SF_DIR)
+        .to_pandas()
+        .set_index("event_type")["approx_users"]
+    )
+    exact = (
+        duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) AS n "
+            f"FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+        )
+        .df()
+        .set_index("event_type")["n"]
+    )
+    assert set(approx.index) == set(exact.index)
+    for t in exact.index:
+        assert abs(approx[t] - exact[t]) / exact[t] < 0.05
