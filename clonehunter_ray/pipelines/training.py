@@ -257,12 +257,13 @@ def export_training_shards(
     sf_dir: str,
     out_dir: str | None = None,
     budget: int = 256,
+    shards_per_source: int = 1,
 ):
     """The composed end-to-end training-data export: mixture sample ->
     normalize -> token count -> shard-local pack -> resumable
-    hive-partitioned Parquet sink (one directory per source, written
-    on the workers, ``_SUCCESS`` per partition so a re-run skips
-    finished sources).
+    hive-partitioned Parquet sink (one directory per partition,
+    written on the workers, ``_SUCCESS`` per partition so a re-run
+    skips finished partitions).
 
     Every stage is a stateless map_batches over the same flowing
     blocks — one pipeline, no driver collection, the only shuffle is
@@ -271,6 +272,13 @@ def export_training_shards(
     stage after the mixture filter drops or adds rows, the manifest
     equals the mixture's per-source kept counts and is exactly
     SQL-checkable.
+
+    ``shards_per_source`` is the 100 TB knob: with few distinct
+    sources, one partition per source means one worker writing one
+    multi-TB file. Above 1 the partition key becomes
+    ``source/shard_id`` with shard_id = doc_id mod k — deterministic
+    (resume-safe), k-way parallel writes per source, and the manifest
+    still aggregates back to per-source counts.
     """
     import hashlib
     import os
@@ -321,31 +329,54 @@ def export_training_shards(
         .map_batches(count_tokens, batch_format="pyarrow")
         .map_batches(pack_block, batch_format="pyarrow", batch_size=None)
     )
-    write_partitioned_output(staged, out_dir, "source")
+
+    if shards_per_source > 1:
+        k = shards_per_source
+
+        def add_shard_key(batch: pa.Table) -> pa.Table:
+            sid = (
+                batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % k
+            )
+            keys = [
+                f"{s}/{i:04d}"
+                for s, i in zip(batch["source"].to_pylist(), sid)
+            ]
+            return batch.append_column(
+                "export_part", pa.array(keys, pa.string())
+            )
+
+        staged = staged.map_batches(add_shard_key, batch_format="pyarrow")
+        write_partitioned_output(staged, out_dir, "export_part")
+        prefix = "export_part="
+    else:
+        write_partitioned_output(staged, out_dir, "source")
+        prefix = "source="
 
     import pyarrow.parquet as pq
     from urllib.parse import unquote
 
-    rows = []
+    counts: dict[str, int] = {}
     for name in sorted(os.listdir(out_dir)):
         part = os.path.join(out_dir, name, "part-0.parquet")
         # count only COMPLETE partitions (_SUCCESS is the sink's
         # completion marker) and unquote the hive dirname back to the
-        # raw source value (the sink URL-quotes it)
+        # raw value (the sink URL-quotes it); sharded partition values
+        # are 'source/NNNN' — aggregate back to per-source counts
         if (
-            name.startswith("source=")
+            name.startswith(prefix)
             and os.path.exists(part)
             and os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
         ):
-            rows.append(
-                (
-                    unquote(name.split("=", 1)[1]),
-                    pq.read_metadata(part).num_rows,
-                )
+            value = unquote(name.split("=", 1)[1])
+            source = value.rsplit("/", 1)[0] if "/" in value else value
+            counts[source] = (
+                counts.get(source, 0) + pq.read_metadata(part).num_rows
             )
+    items = sorted(counts.items())
     return pa.table(
         {
-            "source": pa.array([r[0] for r in rows], pa.string()),
-            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "source": pa.array([k for k, _ in items], pa.string()),
+            "n_rows": pa.array([v for _, v in items], pa.int64()),
         }
     )

@@ -272,3 +272,28 @@ def test_duplicate_clusters_empty_edge_set_is_all_singletons():
     )
     assert len(df) > 0
     assert (df["doc_id"].values == df["cluster_id"].values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_training_shards_sub_sharded(tmp_path):
+    """shards_per_source > 1 splits each source across k parallel
+    writer partitions (the 100 TB path) while the per-source manifest
+    stays identical to the unsharded export."""
+    flat = _norm(
+        T.export_training_shards(
+            SF_DIR, out_dir=str(tmp_path / "flat")
+        ).to_pandas()
+    )
+    sharded_dir = str(tmp_path / "sharded")
+    sharded = _norm(
+        T.export_training_shards(
+            SF_DIR, out_dir=sharded_dir, shards_per_source=3
+        ).to_pandas()
+    )
+    assert (flat.astype(str).values == sharded.astype(str).values).all()
+    # at least one source actually split into multiple shard dirs
+    names = [n for n in os.listdir(sharded_dir) if n.startswith("export_part=")]
+    from urllib.parse import unquote as _uq
+
+    sources = [_uq(n.split("=", 1)[1]).rsplit("/", 1)[0] for n in names]
+    assert len(names) > len(set(sources))
