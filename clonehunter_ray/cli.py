@@ -96,6 +96,36 @@ def _build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("diff", help="scan, then keep findings touching changed files")
     add_common(d)
     d.add_argument("--base", default="HEAD", help="git base rev for the change set")
+
+    e = sub.add_parser(
+        "export",
+        help="training-data export: mixture sample -> normalize -> "
+        "pack -> resumable hive-partitioned Parquet shards",
+    )
+    e.add_argument(
+        "--documents-parquet",
+        required=True,
+        help="documents table (columns doc_id, source, text)",
+    )
+    e.add_argument("--out-dir", required=True, help="shard output directory")
+    e.add_argument("--budget", type=int, default=256, help="tokens per packed bin")
+    e.add_argument(
+        "--shards-per-source",
+        type=int,
+        default=1,
+        help="fan each source out to K parallel writer partitions",
+    )
+    e.add_argument(
+        "--rates",
+        help="JSON object of source -> sampling rate (default: keep all)",
+    )
+    e.add_argument(
+        "--default-rate",
+        type=float,
+        default=1.0,
+        help="sampling rate for sources not named in --rates",
+    )
+    e.add_argument("--num-cpus", type=int, default=None)
     return p
 
 
@@ -163,6 +193,39 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "export":
+        from clonehunter_ray.pipelines.training import export_training_shards
+
+        manifest = export_training_shards(
+            args.documents_parquet,
+            out_dir=args.out_dir,
+            budget=args.budget,
+            shards_per_source=args.shards_per_source,
+            rates=json.loads(args.rates) if args.rates else {},
+            default_rate=args.default_rate,
+        )
+        print(
+            json.dumps(
+                {
+                    "out_dir": args.out_dir,
+                    "sources": manifest.num_rows,
+                    "rows": int(
+                        sum(manifest["n_rows"].to_pylist())
+                    ),
+                    "manifest": {
+                        s: n
+                        for s, n in zip(
+                            manifest["source"].to_pylist(),
+                            manifest["n_rows"].to_pylist(),
+                        )
+                    },
+                }
+            )
+        )
+        if owns_ray:
+            ray.shutdown()
+        return 0
 
     from clonehunter_ray import reporting, sources
     from clonehunter_ray.config_loader import find_config_root, load_config

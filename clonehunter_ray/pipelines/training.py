@@ -228,7 +228,14 @@ MIXTURE_DEFAULT = 0.125
 def _docs(sf_dir: str, columns: list[str]):
     from clonehunter_ray.util import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+    # accept either a testdata dir (containing documents.parquet) or a
+    # direct parquet path — the CLI export passes the latter
+    path = (
+        sf_dir
+        if sf_dir.endswith(".parquet")
+        else f"{sf_dir}/documents.parquet"
+    )
+    return read_parquet_clean(path, columns=columns)
 
 
 def mixture_sample_documents(sf_dir: str):
@@ -258,6 +265,8 @@ def export_training_shards(
     out_dir: str | None = None,
     budget: int = 256,
     shards_per_source: int = 1,
+    rates: dict[str, float] | None = None,
+    default_rate: float | None = None,
 ):
     """The composed end-to-end training-data export: mixture sample ->
     normalize -> token count -> shard-local pack -> resumable
@@ -276,8 +285,9 @@ def export_training_shards(
     ``shards_per_source`` is the 100 TB knob: with few distinct
     sources, one partition per source means one worker writing one
     multi-TB file. Above 1 the partition key becomes
-    ``source/shard_id`` with shard_id = doc_id mod k — deterministic
-    (resume-safe), k-way parallel writes per source, and the manifest
+    ``source/shard_id`` with shard_id = splitmix64(doc_id) mod k —
+    deterministic (resume-safe), decorrelated from any id-derived
+    attribute, k-way parallel writes per source, and the manifest
     still aggregates back to per-source counts.
     """
     import hashlib
@@ -300,8 +310,10 @@ def export_training_shards(
 
     ds = mixture_sample(
         _docs(sf_dir, ["doc_id", "source", "text"]),
-        MIXTURE_RATES,
-        default_rate=MIXTURE_DEFAULT,
+        MIXTURE_RATES if rates is None else rates,
+        default_rate=(
+            MIXTURE_DEFAULT if default_rate is None else default_rate
+        ),
     )
 
     def normalize_keep_source(batch: pa.Table) -> pa.Table:
@@ -334,10 +346,17 @@ def export_training_shards(
         k = shards_per_source
 
         def add_shard_key(batch: pa.Table) -> pa.Table:
+            from clonehunter_ray.functions.sketches import splitmix64
+
+            # HASH the id before the modulo: raw doc_id % k correlates
+            # with any id-derived attribute (the synthetic corpus
+            # assigns source by doc_id modulo, collapsing every source
+            # into one shard); splitmix64 decorrelates and stays
+            # deterministic/resume-safe
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             sid = (
-                batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                % k
-            )
+                splitmix64(ids.astype(np.uint64)) % np.uint64(k)
+            ).astype(np.int64)
             keys = [
                 f"{s}/{i:04d}"
                 for s, i in zip(batch["source"].to_pylist(), sid)

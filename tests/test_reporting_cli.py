@@ -233,3 +233,39 @@ def test_cli_diff_multi_root(ray_session, tmp_path):
     f = data["findings"][0]
     paths = {f["function_a"]["path"], f["function_b"]["path"]}
     assert "right/b.py" in paths  # changed-file scoping kept the pair
+
+
+def test_cli_export_training_shards(ray_session, tmp_path):
+    """`export` subcommand: documents parquet in -> sharded partition
+    dirs + JSON manifest out, per-source rates applied."""
+    import json as _json
+
+    from clonehunter_ray.cli import main
+
+    out_dir = tmp_path / "shards"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [
+                "export",
+                "--documents-parquet",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--out-dir",
+                str(out_dir),
+                "--shards-per-source",
+                "2",
+                "--rates",
+                '{"src0": 0.5}',
+            ]
+        )
+    assert rc == 0
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["sources"] == 20
+    # src0 sampled at 0.5, everything else kept (default rate 1.0)
+    assert 0 < report["manifest"]["src0"] < 25
+    assert report["manifest"]["src1"] == 25
+    parts = [p.name for p in out_dir.iterdir() if p.name.startswith("export_part=")]
+    assert len(parts) > 20  # sources actually fanned out to shards
