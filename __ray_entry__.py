@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "pack_sequences_documents": training.pack_sequences_documents,
         "approx_distinct_users_hll": Q.approx_distinct_users_hll,
+        "heavy_hitter_tokens": Q.heavy_hitter_tokens,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,
@@ -808,6 +809,17 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN tot ON t.doc_id = tot.doc_id
             LEFT JOIN hits ON t.doc_id = hits.doc_id
+        """,
+        "heavy_hitter_tokens": """
+            SELECT tok, count(*) AS n
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                         AS tok
+                FROM documents WHERE doc_id < 500
+            )
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 10
         """,
         "token_vocabulary_topk": """
             SELECT tok, count(*) AS n

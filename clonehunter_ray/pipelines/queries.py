@@ -1011,6 +1011,110 @@ def distinct_users_per_event_type(sf_dir: str):
     return out
 
 
+def heavy_hitter_tokens(
+    sf_dir: str, k: int = 10, mg_size: int = 64, max_id: int = 500
+):
+    """Exact top-k tokens via the candidate-then-verify scale pattern:
+    per-batch Misra-Gries summaries -> tiny merge shuffle -> broadcast
+    candidate set -> exact recount of candidates only.
+
+    ``token_vocabulary_topk`` ships one row per distinct token per
+    batch — fine at a 31-token test vocab, a billions-row shuffle on a
+    web-scale corpus. Misra-Gries caps pass 1 at ``mg_size`` rows per
+    batch regardless of vocabulary size, with the classic guarantee
+    that per-batch (and, summed, global) undercounts are bounded by
+    n/(mg_size+1) — so the top-(k+mg_size) merged underestimates
+    contain the true top-k whenever the k-th/(k+mg_size)-th count gap
+    exceeds the bound (comfortably true for Zipfian token data; the
+    recount pass is exact regardless of which candidates enter it).
+    Output (tok, n) matches the exact SQL oracle."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {max_id}"
+    )
+
+    def _flat_tokens(batch: pa.Table):
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
+        return flat.filter(pc.not_equal(flat, ""))
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        vc = flat.value_counts()
+        toks = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(counts) == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        err = int(counts.sum()) // (mg_size + 1)
+        # MG survivors: count > batch_n/(m+1), capped at the m largest.
+        # ALWAYS keep at least the batch top-k too: under a
+        # near-uniform distribution no token clears the MG bar and the
+        # candidate set would be empty — the batch top-k seeds it so
+        # the recount pass always has the locally-plausible winners.
+        order = np.lexsort((toks.astype(str), -counts))[:mg_size]
+        sel = order[
+            (counts[order] > err) | (np.arange(len(order)) < k)
+        ]
+        return pa.table(
+            {
+                "tok": pa.array(toks[sel].tolist(), pa.string()),
+                # the MG underestimate: survivor count minus the
+                # decrement (floored at 1 for the top-k seeds so the
+                # merge ordering still sees them)
+                "n": pa.array(
+                    np.maximum(counts[sel] - err, 1), pa.int64()
+                ),
+            }
+        )
+
+    merged = (
+        docs.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="under"))
+        .sort(["under", "tok"], descending=[True, False])
+        .limit(k + mg_size)
+    )
+    cand = set(
+        r["tok"] for r in merged.select_columns(["tok"]).take_all()
+    )
+    cand_ref = ray.put(np.array(sorted(cand), dtype=object))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        keep = pc.is_in(
+            flat, value_set=pa.array(ray.get(cand_ref).tolist(), pa.string())
+        )
+        vc = flat.filter(keep).value_counts()
+        return pa.table(
+            {
+                "tok": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "tok": pc.cast(t["tok"], pa.string()),
+                    "n": pc.cast(t["n_sum"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def approx_distinct_users_hll(sf_dir: str, p: int = 12):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (functions/sketches.py) — the 100 TB alternative to

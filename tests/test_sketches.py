@@ -65,3 +65,54 @@ def test_approx_distinct_users_pipeline_vs_exact():
     assert set(approx.index) == set(exact.index)
     for t in exact.index:
         assert abs(approx[t] - exact[t]) / exact[t] < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitter_tokens_matches_exact_oracle():
+    import __ray_entry__ as entry
+    from clonehunter_ray.pipelines import queries as Q
+
+    mine = (
+        Q.heavy_hitter_tokens(SF_DIR)
+        .to_pandas()
+        .sort_values(["n", "tok"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.sql(entry.oracle_sql()["heavy_hitter_tokens"]).df()
+    assert len(mine) == len(want) == 10
+    assert (mine["tok"].values == want["tok"].values).all()
+    assert (mine["n"].values == want["n"].values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitter_small_mg_table_still_exact_on_zipf():
+    """Even with a tiny MG table (mg_size=8 < the 31-token vocab, and
+    a near-uniform distribution where NO token clears the n/(m+1) MG
+    bar), the per-batch top-k seeding + exact recount still recover
+    the true top-k — the candidate-then-verify pattern stays correct
+    when the heavy-hitter guarantee doesn't bite."""
+    import __ray_entry__ as entry
+    from clonehunter_ray.pipelines import queries as Q
+
+    mine = (
+        Q.heavy_hitter_tokens(SF_DIR, k=5, mg_size=8)
+        .to_pandas()
+        .sort_values(["n", "tok"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.sql(
+        "SELECT tok, count(*) AS n FROM (SELECT unnest("
+        "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok "
+        "FROM documents WHERE doc_id < 500) GROUP BY tok "
+        "ORDER BY n DESC, tok LIMIT 5"
+    ).df()
+    assert (mine["tok"].values == want["tok"].values).all()
+    assert (mine["n"].values == want["n"].values).all()
