@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": Q.doc_length_quantiles,
         "hash_sample_documents": Q.hash_sample_documents,
         "mixture_sample_documents": training.mixture_sample_documents,
+        "mixture_upsample_documents": training.mixture_upsample_documents,
         "normalize_text_documents": training.normalize_text_documents,
         "export_training_shards": training.export_training_shards,
         # rows-only (non-SQL-expressible)
@@ -766,6 +767,23 @@ def oracle_sql() -> dict[str, str]:
                 ELSE substr(sha256('mix:' || text), 1, 2) < '20'
               END)
             GROUP BY source
+        """,
+        "mixture_upsample_documents": """
+            SELECT doc_id, source, unnest(range(copies)) AS epoch
+            FROM (
+                SELECT doc_id, source,
+                    CASE
+                      WHEN source = 'src0' THEN 2
+                      WHEN source = 'src1' THEN 2 + (
+                        CASE WHEN substr(sha256('mix:' || text), 1, 2) < '80'
+                             THEN 1 ELSE 0 END)
+                      WHEN source = 'src2' THEN (
+                        CASE WHEN substr(sha256('mix:' || text), 1, 2) < '80'
+                             THEN 1 ELSE 0 END)
+                      ELSE 1
+                    END AS copies
+                FROM documents WHERE text IS NOT NULL
+            )
         """,
         "normalize_text_documents": """
             SELECT doc_id,

@@ -81,6 +81,52 @@ def mixture_sample_batch(
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
+def mixture_upsample_batch(
+    batch: pa.Table,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> pa.Table:
+    """Mixture re-weighting where rates may EXCEED 1.0: rate r means
+    each row is emitted floor(r) times plus one more with probability
+    frac(r) (decided by the same salted sha256, so deterministic).
+    This is epoch-style upsampling of small high-quality sources in a
+    training mix (e.g. wiki at 2.5 epochs while web stays at 0.5).
+
+    Output appends an ``epoch`` column (0-based copy index) so
+    downstream shuffles/packing see distinct rows. NULL text emits
+    zero copies."""
+    sources = batch[source_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    n = batch.num_rows
+    copies = np.zeros(n, dtype=np.int64)
+    per_source = {
+        s: (
+            int(np.floor(rates.get(s, default_rate))),
+            _rate_threshold(rates.get(s, default_rate) % 1.0),
+        )
+        for s in set(sources)
+    }
+    for i, (s, t) in enumerate(zip(sources, texts)):
+        if t is None:
+            continue
+        base, frac_thresh = per_source[s]
+        extra = 0
+        if frac_thresh is not None and frac_thresh != "00":
+            extra = int(sha256_hex(salt + t)[:2] < frac_thresh)
+        elif frac_thresh is None and rates.get(s, default_rate) % 1.0 != 0:
+            # frac rounded up to a full byte -> always take the extra
+            extra = 1
+        copies[i] = base + extra
+    idx = np.repeat(np.arange(n), copies)
+    starts = np.repeat(np.cumsum(copies) - copies, copies)
+    epoch = np.arange(int(copies.sum()), dtype=np.int64) - starts
+    out = batch.take(pa.array(idx, pa.int64()))
+    return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+
 def mixture_sample(
     ds,
     rates: dict[str, float],
@@ -245,6 +291,24 @@ def mixture_sample_documents(sf_dir: str):
         MIXTURE_RATES,
         default_rate=MIXTURE_DEFAULT,
         columns=["doc_id", "source", "lang", "n_chars"],
+    )
+
+
+# Demo upsampling mix: src0 at exactly 2 epochs, src1 at 2.5 epochs,
+# src2 downsampled to half, everything else kept once.
+UPSAMPLE_RATES = {"src0": 2.0, "src1": 2.5, "src2": 0.5}
+
+
+def mixture_upsample_documents(sf_dir: str):
+    """Epoch-style mixture upsampling of the documents table."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return mixture_upsample_batch(
+            batch, UPSAMPLE_RATES, default_rate=1.0, salt="mix:"
+        ).select(["doc_id", "source", "epoch"])
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        fn, batch_format="pyarrow"
     )
 
 

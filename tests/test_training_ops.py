@@ -297,3 +297,36 @@ def test_export_training_shards_sub_sharded(tmp_path):
 
     sources = [_uq(n.split("=", 1)[1]).rsplit("/", 1)[0] for n in names]
     assert len(names) > len(set(sources))
+
+
+def test_mixture_upsample_batch_copies_and_epochs():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array(["x", None, "y"]),
+        }
+    )
+    # a at exactly 3 epochs, b kept once
+    out = T.mixture_upsample_batch(batch, {"a": 3.0}, 1.0, "s:")
+    got = list(
+        zip(out["doc_id"].to_pylist(), out["epoch"].to_pylist())
+    )
+    assert got == [(1, 0), (1, 1), (1, 2), (3, 0)]  # NULL text: 0 copies
+    # fractional rate: copies is floor(r) or floor(r)+1, deterministic
+    out2 = T.mixture_upsample_batch(batch, {"a": 1.5}, 1.0, "s:")
+    c1 = [d for d in out2["doc_id"].to_pylist()].count(1)
+    assert c1 in (1, 2)
+    out3 = T.mixture_upsample_batch(batch, {"a": 1.5}, 1.0, "s:")
+    assert out2.equals(out3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_upsample_documents_oracle():
+    mine = _norm(entry_query("mixture_upsample_documents"))
+    oracle = _norm(_oracle(entry.oracle_sql()["mixture_upsample_documents"]))
+    assert mine.shape == oracle.shape
+    assert (mine.astype(str).values == oracle.astype(str).values).all()
+    # upsampled sources actually multiply
+    per = mine.groupby("source").size()
+    assert per["src0"] == 2 * 25 and per["src1"] > 25
