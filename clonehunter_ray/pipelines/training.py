@@ -372,17 +372,39 @@ def export_training_shards(
         )
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    ds = mixture_sample(
-        _docs(sf_dir, ["doc_id", "source", "text"]),
-        MIXTURE_RATES if rates is None else rates,
-        default_rate=(
-            MIXTURE_DEFAULT if default_rate is None else default_rate
-        ),
+    eff_rates = MIXTURE_RATES if rates is None else rates
+    eff_default = MIXTURE_DEFAULT if default_rate is None else default_rate
+    # rates above 1.0 mean epoch-style upsampling (duplicated rows with
+    # an epoch column); at or below 1.0 the plain filter path applies
+    upsampling = eff_default > 1.0 or any(
+        r > 1.0 for r in eff_rates.values()
     )
+    if upsampling:
+        _MAX_EPOCHS = 1024
+        top = max([eff_default, *eff_rates.values()])
+        if top >= _MAX_EPOCHS:
+            raise ValueError(
+                f"upsampling rates must be < {_MAX_EPOCHS}, got {top}"
+            )
+        ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            lambda b: mixture_upsample_batch(
+                b, eff_rates, default_rate=eff_default, salt="mix:"
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        ds = mixture_sample(
+            _docs(sf_dir, ["doc_id", "source", "text"]),
+            eff_rates,
+            default_rate=eff_default,
+        )
 
     def normalize_keep_source(batch: pa.Table) -> pa.Table:
         out = normalize_text_batch(batch)
-        return out.append_column("source", batch["source"])
+        out = out.append_column("source", batch["source"])
+        if "epoch" in batch.column_names:
+            out = out.append_column("epoch", batch["epoch"])
+        return out
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(pc.fill_null(batch["norm_text"], ""))
@@ -390,9 +412,24 @@ def export_training_shards(
         return batch.append_column("n_tokens", n)
 
     def pack_block(batch: pa.Table) -> pa.Table:
-        packed = pack_bins_batch(
-            batch.select(["doc_id", "n_tokens"]), budget
-        )
+        # packing needs a UNIQUE per-row id for bin keys; upsampled
+        # copies share doc_id, so pack on doc_id*1024 + epoch (epoch
+        # bounded above) — deterministic and collision-free in int64
+        if "epoch" in batch.column_names:
+            uid = (
+                batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                * 1024
+                + batch["epoch"].to_numpy(zero_copy_only=False)
+            )
+            key_tbl = pa.table(
+                {
+                    "doc_id": pa.array(uid, pa.int64()),
+                    "n_tokens": batch["n_tokens"],
+                }
+            )
+        else:
+            key_tbl = batch.select(["doc_id", "n_tokens"])
+        packed = pack_bins_batch(key_tbl, budget)
         # pack_bins_batch emits exactly one output row per input row,
         # in input order (only bin assignment is computed), so the new
         # columns align positionally

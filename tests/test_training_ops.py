@@ -330,3 +330,35 @@ def test_mixture_upsample_documents_oracle():
     # upsampled sources actually multiply
     per = mine.groupby("source").size()
     assert per["src0"] == 2 * 25 and per["src1"] > 25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_training_shards_with_upsampling(tmp_path):
+    """Rates above 1.0 flow through the export as epoch-duplicated
+    rows: manifest counts multiply, shard files carry the epoch
+    column, and packed bins stay legal despite duplicate doc_ids."""
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "up")
+    manifest = (
+        T.export_training_shards(
+            SF_DIR,
+            out_dir=out_dir,
+            rates={"src0": 2.0, "src1": 2.5},
+            default_rate=1.0,
+        )
+        .to_pandas()
+        .set_index("source")["n_rows"]
+    )
+    assert manifest["src0"] == 50  # 25 docs x exactly 2 epochs
+    assert 50 <= manifest["src1"] <= 75  # 2.5 epochs, hash-decided
+    assert manifest["src2"] == 25  # default rate 1.0
+    part = os.path.join(out_dir, "source=src0", "part-0.parquet")
+    t = pq.read_table(part)
+    assert "epoch" in t.column_names
+    df = t.to_pandas()
+    assert set(df["epoch"]) == {0, 1}
+    g = df.groupby("bin_id")["n_tokens"].agg(["sum", "size"])
+    assert ((g["sum"] <= 256) | (g["size"] == 1)).all()
+    # every (doc_id, epoch) pair exactly once
+    assert not df.duplicated(["doc_id", "epoch"]).any()
