@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_revenue": Q.shipping_priority_revenue,
         "token_vocabulary_topk": Q.token_vocabulary_topk,
         "redact_numbers_documents": Q.redact_numbers_documents,
+        "redact_pii_documents": Q.redact_pii_documents,
         "stratified_sample_embeddings": Q.stratified_sample_embeddings,
         "label_centroids": Q.label_centroids,
         "embedding_cosine_pairs_exact": lambda sf: (
@@ -628,6 +629,18 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'es'
                    END AS pred_lang
             FROM scored
+        """,
+        "redact_pii_documents": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g')
+                       AS redacted
+            FROM documents WHERE doc_id < 500
         """,
         "redact_numbers_documents": """
             SELECT doc_id,

@@ -1506,6 +1506,48 @@ def redact_numbers_documents(sf_dir: str, max_id: int = 500):
     return docs.map_batches(redact, batch_format="pyarrow")
 
 
+# PII scrubbing patterns — RE2 syntax identical in pyarrow and DuckDB.
+# Order matters: URLs first (they can contain @ and digits), then
+# emails, then phone-like digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_batch(texts, patterns=None):
+    """Apply the PII patterns to an Arrow string array — one
+    pc.replace_substring_regex (RE2, vectorized) per pattern."""
+    import pyarrow.compute as pc
+
+    out = texts
+    for pat, repl in patterns or PII_PATTERNS:
+        out = pc.replace_substring_regex(out, pat, repl)
+    return out
+
+
+def redact_pii_documents(sf_dir: str, max_id: int = 500):
+    """PII scrubbing over the text column: URLs, emails, and
+    phone-like digit runs replaced by typed placeholders — the
+    standard pre-training scrub pass, fully Arrow-vectorized (one RE2
+    kernel per pattern, no Python rows). The synthetic corpus carries
+    no PII so the sf-table oracle is structural; the kernel's real
+    behavior is pinned by pytest against DuckDB regexp_replace on
+    strings that DO contain emails/URLs/phones."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {max_id}"
+    )
+
+    def redact(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        red = redact_pii_batch(pc.fill_null(batch["text"], ""))
+        return pa.table({"doc_id": batch["doc_id"], "redacted": red})
+
+    return docs.map_batches(redact, batch_format="pyarrow")
+
+
 def stratified_sample_embeddings(sf_dir: str, per_label: int = 20):
     """Deterministic stratified sample: the first ``per_label`` vec_ids
     of every label (class-balanced subset selection — the shape of any

@@ -101,3 +101,37 @@ def test_fingerprint_deterministic(ray_session):
     f0, f1 = out["fingerprint"].iloc[0], out["fingerprint"].iloc[1]
     assert list(f0) == list(f1)  # identical text -> identical sketch
     assert len(f0) > 0
+
+
+def test_redact_pii_batch_matches_duckdb():
+    """PII scrub kernel vs the exact DuckDB regexp_replace chain from
+    __ray_entry__.oracle_sql — on strings that actually contain
+    emails / URLs / phone numbers (the sf corpus carries none)."""
+    import duckdb
+    import pyarrow as pa
+
+    from clonehunter_ray.pipelines.queries import redact_pii_batch
+
+    texts = [
+        "contact john.doe+spam@example.co.uk or https://ex.com/a?b=1#c",
+        "call +1 (555) 123-4567 or 555 867 5309",
+        "no pii here", "",
+        "mixed: http://a.b/c x@y.io 12345678901",
+        "edge: a@b.c (too-short tld kept) and 12-34 (short digits kept)",
+    ]
+    mine = redact_pii_batch(pa.array(texts)).to_pylist()
+    con = duckdb.connect()
+    for t, m in zip(texts, mine):
+        db = con.execute(
+            """
+            SELECT regexp_replace(regexp_replace(regexp_replace(?,
+              'https?://[^\\s]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+              '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g')
+            """,
+            [t],
+        ).fetchone()[0]
+        assert m == db
+    assert mine[0] == "contact <EMAIL> or <URL>"
+    assert mine[1] == "call <PHONE> or <PHONE>"
