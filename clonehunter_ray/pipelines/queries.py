@@ -1011,8 +1011,31 @@ def distinct_users_per_event_type(sf_dir: str):
     return out
 
 
+def _flat_tokens_lower(text_col):
+    """The canonical token stream: lower -> split on the token
+    alphabet's complement -> flatten -> drop boundary empties.
+    Shared by token_vocabulary_topk and heavy_hitter_tokens so the two
+    queries (and their common oracle regex '[a-z0-9_]+') cannot
+    drift apart."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(pc.fill_null(text_col, ""))
+    flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+# sidecar key carrying each batch's MG decrement through the merge
+# shuffle ('\x00' sorts before every real token and cannot appear in
+# the '[a-z0-9_]+' alphabet)
+_MG_ERR_KEY = "\x00__mg_err__"
+
+
 def heavy_hitter_tokens(
-    sf_dir: str, k: int = 10, mg_size: int = 64, max_id: int = 500
+    sf_dir: str,
+    k: int = 10,
+    mg_size: int = 64,
+    max_id: int = 500,
+    max_candidates: int = 100_000,
 ):
     """Exact top-k tokens via the candidate-then-verify scale pattern:
     per-batch Misra-Gries summaries -> tiny merge shuffle -> broadcast
@@ -1021,26 +1044,32 @@ def heavy_hitter_tokens(
     ``token_vocabulary_topk`` ships one row per distinct token per
     batch — fine at a 31-token test vocab, a billions-row shuffle on a
     web-scale corpus. Misra-Gries caps pass 1 at ``mg_size`` rows per
-    batch regardless of vocabulary size, with the classic guarantee
-    that per-batch (and, summed, global) undercounts are bounded by
-    n/(mg_size+1) — so the top-(k+mg_size) merged underestimates
-    contain the true top-k whenever the k-th/(k+mg_size)-th count gap
-    exceeds the bound (comfortably true for Zipfian token data; the
-    recount pass is exact regardless of which candidates enter it).
-    Output (tok, n) matches the exact SQL oracle."""
+    batch regardless of vocabulary size.
+
+    Candidate rule: for any MERGED token, true_count lies in
+    [under, under + err_total], where ``under`` is its summed MG
+    underestimate and ``err_total`` the sum of per-batch decrements
+    (<= n/(mg_size+1) globally). Every merged token whose count could
+    reach the k-th place (under + err_total >= kth_under) becomes a
+    candidate; each batch's top-k is always seeded so the merge is
+    never empty. A token emitted by NO batch has true count <=
+    err_total — that is the information-theoretic limit of any
+    fixed-memory summary, so the top-k is PROVABLY exact iff the
+    recounted k-th count exceeds err_total (every non-candidate is
+    then strictly below it). That certificate is checked after the
+    recount: when it fails (the "top-k" are not actual
+    n/(mg_size+1)-heavy hitters) a warning is logged telling the
+    caller to raise mg_size — never a silent maybe-wrong answer.
+    ``max_candidates`` bounds the broadcast; truncation also voids
+    the certificate and logs (no silent caps)."""
     import pyarrow.compute as pc
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
         expr=f"doc_id < {max_id}"
     )
 
-    def _flat_tokens(batch: pa.Table):
-        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
-        return flat.filter(pc.not_equal(flat, ""))
-
     def mg_partial(batch: pa.Table) -> pa.Table:
-        flat = _flat_tokens(batch)
+        flat = _flat_tokens_lower(batch["text"])
         vc = flat.value_counts()
         toks = np.asarray(vc.field("values").to_pylist(), dtype=object)
         counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
@@ -1051,24 +1080,19 @@ def heavy_hitter_tokens(
                 {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
         err = int(counts.sum()) // (mg_size + 1)
-        # MG survivors: count > batch_n/(m+1), capped at the m largest.
-        # ALWAYS keep at least the batch top-k too: under a
-        # near-uniform distribution no token clears the MG bar and the
-        # candidate set would be empty — the batch top-k seeds it so
-        # the recount pass always has the locally-plausible winners.
+        # MG survivors: count > batch_n/(m+1), capped at the m largest,
+        # plus the batch top-k seeds (never-empty merge input)
         order = np.lexsort((toks.astype(str), -counts))[:mg_size]
         sel = order[
             (counts[order] > err) | (np.arange(len(order)) < k)
         ]
+        out_toks = toks[sel].tolist() + [_MG_ERR_KEY]
+        # MG underestimate (floored at 1 for seeds) + the err sidecar
+        out_ns = np.maximum(counts[sel] - err, 1).tolist() + [err]
         return pa.table(
             {
-                "tok": pa.array(toks[sel].tolist(), pa.string()),
-                # the MG underestimate: survivor count minus the
-                # decrement (floored at 1 for the top-k seeds so the
-                # merge ordering still sees them)
-                "n": pa.array(
-                    np.maximum(counts[sel] - err, 1), pa.int64()
-                ),
+                "tok": pa.array(out_toks, pa.string()),
+                "n": pa.array(out_ns, pa.int64()),
             }
         )
 
@@ -1076,19 +1100,51 @@ def heavy_hitter_tokens(
         docs.map_batches(mg_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("n", alias_name="under"))
+        .materialize()
+    )
+
+    def _split_err(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["tok"], _MG_ERR_KEY))
+
+    err_rows = merged.map_batches(_split_err, batch_format="pyarrow").take_all()
+    err_total = int(err_rows[0]["under"]) if err_rows else 0
+    real = merged.map_batches(
+        lambda t: t.filter(pc.not_equal(t["tok"], _MG_ERR_KEY)),
+        batch_format="pyarrow",
+    )
+    top_rows = real.sort(["under", "tok"], descending=[True, False]).limit(
+        k
+    ).take_all()
+    kth_under = int(top_rows[-1]["under"]) if len(top_rows) >= k else 0
+    floor_under = kth_under - err_total
+
+    cand_rows = (
+        real.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["under"], pa.scalar(floor_under))
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["under", "tok"], descending=[True, False])
-        .limit(k + mg_size)
+        .limit(max_candidates)
+        .take_all()
     )
-    cand = set(
-        r["tok"] for r in merged.select_columns(["tok"]).take_all()
+    if len(cand_rows) >= max_candidates:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "heavy_hitter_tokens: candidate set truncated at %d — the "
+            "exactness guarantee is voided; raise max_candidates or "
+            "mg_size",
+            max_candidates,
+        )
+    cand_array = pa.array(
+        sorted(r["tok"] for r in cand_rows), pa.string()
     )
-    cand_ref = ray.put(np.array(sorted(cand), dtype=object))
 
     def recount(batch: pa.Table) -> pa.Table:
-        flat = _flat_tokens(batch)
-        keep = pc.is_in(
-            flat, value_set=pa.array(ray.get(cand_ref).tolist(), pa.string())
-        )
+        flat = _flat_tokens_lower(batch["text"])
+        keep = pc.is_in(flat, value_set=cand_array)
         vc = flat.filter(keep).value_counts()
         return pa.table(
             {
@@ -1097,7 +1153,7 @@ def heavy_hitter_tokens(
             }
         )
 
-    return (
+    result = (
         docs.map_batches(recount, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n_sum"))
@@ -1112,7 +1168,22 @@ def heavy_hitter_tokens(
         )
         .sort(["n", "tok"], descending=[True, False])
         .limit(k)
+        .materialize()  # k rows; consumers read the cached blocks
     )
+    rows = result.take_all()
+    kth_count = int(rows[-1]["n"]) if len(rows) >= k else 0
+    if rows and kth_count <= err_total:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "heavy_hitter_tokens: k-th count %d <= summed MG error %d "
+            "— the requested top-k are not n/(mg_size+1)-heavy "
+            "hitters, so a sub-threshold token could be missing; "
+            "raise mg_size for a certificate",
+            kth_count,
+            err_total,
+        )
+    return result
 
 
 def approx_distinct_users_hll(sf_dir: str, p: int = 12):
@@ -1131,7 +1202,17 @@ def approx_distinct_users_hll(sf_dir: str, p: int = 12):
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def partials(batch: pa.Table) -> pa.Table:
-        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        # NULL semantics match the exact query: COUNT(DISTINCT user_id)
+        # ignores NULL users; a NULL event_type is its own group
+        # (sentinel string — np.unique cannot sort None next to str,
+        # and a NaN-bearing float64 user column would hash garbage)
+        valid = pc.is_valid(batch["user_id"])
+        batch = batch.filter(valid)
+        types = pc.fill_null(
+            pc.cast(batch["event_type"], pa.string()), "\x00null"
+        ).to_numpy(zero_copy_only=False)
         users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         out_t, out_r = [], []
         for t in np.unique(types):
@@ -1146,10 +1227,11 @@ def approx_distinct_users_hll(sf_dir: str, p: int = 12):
 
     def finish(group: pa.Table) -> pa.Table:
         merged = S.hll_merge(group["regs"].to_pylist())
+        etype = group["event_type"][0].as_py()
         return pa.table(
             {
                 "event_type": pa.array(
-                    [group["event_type"][0].as_py()], pa.string()
+                    [None if etype == "\x00null" else etype], pa.string()
                 ),
                 "approx_users": pa.array(
                     [int(round(S.hll_estimate(merged)))], pa.int64()
@@ -1457,10 +1539,7 @@ def token_vocabulary_topk(sf_dir: str, k: int = 50, max_id: int = 500):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = flat.value_counts()
+        vc = _flat_tokens_lower(batch["text"]).value_counts()
         return pa.table(
             {
                 "tok": vc.field("values"),

@@ -114,11 +114,13 @@ def mixture_upsample_batch(
             continue
         base, frac_thresh = per_source[s]
         extra = 0
-        if frac_thresh is not None and frac_thresh != "00":
-            extra = int(sha256_hex(salt + t)[:2] < frac_thresh)
-        elif frac_thresh is None and rates.get(s, default_rate) % 1.0 != 0:
-            # frac rounded up to a full byte -> always take the extra
+        if frac_thresh is None:
+            # _rate_threshold returns None only for frac >= 255.5/256
+            # (integer rates produce '00', caught below) -> the
+            # fractional copy is effectively certain
             extra = 1
+        elif frac_thresh != "00":
+            extra = int(sha256_hex(salt + t)[:2] < frac_thresh)
         copies[i] = base + extra
     idx = np.repeat(np.arange(n), copies)
     starts = np.repeat(np.cumsum(copies) - copies, copies)
@@ -294,6 +296,10 @@ def mixture_sample_documents(sf_dir: str):
     )
 
 
+# Upsampling bound: also the multiplier that makes the pack uid
+# (doc_id * MAX_EPOCHS + epoch) collision-free — the two must agree.
+MAX_EPOCHS = 1024
+
 # Demo upsampling mix: src0 at exactly 2 epochs, src1 at 2.5 epochs,
 # src2 downsampled to half, everything else kept once.
 UPSAMPLE_RATES = {"src0": 2.0, "src1": 2.5, "src2": 0.5}
@@ -374,17 +380,47 @@ def export_training_shards(
 
     eff_rates = MIXTURE_RATES if rates is None else rates
     eff_default = MIXTURE_DEFAULT if default_rate is None else default_rate
+
+    # Parameter fingerprint: the sink's per-partition _SUCCESS resume
+    # is only valid when THIS run's parameters match the ones the
+    # existing partitions were written with — otherwise a re-run with
+    # different rates/budget/sharding would silently keep stale data
+    # (and switching shards_per_source would mix two dir layouts).
+    import json as _json
+
+    params_fp = _json.dumps(
+        {
+            "rates": {k: eff_rates[k] for k in sorted(eff_rates)},
+            "default_rate": eff_default,
+            "budget": budget,
+            "shards_per_source": shards_per_source,
+        },
+        sort_keys=True,
+    )
+    fp_path = os.path.join(out_dir, "_export_params.json")
+    if os.path.exists(fp_path):
+        with open(fp_path, encoding="utf-8") as fh:
+            if fh.read() != params_fp:
+                raise ValueError(
+                    f"out_dir {out_dir} holds an export written with "
+                    "different parameters; use a fresh directory or "
+                    "delete it to re-export"
+                )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(fp_path, "w", encoding="utf-8") as fh:
+            fh.write(params_fp)
+
     # rates above 1.0 mean epoch-style upsampling (duplicated rows with
     # an epoch column); at or below 1.0 the plain filter path applies
     upsampling = eff_default > 1.0 or any(
         r > 1.0 for r in eff_rates.values()
     )
     if upsampling:
-        _MAX_EPOCHS = 1024
         top = max([eff_default, *eff_rates.values()])
-        if top >= _MAX_EPOCHS:
+        if top >= MAX_EPOCHS:
             raise ValueError(
-                f"upsampling rates must be < {_MAX_EPOCHS}, got {top}"
+                f"upsampling rates must be < {MAX_EPOCHS}, got {top}"
             )
         ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
             lambda b: mixture_upsample_batch(
@@ -413,12 +449,13 @@ def export_training_shards(
 
     def pack_block(batch: pa.Table) -> pa.Table:
         # packing needs a UNIQUE per-row id for bin keys; upsampled
-        # copies share doc_id, so pack on doc_id*1024 + epoch (epoch
-        # bounded above) — deterministic and collision-free in int64
+        # copies share doc_id, so pack on doc_id*MAX_EPOCHS + epoch
+        # (epoch bounded by the same constant) — deterministic and
+        # collision-free in int64
         if "epoch" in batch.column_names:
             uid = (
                 batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                * 1024
+                * MAX_EPOCHS
                 + batch["epoch"].to_numpy(zero_copy_only=False)
             )
             key_tbl = pa.table(
@@ -489,7 +526,15 @@ def export_training_shards(
             and os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
         ):
             value = unquote(name.split("=", 1)[1])
-            source = value.rsplit("/", 1)[0] if "/" in value else value
+            # strip the '/NNNN' shard suffix ONLY in sharded layout —
+            # raw source values may legitimately contain '/'
+            # (e.g. 'web/commoncrawl') and must pass through verbatim
+            # in the unsharded layout
+            source = (
+                value.rsplit("/", 1)[0]
+                if prefix == "export_part=" and "/" in value
+                else value
+            )
             counts[source] = (
                 counts.get(source, 0) + pq.read_metadata(part).num_rows
             )

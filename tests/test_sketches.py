@@ -116,3 +116,40 @@ def test_heavy_hitter_small_mg_table_still_exact_on_zipf():
     ).df()
     assert (mine["tok"].values == want["tok"].values).all()
     assert (mine["n"].values == want["n"].values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_handles_null_users_and_types(tmp_path):
+    """NULL user_id rows are ignored (SQL COUNT(DISTINCT) semantics)
+    and a NULL event_type forms its own group instead of crashing
+    np.unique."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clonehunter_ray.pipelines import queries as Q
+
+    events = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array([0] * 8, pa.int64()),
+            "event_type": pa.array(
+                ["a", "a", None, None, "b", "b", "b", "a"]
+            ),
+            "user_id": pa.array([1, 2, 3, None, 5, 5, None, None], pa.int64()),
+            "value": pa.array([0.0] * 8, pa.float64()),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(events, str(d / "events.parquet"))
+    out = (
+        Q.approx_distinct_users_hll(str(d))
+        .to_pandas()
+        .set_index("event_type")["approx_users"]
+    )
+    # exact: a -> {1,2}, b -> {5}, NULL type -> {3}
+    assert out["a"] == 2
+    assert out["b"] == 1
+    assert out[None] == 1

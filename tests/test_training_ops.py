@@ -362,3 +362,54 @@ def test_export_training_shards_with_upsampling(tmp_path):
     assert ((g["sum"] <= 256) | (g["size"] == 1)).all()
     # every (doc_id, epoch) pair exactly once
     assert not df.duplicated(["doc_id", "epoch"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_rejects_parameter_drift(tmp_path):
+    """Re-running export into an existing out_dir with DIFFERENT
+    parameters must fail loudly — the _SUCCESS resume would silently
+    keep stale partitions otherwise."""
+    out_dir = str(tmp_path / "d")
+    T.export_training_shards(out_dir=out_dir, sf_dir=SF_DIR)
+    # identical params: resume is fine
+    T.export_training_shards(out_dir=out_dir, sf_dir=SF_DIR)
+    with pytest.raises(ValueError, match="different parameters"):
+        T.export_training_shards(
+            out_dir=out_dir, sf_dir=SF_DIR, shards_per_source=3
+        )
+    with pytest.raises(ValueError, match="different parameters"):
+        T.export_training_shards(
+            out_dir=out_dir, sf_dir=SF_DIR, rates={"src0": 0.5}
+        )
+
+
+def test_manifest_preserves_slash_in_source_names(tmp_path, ray_session):
+    """Unsharded layout: a source value containing '/' must pass
+    through the manifest verbatim (only the sharded layout strips a
+    shard suffix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "source": pa.array(
+                ["web/commoncrawl"] * 4 + ["web/openweb"] * 4
+            ),
+            "text": pa.array([f"alpha beta {i}" for i in range(8)]),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(src))
+    manifest = (
+        T.export_training_shards(
+            str(src),
+            out_dir=str(tmp_path / "o"),
+            rates={},
+            default_rate=1.0,
+        )
+        .to_pandas()
+        .set_index("source")["n_rows"]
+    )
+    assert manifest["web/commoncrawl"] == 4
+    assert manifest["web/openweb"] == 4
