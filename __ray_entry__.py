@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_upsample_documents": training.mixture_upsample_documents,
         "normalize_text_documents": training.normalize_text_documents,
         "export_training_shards": training.export_training_shards,
+        "chunk_documents": training.chunk_documents,
+        "large_volume_orders": Q.large_volume_orders,
+        "c4_quality_filter_documents": Q.c4_quality_filter_documents,
+        "customers_without_orders_bloom": Q.customers_without_orders_bloom,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -840,6 +844,75 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN tot ON t.doc_id = tot.doc_id
             LEFT JOIN hits ON t.doc_id = hits.doc_id
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), c AS (
+                SELECT doc_id, ts,
+                       unnest(range(CAST(ceil(len(ts) / 64.0) AS BIGINT)))
+                           AS i
+                FROM t WHERE len(ts) > 0
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(least((i + 1) * 64, len(ts)) - i * 64 AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       ts[i * 64 + 1 : least((i + 1) * 64, len(ts))], ' ')
+                       AS chunk_text
+            FROM c
+        """,
+        "large_volume_orders": """
+            WITH t AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 320
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(t.sum_qty, 2) AS sum_qty
+            FROM t
+            JOIN orders o ON o.o_orderkey = t.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "c4_quality_filter_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(ts) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS distinct_ratio,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(list_aggregate(
+                               list_transform(ts, x -> length(x)), 'sum')
+                               AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS mean_token_len
+                FROM t
+            )
+            SELECT doc_id, n_tokens, distinct_ratio, mean_token_len
+            FROM s
+            WHERE n_tokens >= 25
+              AND distinct_ratio >= 0.35
+              AND mean_token_len BETWEEN 3.0 AND 8.0
+        """,
+        "customers_without_orders_bloom": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c
+            LEFT JOIN (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            ) o ON c.c_custkey = o.o_custkey
+            WHERE o.o_custkey IS NULL
         """,
         "heavy_hitter_tokens": """
             SELECT tok, count(*) AS n

@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches (HyperLogLog).
+"""Mergeable sketches: HyperLogLog cardinality + Bloom membership.
 
 At 100 TB an exact COUNT(DISTINCT) (queries.py:
 distinct_users_per_event_type) still ships one row per distinct value
@@ -79,3 +79,56 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * np.log(m / zeros)
     return float(est)
+
+
+# -- Bloom filter -----------------------------------------------------------
+#
+# Mergeable membership sketch for semi-/anti-join pre-filtering: the
+# build side ships ONE fixed-size bitmap per batch (OR-merge, order-
+# and partitioning-independent) instead of one row per distinct key.
+# A Bloom "no" is definite; a "yes" is a maybe with false-positive
+# rate ~(1 - e^{-k n / m})^k, so an EXACT anti-join keeps the
+# bloom-negative rows directly and routes only the maybes through the
+# exact (shuffle) verification — the classic bloom-join (Bratbergsengen
+# 1984) shape. k hash functions are derived from one splitmix64 pass
+# by double hashing (Kirsch & Mitzenmacher 2006): h_i = h1 + i*h2.
+
+_BLOOM_K = 7  # optimal k for m/n = 10 bits/key; fpr ~= 0.8%
+
+
+def _bloom_positions(keys: np.ndarray, n_bits: int) -> np.ndarray:
+    """(len(keys), k) int64 bit positions for each key."""
+    h1 = splitmix64(np.asarray(keys, dtype=np.uint64))
+    h2 = splitmix64(h1 ^ _C1) | np.uint64(1)  # odd => full-period stride
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = h1[:, None] + i[None, :] * h2[:, None]
+    return (pos % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_partial(keys: np.ndarray, n_bits: int) -> np.ndarray:
+    """One batch's Bloom bitmap (uint8[n_bits/8]) from uint64 keys."""
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+    bits = np.zeros(n_bits, dtype=np.uint8)
+    if len(keys):
+        pos = _bloom_positions(keys, n_bits)
+        bits[pos.ravel()] = 1
+    return np.packbits(bits)
+
+
+def bloom_merge(blobs) -> np.ndarray:
+    """OR-merge packed bitmaps (iterable of bytes / uint8 arrays)."""
+    out = np.frombuffer(bytes(blobs[0]), dtype=np.uint8).copy()
+    for b in blobs[1:]:
+        out |= np.frombuffer(bytes(b), dtype=np.uint8)
+    return out
+
+
+def bloom_contains(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership test -> bool[len(keys)] (True = maybe)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.unpackbits(packed)
+    pos = _bloom_positions(keys, len(bits))
+    return bits[pos].all(axis=1)

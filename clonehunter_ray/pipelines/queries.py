@@ -1824,3 +1824,260 @@ def revenue_by_nation(sf_dir: str, customer_broadcast_limit: int = 1_000_000):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def large_volume_orders(sf_dir: str, min_qty: float = 320.0):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with the customer name attached.
+
+    Ray shape for 100 TB: (1) map-side partial sums of l_quantity per
+    l_orderkey inside each batch (combiner — the shuffle carries one
+    row per order per batch, not per line item), (2) tiny
+    groupby(l_orderkey) sum + HAVING filter — the surviving set is
+    small BY CONSTRUCTION (the threshold selects the top ~0.1% of
+    orders), (3) the survivors broadcast once via ray.put, and both
+    fact tables (orders, customer) stream through stateless lookup
+    filters against it. No fact-scale table is ever collected.
+    """
+    import pyarrow.compute as pc
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=qty, minlength=len(uniq))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "q": pa.array(sums, pa.float64()),
+            }
+        )
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["sum_qty"], min_qty))
+
+    big = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+        .map_batches(having, batch_format="pyarrow")
+    )
+    # survivors are ~0.1% of orders by design of the HAVING threshold;
+    # collect sorted-by-key so workers can searchsorted against them
+    big_tbl = pa.concat_tables([ray.get(r) for r in big.to_arrow_refs()])
+    order_k = np.argsort(big_tbl["l_orderkey"].to_numpy(zero_copy_only=False))
+    big_keys = big_tbl["l_orderkey"].to_numpy(zero_copy_only=False)[order_k]
+    big_qty = big_tbl["sum_qty"].to_numpy(zero_copy_only=False)[order_k]
+    keys_ref = ray.put((big_keys, big_qty))
+
+    def match_orders(batch: pa.Table) -> pa.Table:
+        bk, bq = ray.get(keys_ref)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, bk)
+        kept = batch.filter(pa.array(mask, pa.bool_()))
+        pos = np.searchsorted(bk, keys[mask])
+        return kept.append_column(
+            "sum_qty", pa.array(np.round(bq[pos], 2), pa.float64())
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).map_batches(match_orders, batch_format="pyarrow")
+    # surviving orders (small) broadcast sorted by custkey; the
+    # customer fact table streams against them
+    surv_tbl = pa.concat_tables(
+        [ray.get(r) for r in orders.to_arrow_refs()]
+    ).combine_chunks()
+    order_c = np.argsort(
+        surv_tbl["o_custkey"].to_numpy(zero_copy_only=False), kind="stable"
+    )
+    surv_tbl = surv_tbl.take(pa.array(order_c, pa.int64()))
+    surv_ck = surv_tbl["o_custkey"].to_numpy(zero_copy_only=False)
+    surv_ref = ray.put((surv_tbl, surv_ck))
+
+    _empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.string()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "sum_qty": pa.array([], pa.float64()),
+        }
+    )
+
+    def attach_customer(batch: pa.Table) -> pa.Table:
+        tbl, ck_sorted = ray.get(surv_ref)
+        ckeys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ck_sorted, ckeys, side="left")
+        hi = np.searchsorted(ck_sorted, ckeys, side="right")
+        n = hi - lo
+        if int(n.sum()) == 0:
+            return _empty
+        # expand each matching customer to its survivor-order rows
+        cust_idx = np.repeat(np.arange(len(ckeys), dtype=np.int64), n)
+        starts = np.repeat(lo, n)
+        offs = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n
+        )
+        take = starts + offs
+        sub = tbl.take(pa.array(take, pa.int64()))
+        names = batch["c_name"].take(pa.array(cust_idx, pa.int64()))
+        dates = pd.to_datetime(sub["o_orderdate"].to_pandas()).dt.strftime(
+            "%Y-%m-%d"
+        )
+        return pa.table(
+            {
+                "c_custkey": sub["o_custkey"].cast(pa.int64()),
+                "c_name": names,
+                "o_orderkey": sub["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": pa.array(dates.tolist(), pa.string()),
+                "o_totalprice": pc.round(
+                    sub["o_totalprice"].cast(pa.float64()), 2
+                ),
+                "sum_qty": sub["sum_qty"],
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        attach_customer, batch_format="pyarrow"
+    )
+
+
+def c4_quality_filter_documents(
+    sf_dir: str,
+    min_tokens: int = 25,
+    min_distinct_ratio: float = 0.35,
+    mean_len_range: tuple[float, float] = (3.0, 8.0),
+):
+    """C4/Gopher-style heuristic quality filter: keep documents whose
+    token count, type-token (distinct) ratio, and mean token length
+    all fall in the healthy band (Raffel et al. 2020 §2.2; Rae et al.
+    2021 appendix A — re-expressed over this corpus's token alphabet).
+
+    One stateless vectorized pass: Arrow lower/split tokenization,
+    np.bincount per-doc reductions via dictionary-encoded token ids —
+    no shuffle, no Python rows. Emits the kept docs with their
+    signals so the filter is auditable downstream.
+    """
+    from clonehunter_ray.functions.hashing import tokenize_hash_texts
+
+    def fil(batch: pa.Table) -> pa.Table:
+        hashes = tokenize_hash_texts(batch["text"])
+        n = np.array([len(h) for h in hashes], dtype=np.int64)
+        distinct = np.array(
+            [len(np.unique(h)) for h in hashes], dtype=np.int64
+        )
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        # total token chars = count of token-alphabet chars
+        tok_chars = pc.cast(
+            pc.count_substring_regex(low, "[a-z0-9_]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_len = np.where(n > 0, tok_chars / np.maximum(n, 1), 0.0)
+            dratio = np.where(n > 0, distinct / np.maximum(n, 1), 0.0)
+        keep = (
+            (n >= min_tokens)
+            & (dratio >= min_distinct_ratio)
+            & (mean_len >= mean_len_range[0])
+            & (mean_len <= mean_len_range[1])
+        )
+        # unrounded exact-integer-ratio doubles: IEEE division of the
+        # same ints is bit-identical in DuckDB, and rounding would
+        # introduce half-to-even vs half-away mismatches
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "distinct_ratio": pa.array(dratio, pa.float64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fil, batch_format="pyarrow"
+    )
+
+
+def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
+    """The same exact anti-join as ``customers_without_orders``, via
+    the Bloom-join scale shape (Bratbergsengen 1984): the build side
+    (urgent-order custkeys) ships ONE fixed-size bitmap per batch
+    (OR-merged on the driver — bytes, not rows), bloom-NEGATIVE
+    customers are kept immediately (a Bloom "no" is definite), and
+    only the ~fpr-sized maybe set goes through the exact distributed
+    anti-join for verification. At 100 TB the exact path's shuffle
+    shrinks from |customer| to |matches| + fpr * |non-matches| while
+    the result stays EXACT — hence the same oracle SQL.
+    """
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.functions import sketches as SK
+    from clonehunter_ray.util import safe_join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        keys = urgent["o_custkey"].to_numpy(zero_copy_only=False)
+        blob = SK.bloom_partial(keys.astype(np.uint64), n_bits).tobytes()
+        return pa.table({"bloom": pa.array([blob], pa.binary())})
+
+    blobs = [
+        b
+        for t in ray.get(
+            orders.map_batches(
+                partial_bloom, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        for b in t["bloom"].to_pylist()
+    ]
+    packed = SK.bloom_merge(blobs)
+    bloom_ref = ray.put(packed)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def split_by_bloom(maybe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            bits = ray.get(bloom_ref)
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            m = SK.bloom_contains(bits, keys.astype(np.uint64))
+            return batch.filter(pa.array(m if maybe else ~m, pa.bool_()))
+
+        return fn
+
+    negatives = cust.map_batches(split_by_bloom(False), batch_format="pyarrow")
+    maybes = cust.map_batches(split_by_bloom(True), batch_format="pyarrow")
+
+    # exact verification of the maybes only: distributed left-outer
+    # join against the distinct urgent custkeys, keep null-extended
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        keys = np.unique(urgent["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+
+    dist = (
+        orders.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_o"))
+    )
+    joined = maybes.join(
+        dist,
+        "left_outer",
+        safe_join_partitions(16),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["n_o"])).select(
+            ["c_custkey", "c_name"]
+        )
+
+    verified = joined.map_batches(keep_unmatched, batch_format="pyarrow")
+    return negatives.union(verified)

@@ -259,6 +259,76 @@ def pack_sequences(ds, budget: int, text_col: str = "text"):
     )
 
 
+def chunk_tokens_batch(
+    batch: pa.Table, chunk_size: int, text_col: str = "text"
+) -> pa.Table:
+    """Split each document into fixed-size token chunks (the standard
+    pre-tokenization step before sequence packing: long docs become
+    chunk rows a context window can hold).
+
+    Chunk text is the space-join of the chunk's tokens (token alphabet
+    ``[a-z0-9_]+`` over the lowered text, same as every other stage).
+    Docs with zero tokens emit no rows. Fully vectorized: Arrow
+    lower/split/flatten for tokens, numpy for chunk boundaries, and
+    one ``pc.binary_join`` over a ListArray view for the joins — the
+    chunks of a row are contiguous in the flat token array and rows
+    are contiguous in the batch, so the per-chunk starts double as
+    ListArray offsets with no copy. Stateless, no shuffle; chunk ids
+    are (doc_id, chunk_idx), deterministic under any partitioning.
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    n_rows = batch.num_rows
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_chunk_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    if n_rows == 0:
+        return empty
+    low = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    flat = flat.filter(pa.array(keep, pa.bool_()))
+    if len(flat) == 0:
+        return empty
+    lens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # chunks per row; rows with 0 tokens contribute none
+    k = -(-lens // chunk_size)
+    total = int(k.sum())
+    row_of_chunk = np.repeat(np.arange(n_rows, dtype=np.int64), k)
+    k_before = np.concatenate(([0], np.cumsum(k)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(k_before, k)
+    chunk_start = starts[row_of_chunk] + within * chunk_size
+    chunk_end = np.minimum(
+        chunk_start + chunk_size, starts[row_of_chunk] + lens[row_of_chunk]
+    )
+    # consecutive chunks are contiguous in the flat token array (the
+    # next chunk starts where the previous ended, across row borders
+    # too), so the starts + final end form valid ListArray offsets
+    offsets = np.concatenate((chunk_start, chunk_end[-1:])).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    joined = pc.binary_join(lists, " ")
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[row_of_chunk]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(within, pa.int64()),
+            "n_chunk_tokens": pa.array(chunk_end - chunk_start, pa.int64()),
+            "chunk_text": joined,
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # sf_dir query wrappers (driver harness; oracle SQL in __ray_entry__)
 # ---------------------------------------------------------------------------
@@ -328,6 +398,13 @@ def normalize_text_documents(sf_dir: str):
 def pack_sequences_documents(sf_dir: str, budget: int = 256):
     """Shard-local FFD packing of documents into 256-token bins."""
     return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget)
+
+
+def chunk_documents(sf_dir: str, chunk_size: int = 64):
+    """Fixed-size token chunking of the documents table."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: chunk_tokens_batch(b, chunk_size), batch_format="pyarrow"
+    )
 
 
 def export_training_shards(

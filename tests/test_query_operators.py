@@ -363,3 +363,109 @@ def test_hash_sample_matches_duckdb(ray_session, con2):
         WHERE substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')
         """,
     )
+
+
+def test_large_volume_orders_matches_duckdb(ray_session, con2):
+    # sf0.001's max per-order quantity sum is smaller than the sf0.01
+    # default threshold — pick one that yields a non-trivial survivor
+    # set at this scale
+    _check(
+        Q.large_volume_orders(SF_DIR, min_qty=220.0),
+        con2,
+        """
+        WITH t AS (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 220
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(t.sum_qty, 2) AS sum_qty
+        FROM t
+        JOIN orders o ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+    )
+
+
+def test_large_volume_orders_nonempty(ray_session):
+    got = Q.large_volume_orders(SF_DIR, min_qty=220.0).to_pandas()
+    assert len(got) > 0
+    assert (got["sum_qty"] > 220.0).all()
+
+
+def test_c4_quality_filter_matches_duckdb(ray_session, con2):
+    _check(
+        Q.c4_quality_filter_documents(SF_DIR),
+        con2,
+        """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z0-9_]+') AS ts
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(ts) > 0 THEN
+                       CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+                   ELSE 0.0 END AS distinct_ratio,
+                   CASE WHEN len(ts) > 0 THEN
+                       CAST(list_aggregate(
+                           list_transform(ts, x -> length(x)), 'sum')
+                           AS DOUBLE) / len(ts)
+                   ELSE 0.0 END AS mean_token_len
+            FROM t
+        )
+        SELECT doc_id, n_tokens, distinct_ratio, mean_token_len
+        FROM s
+        WHERE n_tokens >= 25
+          AND distinct_ratio >= 0.35
+          AND mean_token_len BETWEEN 3.0 AND 8.0
+        """,
+    )
+
+
+def test_c4_quality_filter_is_selective(ray_session):
+    """The filter must neither pass everything nor drop everything."""
+    import pyarrow.parquet as pq
+
+    total = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    kept = Q.c4_quality_filter_documents(SF_DIR).count()
+    assert 0 < kept < total
+
+
+def test_bloom_anti_join_matches_exact_path(ray_session):
+    """The Bloom-join shape must return the IDENTICAL exact result."""
+    exact = (
+        Q.customers_without_orders(SF_DIR)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    bloom = (
+        Q.customers_without_orders_bloom(SF_DIR)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bloom, exact)
+
+
+def test_bloom_anti_join_tiny_filter_still_exact(ray_session):
+    """With a deliberately undersized bitmap (high fpr), more rows
+    route through exact verification but the result is unchanged."""
+    exact = (
+        Q.customers_without_orders(SF_DIR)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    bloom = (
+        Q.customers_without_orders_bloom(SF_DIR, n_bits=256)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bloom, exact)

@@ -153,3 +153,42 @@ def test_approx_distinct_handles_null_users_and_types(tmp_path):
     assert out["a"] == 2
     assert out["b"] == 1
     assert out[None] == 1
+
+
+def test_bloom_membership_no_false_negatives():
+    from clonehunter_ray.functions import sketches as SK
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(1 << 40, size=5000, replace=False).astype(np.uint64)
+    packed = SK.bloom_partial(members, n_bits=1 << 16)
+    assert SK.bloom_contains(packed, members).all()
+    # disjoint non-members: fpr should be near the design point (<2%)
+    non = (members + np.uint64(1 << 41)).astype(np.uint64)
+    fpr = SK.bloom_contains(packed, non).mean()
+    assert fpr < 0.02
+
+
+def test_bloom_merge_equals_single_build():
+    from clonehunter_ray.functions import sketches as SK
+    import numpy as np
+
+    keys = np.arange(10_000, dtype=np.uint64)
+    whole = SK.bloom_partial(keys, n_bits=1 << 15)
+    parts = [
+        SK.bloom_partial(c, n_bits=1 << 15) for c in np.array_split(keys, 7)
+    ]
+    merged = SK.bloom_merge(parts)
+    assert np.array_equal(whole, merged)
+
+
+def test_bloom_empty_and_validation():
+    from clonehunter_ray.functions import sketches as SK
+    import numpy as np
+    import pytest
+
+    empty = SK.bloom_partial(np.empty(0, dtype=np.uint64), n_bits=1 << 10)
+    assert not empty.any()
+    assert SK.bloom_contains(empty, np.empty(0, dtype=np.uint64)).shape == (0,)
+    with pytest.raises(ValueError):
+        SK.bloom_partial(np.arange(3, dtype=np.uint64), n_bits=100)

@@ -413,3 +413,74 @@ def test_manifest_preserves_slash_in_source_names(tmp_path, ray_session):
     )
     assert manifest["web/commoncrawl"] == 4
     assert manifest["web/openweb"] == 4
+
+
+def test_chunk_tokens_batch_boundaries():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a b c d e f g", "", "one two"], pa.string()
+            ),
+        }
+    )
+    out = T.chunk_tokens_batch(b, chunk_size=3)
+    assert out["doc_id"].to_pylist() == [1, 1, 1, 3]
+    assert out["chunk_idx"].to_pylist() == [0, 1, 2, 0]
+    assert out["n_chunk_tokens"].to_pylist() == [3, 3, 1, 2]
+    assert out["chunk_text"].to_pylist() == ["a b c", "d e f", "g", "one two"]
+
+
+def test_chunk_tokens_batch_empty_and_validation():
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    assert T.chunk_tokens_batch(empty, 4).num_rows == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.chunk_tokens_batch(empty, 0)
+    # all-punctuation rows tokenize to nothing -> no chunks
+    b = pa.table(
+        {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["!!! ..."])}
+    )
+    assert T.chunk_tokens_batch(b, 4).num_rows == 0
+
+
+def test_chunk_documents_matches_duckdb(ray_session):
+    got = (
+        T.chunk_documents(SF_DIR)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(
+            """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), c AS (
+                SELECT doc_id, ts,
+                       unnest(range(CAST(ceil(len(ts) / 64.0) AS BIGINT)))
+                           AS i
+                FROM t WHERE len(ts) > 0
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(least((i + 1) * 64, len(ts)) - i * 64 AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       ts[i * 64 + 1 : least((i + 1) * 64, len(ts))], ' ')
+                       AS chunk_text
+            FROM c
+            """
+        )
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
