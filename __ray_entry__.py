@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": Q.large_volume_orders,
         "c4_quality_filter_documents": Q.c4_quality_filter_documents,
         "customers_without_orders_bloom": Q.customers_without_orders_bloom,
+        "cap_docs_per_source": Q.cap_docs_per_source,
+        "tfidf_top_terms_documents": Q.tfidf_top_terms_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -174,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "pack_sequences_documents": training.pack_sequences_documents,
         "approx_distinct_users_hll": Q.approx_distinct_users_hll,
+        "approx_length_quantiles": Q.approx_length_quantiles,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
@@ -913,6 +916,46 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderpriority = '1-URGENT'
             ) o ON c.c_custkey = o.o_custkey
             WHERE o.o_custkey IS NULL
+        """,
+        "cap_docs_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "tfidf_top_terms_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), n AS (
+                SELECT count(*) AS n_docs FROM t
+            ), tok AS (
+                SELECT doc_id, unnest(ts) AS tok FROM t
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM tok GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY tok
+            ), ranked AS (
+                SELECT tf.doc_id, tf.tok,
+                       tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                               / df.df) DESC,
+                                    tf.tok ASC
+                       ) AS rn
+                FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id, tok, round(s, 6) AS score6
+            FROM ranked WHERE rn <= 3
         """,
         "heavy_hitter_tokens": """
             SELECT tok, count(*) AS n

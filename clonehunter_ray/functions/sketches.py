@@ -132,3 +132,141 @@ def bloom_contains(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
     bits = np.unpackbits(packed)
     pos = _bloom_positions(keys, len(bits))
     return bits[pos].all(axis=1)
+
+
+# -- quantile sketch (KLL-style deterministic compactor) --------------------
+#
+# Mergeable rank/quantile sketch: each batch reduces to a few KB of
+# level buffers (level i holds items of weight 2^i), merge is
+# concatenate + re-compact, and quantile queries walk the weighted
+# sorted union. The compactor is the deterministic variant of
+# Karnin-Lang-Liberty 2016: when a level overflows its capacity it is
+# sorted and every other item promoted (offset alternating per level
+# between compactions), which halves the buffer and doubles the
+# weight. Rank error grows ~1/k per level; k=256 gives ~1% on the
+# corpus sizes here. The exact histogram-combiner quantiles
+# (queries.doc_length_quantiles) stay exact but ship one row per
+# DISTINCT value — this sketch is the constant-size alternative for
+# continuous/high-cardinality columns at 100 TB.
+
+
+class QuantileSketch:
+    __slots__ = ("k", "levels", "parity")
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: list[int] = [0]
+
+    # -- internals ---------------------------------------------------------
+
+    def _capacity(self, lvl: int) -> int:
+        # higher levels may shrink (KLL uses c^h); a flat cap keeps the
+        # deterministic variant simple and the sketch still ~k*log(n/k)
+        return self.k
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if len(buf) <= self._capacity(i):
+                i += 1
+                continue
+            buf = np.sort(buf, kind="stable")
+            off = self.parity[i]
+            self.parity[i] ^= 1
+            promoted = buf[off::2]
+            self.levels[i] = np.empty(0, dtype=np.float64)
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.parity.append(0)
+            self.levels[i + 1] = np.concatenate(
+                (self.levels[i + 1], promoted)
+            )
+            i += 1
+
+    # -- public API ----------------------------------------------------------
+
+    def update(self, values: np.ndarray) -> None:
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        # feed in capacity-sized slices so level 0 never balloons
+        for start in range(0, len(vals), self.k):
+            self.levels[0] = np.concatenate(
+                (self.levels[0], vals[start : start + self.k])
+            )
+            self._compact()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(0)
+        for i, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[i] = np.concatenate((self.levels[i], buf))
+        self._compact()
+        return self
+
+    @property
+    def weight(self) -> int:
+        return sum(len(b) << i for i, b in enumerate(self.levels))
+
+    def quantiles(self, qs) -> np.ndarray:
+        """quantile_disc semantics: smallest item whose (estimated)
+        cumulative weight reaches ceil(q * N)."""
+        vals = np.concatenate(self.levels)
+        if len(vals) == 0:
+            return np.full(len(list(qs)), np.nan)
+        wts = np.concatenate(
+            [
+                np.full(len(b), 1 << i, dtype=np.int64)
+                for i, b in enumerate(self.levels)
+            ]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            target = max(1, int(np.ceil(q * total)))
+            out.append(vals[np.searchsorted(cum, target, side="left")])
+        return np.asarray(out, dtype=np.float64)
+
+    # -- serialization (one bytes blob per batch) ----------------------------
+
+    def serialize(self) -> bytes:
+        import struct
+
+        head = struct.pack(
+            "<II", self.k, len(self.levels)
+        ) + b"".join(
+            struct.pack("<II", len(b), p)
+            for b, p in zip(self.levels, self.parity)
+        )
+        return head + np.concatenate(self.levels).astype("<f8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "QuantileSketch":
+        import struct
+
+        k, nlev = struct.unpack_from("<II", blob, 0)
+        sk = cls(k)
+        sk.levels, sk.parity = [], []
+        off = 8
+        lens = []
+        for _ in range(nlev):
+            ln, p = struct.unpack_from("<II", blob, off)
+            lens.append(ln)
+            sk.parity.append(p)
+            off += 8
+        data = np.frombuffer(blob, dtype="<f8", offset=off)
+        pos = 0
+        for ln in lens:
+            sk.levels.append(data[pos : pos + ln].astype(np.float64))
+            pos += ln
+        return sk

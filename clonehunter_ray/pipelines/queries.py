@@ -2081,3 +2081,202 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
 
     verified = joined.map_batches(keep_unmatched, batch_format="pyarrow")
     return negatives.union(verified)
+
+
+def cap_docs_per_source(sf_dir: str, cap: int = 20):
+    """Per-domain document cap — the standard web-crawl mitigation for
+    template-heavy sites: keep at most ``cap`` docs per source,
+    preferring the longest (n_chars desc, doc_id asc tie-break).
+
+    Ray shape for 100 TB: per-batch LOCAL top-cap per source (a
+    combiner — each batch forwards at most cap rows per source it
+    contains, so the shuffle is bounded by cap x n_batches per key,
+    not by the key's true row count), then a tiny per-source final
+    top-cap in ``map_groups``. A hot domain with a billion pages
+    never ships more than cap rows per input block.
+    """
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -n_chars, src))
+        src_sorted = src[order]
+        # rank within source run: position - run start
+        starts = np.concatenate(
+            ([0], np.flatnonzero(src_sorted[1:] != src_sorted[:-1]) + 1)
+        )
+        run_id = np.cumsum(
+            np.concatenate(([0], (src_sorted[1:] != src_sorted[:-1]).astype(np.int64)))
+        )
+        rank = np.arange(len(order)) - starts[run_id]
+        keep = order[rank < cap]
+        return batch.take(pa.array(np.sort(keep), pa.int64()))
+
+    def final_top(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(cap)
+        return _pt(g[["doc_id", "source", "n_chars"]])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(local_top, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
+def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per document (dataset cartography / keyword
+    extraction): score = tf * ln(n_docs / df), ties broken by token
+    asc.
+
+    Ray shape: pass 1 computes document frequencies with the same
+    combiner as ``token_vocabulary_topk`` (per-batch DISTINCT tokens
+    per doc -> one (token, partial_df) row per batch -> tiny groupby
+    sum) and broadcasts the sorted (token, df) arrays once via
+    ray.put; pass 2 streams docs, computes per-doc tf via Arrow
+    dictionary encoding + np.bincount, scores against the broadcast
+    df, and emits each doc's top-k. At 100 TB the full-vocabulary
+    broadcast is replaced by a df floor (terms below min_df score as
+    df=floor — rare-term idf saturates), which the Misra-Gries
+    heavy-hitter path already provides; at test scale the exact
+    broadcast keeps the oracle exact.
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _tok_lists(batch: pa.Table):
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(keep, pa.bool_())), parent[keep]
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_lists(batch)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "pdf": pa.array([], pa.int64()),
+                }
+            )
+        d = pc.dictionary_encode(flat)
+        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (doc, token) pairs -> df contribution of this batch
+        pair = parent.astype(np.int64) * len(d.dictionary) + inv
+        uniq_pairs = np.unique(pair)
+        tok_ids = uniq_pairs % len(d.dictionary)
+        counts = np.bincount(tok_ids, minlength=len(d.dictionary))
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "tok": d.dictionary.take(pa.array(nz, pa.int64())),
+                "pdf": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+    parts = [ray.get(r) for r in df_tbl.to_arrow_refs()]
+    df_all = pa.concat_tables(parts).combine_chunks()
+    toks = np.asarray(df_all["tok"].to_pylist(), dtype=object)
+    dfs = df_all["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(toks)
+    df_ref = ray.put((toks[order], dfs[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, df_sorted = ray.get(df_ref)
+        flat, parent = _tok_lists(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                    "score6": pa.array([], pa.float64()),
+                }
+            )
+        d = pc.dictionary_encode(flat)
+        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nvocab = len(d.dictionary)
+        pair = parent.astype(np.int64) * nvocab + inv
+        uniq_pairs, tf = np.unique(pair, return_counts=True)
+        rows = uniq_pairs // nvocab
+        tok_ids = uniq_pairs % nvocab
+        tok_strs = np.asarray(d.dictionary.to_pylist(), dtype=object)[tok_ids]
+        pos = np.searchsorted(vocab, tok_strs)
+        idf = np.log(float(n_docs) / df_sorted[pos])
+        s = tf * idf
+        # per-doc top-k by (score desc, token asc): lexsort is stable
+        order2 = np.lexsort((tok_strs, -s, rows))
+        rows_sorted = rows[order2]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(rows_sorted[1:] != rows_sorted[:-1]) + 1)
+        )
+        run_id = np.cumsum(
+            np.concatenate(
+                ([0], (rows_sorted[1:] != rows_sorted[:-1]).astype(np.int64))
+            )
+        )
+        rank = np.arange(len(order2)) - starts[run_id]
+        keep = order2[rank < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rows[keep]], pa.int64()),
+                "tok": pa.array(list(tok_strs[keep]), pa.string()),
+                "score6": pa.array(np.round(s[keep], 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def approx_length_quantiles(sf_dir: str, k: int = 256):
+    """Approximate doc-length quantiles via the mergeable KLL-style
+    compactor sketch (functions/sketches.py:QuantileSketch) — the
+    constant-size scale path beside the exact histogram-combiner
+    ``doc_length_quantiles``: per batch ONE few-KB level-buffer blob
+    leaves the map stage regardless of value cardinality, blobs merge
+    associatively on the driver, and quantile_disc-style answers come
+    from the weighted sorted union. Use when the value domain is
+    continuous/high-cardinality (the exact histogram's one-row-per-
+    distinct-value shuffle stops being tiny)."""
+    from clonehunter_ray.functions.sketches import QuantileSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k)
+        sk.update(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table({"blob": pa.array([sk.serialize()], pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    blobs = [
+        b
+        for t in ray.get(ds.to_arrow_refs())
+        for b in t["blob"].to_pylist()
+    ]
+    merged = QuantileSketch.deserialize(blobs[0])
+    for b in blobs[1:]:
+        merged.merge(QuantileSketch.deserialize(b))
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = merged.quantiles(qs)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )

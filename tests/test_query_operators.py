@@ -469,3 +469,57 @@ def test_bloom_anti_join_tiny_filter_still_exact(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bloom, exact)
+
+
+def test_cap_docs_per_source_matches_duckdb(ray_session, con2):
+    _check(
+        Q.cap_docs_per_source(SF_DIR, cap=5),
+        con2,
+        """
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+        """,
+    )
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session, con2):
+    _check(
+        Q.tfidf_top_terms_documents(SF_DIR),
+        con2,
+        """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z0-9_]+') AS ts
+            FROM documents
+        ), n AS (
+            SELECT count(*) AS n_docs FROM t
+        ), tok AS (
+            SELECT doc_id, unnest(ts) AS tok FROM t
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM tok GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY tok
+        ), ranked AS (
+            SELECT tf.doc_id, tf.tok,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                           / df.df) DESC,
+                                tf.tok ASC
+                   ) AS rn
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, round(s, 6) AS score6
+        FROM ranked WHERE rn <= 3
+        """,
+    )

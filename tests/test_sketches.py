@@ -192,3 +192,88 @@ def test_bloom_empty_and_validation():
     assert SK.bloom_contains(empty, np.empty(0, dtype=np.uint64)).shape == (0,)
     with pytest.raises(ValueError):
         SK.bloom_partial(np.arange(3, dtype=np.uint64), n_bits=100)
+
+
+def test_quantile_sketch_exact_below_capacity():
+    from clonehunter_ray.functions.sketches import QuantileSketch
+    import numpy as np
+
+    vals = np.array([5.0, 1.0, 9.0, 3.0, 7.0])
+    sk = QuantileSketch(64)
+    sk.update(vals)
+    # no compaction happened: quantile_disc semantics are exact
+    assert sk.quantiles([0.2, 0.5, 1.0]).tolist() == [1.0, 5.0, 9.0]
+    assert sk.weight == 5
+
+
+def test_quantile_sketch_merge_and_error_bound():
+    from clonehunter_ray.functions.sketches import QuantileSketch
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=400_000)
+    parts = []
+    for c in np.array_split(x, 37):
+        s = QuantileSketch(256)
+        s.update(c)
+        parts.append(s.serialize())
+    merged = QuantileSketch.deserialize(parts[0])
+    for b in parts[1:]:
+        merged.merge(QuantileSketch.deserialize(b))
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = merged.quantiles(qs)
+    for e, q in zip(est, qs):
+        rank = float((x <= e).mean())
+        assert abs(rank - q) < 0.02, (q, rank)
+    # total weight is conserved exactly by halve-and-double-weight
+    # up to items parked in unfinished buffers (never more than the
+    # true count, never less than count - k*levels)
+    assert 0 <= len(x) - merged.weight <= 256 * len(merged.levels)
+
+
+def test_quantile_sketch_serialize_roundtrip():
+    from clonehunter_ray.functions.sketches import QuantileSketch
+    import numpy as np
+
+    sk = QuantileSketch(32)
+    sk.update(np.arange(1000, dtype=np.float64))
+    rt = QuantileSketch.deserialize(sk.serialize())
+    assert rt.k == sk.k
+    assert rt.parity == sk.parity
+    assert all(
+        np.array_equal(a, b) for a, b in zip(rt.levels, sk.levels)
+    )
+    assert np.array_equal(
+        rt.quantiles([0.1, 0.5, 0.9]), sk.quantiles([0.1, 0.5, 0.9])
+    )
+
+
+def test_quantile_sketch_validation_and_nan():
+    from clonehunter_ray.functions.sketches import QuantileSketch
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError):
+        QuantileSketch(4)
+    a = QuantileSketch(16)
+    a.update(np.array([np.nan, 1.0, np.nan, 2.0]))
+    assert a.weight == 2
+    b = QuantileSketch(32)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+def test_approx_length_quantiles_pipeline(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from clonehunter_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.approx_length_quantiles(sf).to_pandas()
+    n_chars = pq.read_table(
+        f"{sf}/documents.parquet", columns=["n_chars"]
+    )["n_chars"].to_numpy(zero_copy_only=False)
+    for q, v in zip(got["q"], got["value"]):
+        rank = float((n_chars <= v).mean())
+        assert abs(rank - q) < 0.05, (q, rank, v)
