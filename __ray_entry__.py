@@ -149,6 +149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders_bloom": Q.customers_without_orders_bloom,
         "cap_docs_per_source": Q.cap_docs_per_source,
         "tfidf_top_terms_documents": Q.tfidf_top_terms_documents,
+        "decontaminate_documents_distributed": (
+            Q.decontaminate_documents_distributed
+        ),
+        "cluster_aware_split_documents": Q.cluster_aware_split_documents,
+        "bm25_search_documents": Q.bm25_search_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -916,6 +921,119 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderpriority = '1-URGENT'
             ) o ON c.c_custkey = o.o_custkey
             WHERE o.o_custkey IS NULL
+        """,
+        "decontaminate_documents_distributed": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(ts) >= 4 THEN
+                        list_transform(range(1, len(ts) - 2),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' ||
+                                 ts[i+2] || ' ' || ts[i+3])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0
+            ), hits AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM g JOIN bench USING (gram)
+                WHERE g.doc_id % 13 <> 0
+                GROUP BY g.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT)
+                       AS n_contaminated_grams,
+                   coalesce(hits.n, 0) > 0 AS contaminated
+            FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+            WHERE t.doc_id % 13 <> 0
+        """,
+        "cluster_aware_split_documents": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+                FROM documents WHERE doc_id < 500
+            ), edges AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                WHERE len(a.ts) > 0 AND len(b.ts) > 0
+                  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+            ), sym AS (
+                SELECT a_id AS src, b_id AS dst FROM edges
+                UNION ALL
+                SELECT b_id AS src, a_id AS dst FROM edges
+            ), reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+                WHERE s.dst <> r.src
+            ), lab AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            ), clustered AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT)
+                           AS cluster_id
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+                LEFT JOIN lab l USING (doc_id)
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN substr(sha256('split:' ||
+                                           CAST(cluster_id AS VARCHAR)),
+                                    1, 2) < '20'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM clustered
+        """,
+        "bm25_search_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+                FROM t
+            ), q(query_id, tok) AS (
+                VALUES (0, 'scan'), (0, 'column'), (1, 'join'),
+                       (1, 'merge'), (2, 'order')
+            ), tok AS (
+                SELECT doc_id, unnest(ts) AS tok FROM t
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM tok GROUP BY doc_id, tok
+            ), dl AS (
+                SELECT doc_id, len(ts) AS dl FROM t
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY tok
+            ), scored AS (
+                SELECT q.query_id, tf.doc_id,
+                       sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dl.dl / s.avgdl)))
+                           AS score
+                FROM q
+                JOIN tf ON tf.tok = q.tok
+                JOIN df ON df.tok = q.tok
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, tf.doc_id
+            ), ranked AS (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC
+                       ) AS rn
+                FROM scored
+            )
+            SELECT query_id, doc_id, round(score, 6) AS score6
+            FROM ranked WHERE rn <= 10
         """,
         "cap_docs_per_source": """
             SELECT doc_id, source, n_chars FROM (

@@ -2280,3 +2280,295 @@ def approx_length_quantiles(sf_dir: str, k: int = 256):
             "value": pa.array(vals, pa.float64()),
         }
     )
+
+
+def decontaminate_documents_distributed(
+    sf_dir: str, k: int = 4, bench_mod: int = 13
+):
+    """``decontaminate_documents`` re-expressed as the gram-hash-
+    partitioned semi-join — the shape for when the contamination
+    SOURCE is corpus-scale (dedup against another training corpus)
+    and its gram set cannot be broadcast.
+
+    Both sides explode to ids-only gram rows: the train side
+    pre-aggregates (gram, doc_id) -> instance count per batch (docs
+    live in one block, so batch partials are exact), the bench side
+    reduces to its distinct grams with a groupby. One inner hash join
+    on the gram key, then a per-doc sum and a left join back onto the
+    full doc list to fill zeros. Same oracle SQL as the broadcast
+    path — the two shapes must agree bit-for-bit.
+    """
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.util import safe_join_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % bench_mod == 0) == want_bench
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return f
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, _rows = H.flat_gram_hashes(th, k)
+        uniq = np.unique(grams)
+        return pa.table(
+            {"gram": pa.array(uniq.view(np.int64), pa.int64())}
+        )
+
+    bench_set = (
+        bench.map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Count(alias_name="n_b"))
+        .select_columns(["gram"])
+    )
+
+    def train_grams(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "t_doc": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # per-batch (gram, doc) instance counts: sort once, run-length
+        order = np.lexsort((grams, rows))
+        g_s, r_s = grams[order], rows[order]
+        new = np.concatenate(
+            ([True], (g_s[1:] != g_s[:-1]) | (r_s[1:] != r_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(g_s)])))
+        return pa.table(
+            {
+                "gram": pa.array(g_s[starts].view(np.int64), pa.int64()),
+                "t_doc": pa.array(doc_ids[r_s[starts]], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    train_rows = train.map_batches(train_grams, batch_format="pyarrow")
+    nparts = safe_join_partitions(16)
+    hit_rows = train_rows.join(
+        bench_set, "inner", nparts, on=("gram",), right_on=("gram",)
+    )
+    hits = (
+        hit_rows.select_columns(["t_doc", "cnt"])
+        .groupby("t_doc")
+        .aggregate(Sum("cnt", alias_name="n_hits"))
+    )
+    train_ids = train.select_columns(["doc_id"])
+    out = train_ids.join(
+        hits, "left_outer", nparts, on=("doc_id",), right_on=("t_doc",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.coalesce(batch["n_hits"], pa.scalar(0, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_contaminated_grams": n,
+                "contaminated": pc.greater(n, 0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_aware_split_documents(
+    sf_dir: str, threshold: float = 0.6, max_id: int = 500, test_frac_hex: str = "20"
+):
+    """Leakage-aware train/test split: near-duplicate documents must
+    land on the SAME side of the split (a test doc whose near-dup sits
+    in train leaks the answer), so the split key is the doc's
+    connected-component CLUSTER id, not the doc id.
+
+    Composition of existing primitives: the distributed hash-min
+    cluster labels (``duplicate_clusters_documents``) plus one
+    stateless salted-sha256 assignment per row — deterministic across
+    re-runs/partitionings, no RNG state, ~1/8 of clusters to test at
+    the default hex threshold.
+    """
+    clusters = duplicate_clusters_documents(
+        sf_dir, threshold=threshold, max_id=max_id
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cids = batch["cluster_id"].to_pylist()
+        hexes = H.sha256_hex_many([f"split:{c}" for c in cids])
+        side = [
+            "test" if h[:2] < test_frac_hex else "train" for h in hexes
+        ]
+        return batch.append_column("split", pa.array(side, pa.string()))
+
+    return clusters.map_batches(assign, batch_format="pyarrow")
+
+
+# (query_id, term) pairs for the BM25 demo index — common corpus
+# tokens so every query has a non-trivial posting list at every sf
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "scan"),
+    (0, "column"),
+    (1, "join"),
+    (1, "merge"),
+    (2, "order"),
+]
+
+
+def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k keyword search over the documents table
+    (Robertson et al., TREC-3): score(q, d) = sum over query terms of
+    idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl / avgdl)) with
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Ray shape: corpus stats (N, avg doc length) from one Arrow-kernel
+    aggregate; one stateless pass emits a (term, doc, tf, dl) posting
+    row ONLY where a query term matches (the posting table is
+    query-selective, not corpus-wide); exact per-term df from a tiny
+    groupby over per-batch DISTINCT-doc partials; scores join the
+    broadcast df/stats scalars map-side and a final per-query top-k
+    ranks them. Queries <= 2 terms keep the float sum commutative-
+    safe for the oracle comparison.
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # corpus stats: N docs, average token count (exact int sum / N)
+    def dl_batch(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        n = pc.cast(pc.count_substring_regex(low, "[a-z0-9_]+"), pa.int64())
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(n).as_py() or 0], pa.int64()),
+                "c": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    stat_parts = pa.concat_tables(
+        ray.get(
+            docs.map_batches(dl_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    n_docs = int(pc.sum(stat_parts["c"]).as_py())
+    avgdl = float(pc.sum(stat_parts["s"]).as_py()) / n_docs
+
+    term_hashes = np.array(
+        [H.hash_token_u64(t) for _q, t in BM25_QUERIES], dtype=np.uint64
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dls = np.array([len(h) for h in th], dtype=np.int64)
+        if len(th) == 0:
+            return pa.table(
+                {
+                    "term_idx": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate(th) if th else np.empty(0, np.uint64)
+        parent = np.repeat(np.arange(len(th), dtype=np.int64), dls)
+        t_idx, t_doc, t_tf, t_dl = [], [], [], []
+        for ti, h in enumerate(term_hashes):
+            sel = parent[flat == h]
+            if len(sel) == 0:
+                continue
+            tf = np.bincount(sel, minlength=len(th))
+            nz = np.flatnonzero(tf)
+            t_idx.append(np.full(len(nz), ti, dtype=np.int64))
+            t_doc.append(doc_ids[nz])
+            t_tf.append(tf[nz].astype(np.int64))
+            t_dl.append(dls[nz])
+        if not t_idx:
+            return pa.table(
+                {
+                    "term_idx": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "term_idx": pa.array(np.concatenate(t_idx), pa.int64()),
+                "doc_id": pa.array(np.concatenate(t_doc), pa.int64()),
+                "tf": pa.array(np.concatenate(t_tf), pa.int64()),
+                "dl": pa.array(np.concatenate(t_dl), pa.int64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    # exact df per term: postings already hold one row per (term, doc).
+    # Drop schema-less empty blocks before the driver-side concat.
+    df_parts = [
+        t
+        for t in ray.get(
+            post.groupby("term_idx")
+            .aggregate(Count(alias_name="df"))
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    df_tbl = (
+        pa.concat_tables(df_parts)
+        if df_parts
+        else pa.table(
+            {"term_idx": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+        )
+    )
+    dfs = np.zeros(len(BM25_QUERIES), dtype=np.float64)
+    for ti, dfv in zip(
+        df_tbl["term_idx"].to_pylist(), df_tbl["df"].to_pylist()
+    ):
+        dfs[ti] = dfv
+    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+    qids = np.array([q for q, _t in BM25_QUERIES], dtype=np.int64)
+    consts_ref = ray.put((idf, qids, avgdl))
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        idf_, qids_, avgdl_ = ray.get(consts_ref)
+        ti = batch["term_idx"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = idf_[ti] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl_)
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(qids_[ti], pa.int64()),
+                "doc_id": batch["doc_id"],
+                "s": pa.array(s, pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        # rank by the UNROUNDED score (matching the SQL window order);
+        # round only for the emitted column
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        g = g.assign(score6=g["score"].round(6))
+        return _pt(g[["query_id", "doc_id", "score6"]])
+
+    scored = (
+        post.map_batches(contrib, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("s", alias_name="score"))
+    )
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")

@@ -523,3 +523,85 @@ def test_tfidf_top_terms_matches_duckdb(ray_session, con2):
         FROM ranked WHERE rn <= 3
         """,
     )
+
+
+def test_decontaminate_distributed_matches_broadcast(ray_session):
+    """The gram-partitioned semi-join shape and the broadcast shape
+    must agree bit-for-bit (same oracle, different physical plan)."""
+    a = (
+        Q.decontaminate_documents(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        Q.decontaminate_documents_distributed(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_aware_split_no_leakage(ray_session):
+    """Every near-dup cluster lands entirely on one side, and the
+    split key is the cluster id (doc-level hashing would leak)."""
+    got = Q.cluster_aware_split_documents(SF_DIR).to_pandas()
+    sides_per_cluster = got.groupby("cluster_id")["split"].nunique()
+    assert (sides_per_cluster == 1).all()
+    assert set(got["split"].unique()) <= {"train", "test"}
+    # at least one real multi-doc cluster exists in the fixture corpus
+    assert (got.groupby("cluster_id").size() > 1).any()
+
+
+def test_bm25_search_matches_duckdb(ray_session, con2):
+    _check(
+        Q.bm25_search_documents(SF_DIR),
+        con2,
+        """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z0-9_]+') AS ts
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+            FROM t
+        ), q(query_id, tok) AS (
+            VALUES (0, 'scan'), (0, 'column'), (1, 'join'),
+                   (1, 'merge'), (2, 'order')
+        ), tok AS (
+            SELECT doc_id, unnest(ts) AS tok FROM t
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM tok GROUP BY doc_id, tok
+        ), dl AS (
+            SELECT doc_id, len(ts) AS dl FROM t
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY tok
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                       AS score
+            FROM q
+            JOIN tf ON tf.tok = q.tok
+            JOIN df ON df.tok = q.tok
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            GROUP BY q.query_id, tf.doc_id
+        ), ranked AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT query_id, doc_id, round(score, 6) AS score6
+        FROM ranked WHERE rn <= 10
+        """,
+    )
