@@ -182,6 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": training.pack_sequences_documents,
         "approx_distinct_users_hll": Q.approx_distinct_users_hll,
         "approx_length_quantiles": Q.approx_length_quantiles,
+        "length_quantiles_by_lang": Q.length_quantiles_by_lang,
+        "compression_ratio_documents": lambda sf: (
+            text_analysis.compression_ratio(_docs(sf))
+        ),
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
@@ -745,6 +749,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(hits.n, 0) > 0 AS contaminated
             FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
             WHERE t.doc_id % 13 <> 0
+        """,
+        "length_quantiles_by_lang": """
+            SELECT lang, q, value FROM (
+                SELECT lang, 0.25 AS q,
+                       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT)
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+                FROM documents GROUP BY lang
+            )
         """,
         "doc_length_quantiles": """
             SELECT 0.25 AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT)

@@ -177,6 +177,14 @@ def run_bench() -> dict:
 
     timed("pack_sequences_documents", _pack)
 
+    def _chunk(sf_dir):
+        from clonehunter_ray.pipelines import training
+
+        return training.chunk_documents(sf_dir)
+
+    timed("chunk_documents", _chunk)
+    timed("bm25_search_documents", Q.bm25_search_documents)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),

@@ -2572,3 +2572,52 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
         .aggregate(Sum("s", alias_name="score"))
     )
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-GROUP exact quantiles (n_chars per lang) with the same
+    histogram-combiner shape as ``doc_length_quantiles``: per-batch
+    (lang, value, count) partials -> tiny groupby((lang, value)) sum
+    (rows = distinct values per group, corpus-size-independent) ->
+    per-lang cumulative walk in ``map_groups``. The group count is
+    small (languages), the per-group walk is over its histogram, and
+    no raw row ever shuffles."""
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["lang", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return g
+
+    def walk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("n_chars")
+        values = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+        rows = {"lang": [], "q": [], "value": []}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            rows["lang"].append(g["lang"].iloc[0])
+            rows["q"].append(float(q))
+            rows["value"].append(int(values[np.searchsorted(cum, idx + 1)]))
+        return _pt(
+            pd.DataFrame(rows),
+            schema=pa.schema(
+                [("lang", pa.string()), ("q", pa.float64()), ("value", pa.int64())]
+            ),
+        )
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(hist, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .sum("cnt")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(cnt)": "cnt"}),
+            batch_format="pandas",
+        )
+        .groupby("lang")
+        .map_groups(walk, batch_format="pandas")
+    )

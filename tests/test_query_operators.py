@@ -605,3 +605,26 @@ def test_bm25_search_matches_duckdb(ray_session, con2):
         FROM ranked WHERE rn <= 10
         """,
     )
+
+
+def test_length_quantiles_by_lang_matches_duckdb(ray_session, con2):
+    _check(
+        Q.length_quantiles_by_lang(SF_DIR),
+        con2,
+        """
+        SELECT lang, q, value FROM (
+            SELECT lang, 0.25 AS q,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+            FROM documents GROUP BY lang
+        )
+        """,
+    )

@@ -135,3 +135,52 @@ def test_redact_pii_batch_matches_duckdb():
         assert m == db
     assert mine[0] == "contact <EMAIL> or <URL>"
     assert mine[1] == "call <PHONE> or <PHONE>"
+
+
+def test_compression_ratio_signal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clonehunter_ray.pipelines.text_analysis import compression_ratio
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "spam spam spam spam spam spam spam spam spam spam",
+                    "the quick brown fox jumps over a lazy dog near banks",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        compression_ratio(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # repetitive text compresses well below varied prose
+    assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+    assert out.loc[0, "n_compressed_bytes"] < out.loc[0, "n_raw_bytes"]
+    # empty text: defined ratio 1.0, zero raw bytes
+    assert out.loc[2, "n_raw_bytes"] == 0
+    assert out.loc[2, "compression_ratio"] == 1.0
+
+
+def test_compression_ratio_deterministic(ray_session):
+    import ray.data
+
+    from clonehunter_ray.pipelines.text_analysis import compression_ratio
+    from clonehunter_ray.util import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    a = compression_ratio(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ds2 = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    b = compression_ratio(ds2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
