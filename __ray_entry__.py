@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "cluster_aware_split_documents": Q.cluster_aware_split_documents,
         "bm25_search_documents": Q.bm25_search_documents,
+        "cross_corpus_dedup_documents": Q.cross_corpus_dedup_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -970,6 +971,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(hits.n, 0) > 0 AS contaminated
             FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
             WHERE t.doc_id % 13 <> 0
+        """,
+        "cross_corpus_dedup_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text),
+                                                        '[a-z0-9_]+')) AS ts
+                FROM documents WHERE doc_id < 500
+            ), pairs AS (
+                SELECT n.doc_id AS new_id,
+                       round(CAST(len(list_intersect(n.ts, r.ts)) AS DOUBLE)
+                             / (len(n.ts) + len(r.ts)
+                                - len(list_intersect(n.ts, r.ts))), 6)
+                           AS jac6
+                FROM toks n
+                JOIN toks r ON n.doc_id % 7 <> 0 AND r.doc_id % 7 = 0
+                WHERE len(n.ts) > 0 AND len(r.ts) > 0
+                  AND CAST(len(list_intersect(n.ts, r.ts)) AS DOUBLE)
+                      / (len(n.ts) + len(r.ts)
+                         - len(list_intersect(n.ts, r.ts))) >= 0.8
+            )
+            SELECT new_id AS doc_id,
+                   count(*) AS n_ref_matches,
+                   max(jac6) AS best_jac6
+            FROM pairs GROUP BY new_id
         """,
         "cluster_aware_split_documents": """
             WITH RECURSIVE toks AS (

@@ -2621,3 +2621,49 @@ def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
         .groupby("lang")
         .map_groups(walk, batch_format="pandas")
     )
+
+
+def cross_corpus_dedup_documents(
+    sf_dir: str, threshold: float = 0.8, ref_mod: int = 7, max_id: int = 500
+):
+    """Dedup a NEW crawl against an existing REFERENCE corpus (the
+    snapshot-over-snapshot recipe: flag new docs near-duplicate to
+    anything already in the training set). Reference side here =
+    ``doc_id % ref_mod == 0``, new side = the rest.
+
+    Composition over the engine's exact ids-only pair machinery
+    (``ngram_jaccard_pairs``): keep only cross-side pairs, normalize
+    to the new doc, and aggregate per new doc (match count + best
+    Jaccard). At 100 TB the same flow applies with one refinement —
+    the band explode tags each id with its side and the pair-emit
+    kernel skips same-side pairs inside a bucket, so new-new
+    candidates never materialize; at oracle scale the shared kernel
+    keeps the two paths bit-identical.
+    """
+    import pyarrow.compute as pc
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold, max_id=max_id)
+
+    def to_cross(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy(zero_copy_only=False)
+        b = batch["b_id"].to_numpy(zero_copy_only=False)
+        a_ref = a % ref_mod == 0
+        b_ref = b % ref_mod == 0
+        keep = a_ref != b_ref
+        new_id = np.where(a_ref[keep], b[keep], a[keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(new_id, pa.int64()),
+                "jac6": batch["jac6"].filter(pa.array(keep, pa.bool_())),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(to_cross, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_ref_matches"),
+            Max("jac6", alias_name="best_jac6"),
+        )
+    )
+    return agg.select_columns(["doc_id", "n_ref_matches", "best_jac6"])

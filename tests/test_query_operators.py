@@ -628,3 +628,40 @@ def test_length_quantiles_by_lang_matches_duckdb(ray_session, con2):
         )
         """,
     )
+
+
+def test_cross_corpus_dedup_matches_duckdb(ray_session, con2):
+    _check(
+        Q.cross_corpus_dedup_documents(SF_DIR),
+        con2,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_extract_all(lower(text),
+                                                    '[a-z0-9_]+')) AS ts
+            FROM documents WHERE doc_id < 500
+        ), pairs AS (
+            SELECT n.doc_id AS new_id,
+                   round(CAST(len(list_intersect(n.ts, r.ts)) AS DOUBLE)
+                         / (len(n.ts) + len(r.ts)
+                            - len(list_intersect(n.ts, r.ts))), 6) AS jac6
+            FROM toks n
+            JOIN toks r ON n.doc_id % 7 <> 0 AND r.doc_id % 7 = 0
+            WHERE len(n.ts) > 0 AND len(r.ts) > 0
+              AND CAST(len(list_intersect(n.ts, r.ts)) AS DOUBLE)
+                  / (len(n.ts) + len(r.ts)
+                     - len(list_intersect(n.ts, r.ts))) >= 0.8
+        )
+        SELECT new_id AS doc_id,
+               count(*) AS n_ref_matches,
+               max(jac6) AS best_jac6
+        FROM pairs GROUP BY new_id
+        """,
+    )
+
+
+def test_cross_corpus_dedup_only_flags_new_side(ray_session):
+    got = Q.cross_corpus_dedup_documents(SF_DIR).to_pandas()
+    assert len(got) > 0
+    assert (got["doc_id"] % 7 != 0).all()
+    assert (got["best_jac6"] >= 0.8).all()
