@@ -2435,40 +2435,29 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
     idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl / avgdl)) with
     idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
 
-    Ray shape: corpus stats (N, avg doc length) from one Arrow-kernel
-    aggregate; one stateless pass emits a (term, doc, tf, dl) posting
-    row ONLY where a query term matches (the posting table is
-    query-selective, not corpus-wide); exact per-term df from a tiny
-    groupby over per-batch DISTINCT-doc partials; scores join the
-    broadcast df/stats scalars map-side and a final per-query top-k
-    ranks them. Queries <= 2 terms keep the float sum commutative-
-    safe for the oracle comparison.
+    Ray shape: ONE corpus pass emits the (term, doc, tf, dl) posting
+    rows ONLY where a query term matches (query-selective, not
+    corpus-wide) plus one in-band summary row per batch (term_idx=-1
+    carrying token-sum/doc-count) so the corpus stats ride the same
+    read; the small posting table is materialized once and feeds the
+    exact per-term df groupby, the map-side scoring against broadcast
+    idf/avgdl, and the per-query top-k. Queries <= 2 terms keep the
+    float sum commutative-safe for the oracle comparison.
     """
     import pyarrow.compute as pc
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # corpus stats: N docs, average token count (exact int sum / N)
-    def dl_batch(batch: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-        n = pc.cast(pc.count_substring_regex(low, "[a-z0-9_]+"), pa.int64())
-        return pa.table(
-            {
-                "s": pa.array([pc.sum(n).as_py() or 0], pa.int64()),
-                "c": pa.array([batch.num_rows], pa.int64()),
-            }
-        )
-
-    stat_parts = pa.concat_tables(
-        ray.get(
-            docs.map_batches(dl_batch, batch_format="pyarrow").to_arrow_refs()
-        )
-    )
-    n_docs = int(pc.sum(stat_parts["c"]).as_py())
-    avgdl = float(pc.sum(stat_parts["s"]).as_py()) / n_docs
-
     term_hashes = np.array(
         [H.hash_token_u64(t) for _q, t in BM25_QUERIES], dtype=np.uint64
+    )
+    _post_schema = pa.schema(
+        [
+            ("term_idx", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
     )
 
     def postings(batch: pa.Table) -> pa.Table:
@@ -2476,17 +2465,15 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         dls = np.array([len(h) for h in th], dtype=np.int64)
         if len(th) == 0:
-            return pa.table(
-                {
-                    "term_idx": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                    "dl": pa.array([], pa.int64()),
-                }
-            )
-        flat = np.concatenate(th) if th else np.empty(0, np.uint64)
+            return _post_schema.empty_table()
+        # in-band corpus-stats summary: term_idx -1, tf = sum of doc
+        # lengths in this batch, dl = batch row count
+        t_idx = [np.array([-1], dtype=np.int64)]
+        t_doc = [np.array([-1], dtype=np.int64)]
+        t_tf = [np.array([int(dls.sum())], dtype=np.int64)]
+        t_dl = [np.array([len(th)], dtype=np.int64)]
+        flat = np.concatenate(th)
         parent = np.repeat(np.arange(len(th), dtype=np.int64), dls)
-        t_idx, t_doc, t_tf, t_dl = [], [], [], []
         for ti, h in enumerate(term_hashes):
             sel = parent[flat == h]
             if len(sel) == 0:
@@ -2497,15 +2484,6 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
             t_doc.append(doc_ids[nz])
             t_tf.append(tf[nz].astype(np.int64))
             t_dl.append(dls[nz])
-        if not t_idx:
-            return pa.table(
-                {
-                    "term_idx": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                    "dl": pa.array([], pa.int64()),
-                }
-            )
         return pa.table(
             {
                 "term_idx": pa.array(np.concatenate(t_idx), pa.int64()),
@@ -2515,7 +2493,24 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
             }
         )
 
-    post = docs.map_batches(postings, batch_format="pyarrow")
+    # one corpus read; the posting table is tiny (matches + one summary
+    # row per batch), so materializing it for its three consumers is
+    # cheap and avoids recomputing the tokenization per consumer
+    post_all = docs.map_batches(postings, batch_format="pyarrow").materialize()
+    summary = pa.concat_tables(
+        [
+            t.filter(pc.equal(t["term_idx"], -1))
+            for t in ray.get(post_all.to_arrow_refs())
+            if t.num_rows
+        ]
+    )
+    n_docs = int(pc.sum(summary["dl"]).as_py())
+    avgdl = float(pc.sum(summary["tf"]).as_py()) / n_docs
+
+    def drop_summary(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["term_idx"], 0))
+
+    post = post_all.map_batches(drop_summary, batch_format="pyarrow")
     # exact df per term: postings already hold one row per (term, doc).
     # Drop schema-less empty blocks before the driver-side concat.
     df_parts = [
