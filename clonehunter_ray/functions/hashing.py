@@ -73,16 +73,62 @@ def hash_tokens_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
     ]
 
 
+def flat_tokens(texts):
+    """The canonical token stream with row attribution: lower -> split
+    on the token alphabet's complement (``[^a-z0-9_]+``) -> flatten ->
+    drop boundary empties, all as Arrow C++ kernels. Returns
+    ``(flat tokens as a pa.StringArray, parent row index per token as
+    an int64 np.ndarray)``.
+
+    Every tokenizing stage (signature hashing, TF-IDF, vocabulary
+    top-k, chunking) builds on this one helper so the token-alphabet
+    contract and the empty-token boundary rule cannot drift between
+    stages and their SQL oracles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = (
+        pc.list_parent_indices(toks)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep, pa.bool_())), parent[keep]
+
+
+def run_ranks(sorted_keys: np.ndarray) -> np.ndarray:
+    """Rank within consecutive runs of equal keys: for an array already
+    sorted so equal keys are adjacent, returns 0,1,2,... restarting at
+    each run boundary. The shared kernel behind every vectorized
+    per-group top-k combiner (sort by (key, order...), keep
+    ``run_ranks(keys_sorted) < k``)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new_run = np.concatenate(
+        ([False], sorted_keys[1:] != sorted_keys[:-1])
+    )
+    starts = np.concatenate(([0], np.flatnonzero(new_run)))
+    run_id = np.cumsum(new_run.astype(np.int64))
+    return np.arange(n, dtype=np.int64) - starts[run_id]
+
+
 def tokenize_hash_texts(texts) -> list[np.ndarray]:
     """texts (Arrow string array / chunked array) -> ordered uint64
     token-hash array per row.
 
     Equivalent to ``[hash_tokens_batch([tokenize(t)])[0] for t in ...]``
-    but the tokenization runs as Arrow C++ kernels (lower -> split on
-    the token alphabet's complement -> flatten; boundary empties
-    dropped), per-token dedup as ``dictionary_encode`` (hash table, no
-    argsort over Python objects), and only the per-UNIQUE-token blake2b
-    stays in Python."""
+    but the tokenization runs as Arrow C++ kernels (``flat_tokens``),
+    per-token dedup as ``dictionary_encode`` (hash table, no argsort
+    over Python objects), and only the per-UNIQUE-token blake2b stays
+    in Python."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -91,15 +137,7 @@ def tokenize_hash_texts(texts) -> list[np.ndarray]:
     n = len(texts)
     if n == 0:
         return []
-    low = pc.utf8_lower(pc.fill_null(texts, ""))
-    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
-    flat = pc.list_flatten(toks)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    parent = parent[keep]
-    flat = flat.filter(pa.array(keep, pa.bool_()))
+    flat, parent = flat_tokens(texts)
     if len(flat) == 0:
         return [np.empty(0, dtype=np.uint64) for _ in range(n)]
     d = pc.dictionary_encode(flat)

@@ -1016,12 +1016,9 @@ def _flat_tokens_lower(text_col):
     alphabet's complement -> flatten -> drop boundary empties.
     Shared by token_vocabulary_topk and heavy_hitter_tokens so the two
     queries (and their common oracle regex '[a-z0-9_]+') cannot
-    drift apart."""
-    import pyarrow.compute as pc
-
-    low = pc.utf8_lower(pc.fill_null(text_col, ""))
-    flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9_]+"))
-    return flat.filter(pc.not_equal(flat, ""))
+    drift apart. Thin wrapper over the engine-wide canonical tokenizer
+    (functions/hashing.flat_tokens) dropping the parent indices."""
+    return H.flat_tokens(text_col)[0]
 
 
 # sidecar key carrying each batch's MG decrement through the merge
@@ -1959,18 +1956,29 @@ def c4_quality_filter_documents(
 
     One stateless vectorized pass: Arrow lower/split tokenization,
     np.bincount per-doc reductions via dictionary-encoded token ids —
-    no shuffle, no Python rows. Emits the kept docs with their
-    signals so the filter is auditable downstream.
+    no shuffle, no Python rows, no per-token hashing (token counts and
+    distinct counts come straight from the dictionary indices). Emits
+    the kept docs with their signals so the filter is auditable
+    downstream.
     """
-    from clonehunter_ray.functions.hashing import tokenize_hash_texts
 
     def fil(batch: pa.Table) -> pa.Table:
-        hashes = tokenize_hash_texts(batch["text"])
-        n = np.array([len(h) for h in hashes], dtype=np.int64)
-        distinct = np.array(
-            [len(np.unique(h)) for h in hashes], dtype=np.int64
-        )
         import pyarrow.compute as pc
+
+        n_rows = batch.num_rows
+        flat, parent = H.flat_tokens(batch["text"])
+        n = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        if len(flat):
+            d = pc.dictionary_encode(flat)
+            inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # distinct (doc, token) pairs -> distinct tokens per doc
+            pair = parent * len(d.dictionary) + inv
+            uniq_docs = np.unique(pair) // len(d.dictionary)
+            distinct = np.bincount(uniq_docs, minlength=n_rows).astype(
+                np.int64
+            )
+        else:
+            distinct = np.zeros(n_rows, dtype=np.int64)
 
         low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
         # total token chars = count of token-alphabet chars
@@ -2022,18 +2030,42 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
-    def partial_bloom(batch: pa.Table) -> pa.Table:
+    # ONE pass over the build side (the dominant I/O at scale): each
+    # batch emits its per-batch DISTINCT urgent custkeys (o_custkey
+    # rows, bloom null) plus one in-band bloom-bitmap row (o_custkey
+    # -1, bloom blob) — the same summary-row-rides-the-pass idiom as
+    # bm25_search_documents. Reading orders twice (once for bitmaps,
+    # once for distinct keys) would double the most expensive scan.
+    _build_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("bloom", pa.binary())]
+    )
+
+    def build_partials(batch: pa.Table) -> pa.Table:
         urgent = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
-        keys = urgent["o_custkey"].to_numpy(zero_copy_only=False)
+        keys = np.unique(urgent["o_custkey"].to_numpy(zero_copy_only=False))
         blob = SK.bloom_partial(keys.astype(np.uint64), n_bits).tobytes()
-        return pa.table({"bloom": pa.array([blob], pa.binary())})
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.concatenate(([-1], keys)), pa.int64()
+                ),
+                "bloom": pa.array([blob] + [None] * len(keys), pa.binary()),
+            },
+            schema=_build_schema,
+        )
+
+    build = orders.map_batches(
+        build_partials, batch_format="pyarrow"
+    ).materialize()
+
+    def only_blobs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_custkey"], -1)).select(["bloom"])
 
     blobs = [
         b
         for t in ray.get(
-            orders.map_batches(
-                partial_bloom, batch_format="pyarrow"
-            ).to_arrow_refs()
+            build.map_batches(only_blobs, batch_format="pyarrow")
+            .to_arrow_refs()
         )
         for b in t["bloom"].to_pylist()
     ]
@@ -2056,13 +2088,13 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
 
     # exact verification of the maybes only: distributed left-outer
     # join against the distinct urgent custkeys, keep null-extended
-    def local_distinct(batch: pa.Table) -> pa.Table:
-        urgent = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
-        keys = np.unique(urgent["o_custkey"].to_numpy(zero_copy_only=False))
-        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+    def only_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_custkey"], 0)).select(
+            ["o_custkey"]
+        )
 
     dist = (
-        orders.map_batches(local_distinct, batch_format="pyarrow")
+        build.map_batches(only_keys, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_o"))
     )
@@ -2101,16 +2133,7 @@ def cap_docs_per_source(sf_dir: str, cap: int = 20):
         n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -n_chars, src))
-        src_sorted = src[order]
-        # rank within source run: position - run start
-        starts = np.concatenate(
-            ([0], np.flatnonzero(src_sorted[1:] != src_sorted[:-1]) + 1)
-        )
-        run_id = np.cumsum(
-            np.concatenate(([0], (src_sorted[1:] != src_sorted[:-1]).astype(np.int64)))
-        )
-        rank = np.arange(len(order)) - starts[run_id]
-        keep = order[rank < cap]
+        keep = order[H.run_ranks(src[order]) < cap]
         return batch.take(pa.array(np.sort(keep), pa.int64()))
 
     def final_top(g: pd.DataFrame) -> pa.Table:
@@ -2149,18 +2172,8 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
 
-    def _tok_lists(batch: pa.Table):
-        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-        toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
-        flat = pc.list_flatten(toks)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        return flat.filter(pa.array(keep, pa.bool_())), parent[keep]
-
     def partial_df(batch: pa.Table) -> pa.Table:
-        flat, parent = _tok_lists(batch)
+        flat, parent = H.flat_tokens(batch["text"])
         if len(flat) == 0:
             return pa.table(
                 {
@@ -2197,7 +2210,7 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
 
     def score(batch: pa.Table) -> pa.Table:
         vocab, df_sorted = ray.get(df_ref)
-        flat, parent = _tok_lists(batch)
+        flat, parent = H.flat_tokens(batch["text"])
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         if len(flat) == 0:
             return pa.table(
@@ -2220,22 +2233,18 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
         s = tf * idf
         # per-doc top-k by (score desc, token asc): lexsort is stable
         order2 = np.lexsort((tok_strs, -s, rows))
-        rows_sorted = rows[order2]
-        starts = np.concatenate(
-            ([0], np.flatnonzero(rows_sorted[1:] != rows_sorted[:-1]) + 1)
-        )
-        run_id = np.cumsum(
-            np.concatenate(
-                ([0], (rows_sorted[1:] != rows_sorted[:-1]).astype(np.int64))
-            )
-        )
-        rank = np.arange(len(order2)) - starts[run_id]
-        keep = order2[rank < k]
+        keep = order2[H.run_ranks(rows[order2]) < k]
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids[rows[keep]], pa.int64()),
                 "tok": pa.array(list(tok_strs[keep]), pa.string()),
-                "score6": pa.array(np.round(s[keep], 6), pa.float64()),
+                # Python round (correctly-rounded decimal) on the
+                # emitted top-k only — np.round can differ by 1 ulp
+                # and the oracle hash-compare is exact (see
+                # ngram_jaccard_pairs.verify)
+                "score6": pa.array(
+                    [round(float(v), 6) for v in s[keep]], pa.float64()
+                ),
             }
         )
 
@@ -2493,19 +2502,22 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
             }
         )
 
-    # one corpus read; the posting table is tiny (matches + one summary
-    # row per batch), so materializing it for its three consumers is
-    # cheap and avoids recomputing the tokenization per consumer
+    # one corpus read; the posting table is materialized once for its
+    # three consumers so the tokenization pass never re-runs. Postings
+    # are query-selective (one row per matching doc) so the table can
+    # still be large at corpus scale — corpus stats are therefore
+    # reduced DISTRIBUTEDLY (filter summary rows + Sum aggregate);
+    # only two scalars ever reach the driver.
     post_all = docs.map_batches(postings, batch_format="pyarrow").materialize()
-    summary = pa.concat_tables(
-        [
-            t.filter(pc.equal(t["term_idx"], -1))
-            for t in ray.get(post_all.to_arrow_refs())
-            if t.num_rows
-        ]
-    )
-    n_docs = int(pc.sum(summary["dl"]).as_py())
-    avgdl = float(pc.sum(summary["tf"]).as_py()) / n_docs
+
+    def only_summary(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["term_idx"], -1))
+
+    stats = post_all.map_batches(
+        only_summary, batch_format="pyarrow"
+    ).aggregate(Sum("tf", alias_name="tok_sum"), Sum("dl", alias_name="n_docs"))
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["tok_sum"]) / n_docs
 
     def drop_summary(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["term_idx"], 0))
@@ -2556,9 +2568,12 @@ def bm25_search_documents(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 
 
     def topk(g: pd.DataFrame) -> pa.Table:
         # rank by the UNROUNDED score (matching the SQL window order);
-        # round only for the emitted column
+        # round only for the emitted column — Python round, not the
+        # scaled-rint pandas/np round (1-ulp oracle-hash risk)
         g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
-        g = g.assign(score6=g["score"].round(6))
+        g = g.assign(
+            score6=[round(float(v), 6) for v in g["score"].to_numpy()]
+        )
         return _pt(g[["query_id", "doc_id", "score6"]])
 
     scored = (
@@ -2579,8 +2594,10 @@ def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
     no raw row ever shuffles."""
 
     def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a NULL lang is a real group in the oracle's
+        # GROUP BY lang — pandas' default would silently drop it
         g = (
-            batch.groupby(["lang", "n_chars"], sort=False)
+            batch.groupby(["lang", "n_chars"], sort=False, dropna=False)
             .size()
             .reset_index(name="cnt")
         )

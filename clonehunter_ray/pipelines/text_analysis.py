@@ -81,15 +81,11 @@ def quality_scores_batch(batch: pa.Table) -> pa.Table:
     Python loop over rows or tokens."""
     import pyarrow.compute as pc
 
+    from clonehunter_ray.functions.hashing import flat_tokens
+
     stops = pa.array(sorted(frozenset().union(*_STOPWORDS.values())))
     n_docs = batch.num_rows
-    low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
-    flat = pc.list_flatten(toks).combine_chunks()
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    parent = parent[keep]
-    flat = flat.filter(pa.array(keep, pa.bool_()))
+    flat, parent = flat_tokens(batch["text"])
 
     n_tokens = np.bincount(parent, minlength=n_docs)
     tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)

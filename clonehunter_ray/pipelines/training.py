@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from clonehunter_ray.functions import hashing as H
 from clonehunter_ray.functions.hashing import sha256_hex
 
 
@@ -289,15 +290,7 @@ def chunk_tokens_batch(
     )
     if n_rows == 0:
         return empty
-    low = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
-    toks = pc.split_pattern_regex(low, "[^a-z0-9_]+")
-    flat = pc.list_flatten(toks)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    parent = parent[keep]
-    flat = flat.filter(pa.array(keep, pa.bool_()))
+    flat, parent = H.flat_tokens(batch[text_col])
     if len(flat) == 0:
         return empty
     lens = np.bincount(parent, minlength=n_rows).astype(np.int64)
