@@ -180,3 +180,49 @@ def test_binary_column_u64_large_binary_offsets():
         assert vals.tolist() == [1, 5, 9, 5, 9]
         sims = jaccard_batch(pa.array(blobs, typ), pa.array(blobs[::-1], typ))
         assert np.allclose(sims, [2 / 3, 2 / 3])
+
+
+def test_flat_tokens_matches_reference_tokenizer():
+    """flat_tokens (Arrow kernel chain) must agree with the reference
+    TOKEN_RE.findall path on content and row attribution, including
+    null rows, empty rows, and pure-separator rows."""
+    import pyarrow as pa
+
+    texts = [
+        "The fast KEY order",
+        "",
+        None,
+        "...!!  \t ",
+        "a_b 9x  __ trailing_",
+        "UPPER lower 0_9",
+    ]
+    flat, parent = H.flat_tokens(pa.array(texts, pa.string()))
+    got = list(zip(parent.tolist(), flat.to_pylist()))
+    want = []
+    for i, t in enumerate(texts):
+        for tok in H.tokenize(t or ""):
+            want.append((i, tok))
+    assert got == want
+    # plain-list input path
+    flat2, parent2 = H.flat_tokens(texts)
+    assert flat2.to_pylist() == flat.to_pylist()
+    assert parent2.tolist() == parent.tolist()
+    # empty input
+    flat3, parent3 = H.flat_tokens(pa.array([], pa.string()))
+    assert len(flat3) == 0 and len(parent3) == 0
+
+
+def test_run_ranks_matches_pandas_cumcount():
+    """run_ranks on sorted keys == pandas groupby().cumcount()."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 57, 1000):
+        keys = np.sort(rng.integers(0, max(n // 3, 1), size=n))
+        got = H.run_ranks(keys)
+        want = pd.Series(keys).groupby(keys).cumcount().to_numpy()
+        assert got.dtype == np.int64
+        assert np.array_equal(got, want)
+    # string keys (cap_docs_per_source sorts object arrays)
+    s = np.array(["a", "a", "b", "c", "c", "c"], dtype=object)
+    assert H.run_ranks(s).tolist() == [0, 1, 0, 0, 1, 2]
