@@ -2593,25 +2593,45 @@ def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
     small (languages), the per-group walk is over its histogram, and
     no raw row ever shuffles."""
 
-    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+    _hist_schema = pa.schema(
+        [("lang", pa.string()), ("n_chars", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def hist(batch: pd.DataFrame) -> pa.Table:
         # dropna=False: a NULL lang is a real group in the oracle's
-        # GROUP BY lang — pandas' default would silently drop it
+        # GROUP BY lang — pandas' default would silently drop it. Ray's
+        # sort-based groupby shuffle cannot total-order null (or NaN)
+        # string keys, so the null group rides the shuffle as the
+        # sentinel '\x00' (sorts before any real lang, cannot collide —
+        # same idiom as heavy_hitter_tokens' _MG_ERR_KEY) and is
+        # decoded back to a typed null at emit in ``walk``.
         g = (
             batch.groupby(["lang", "n_chars"], sort=False, dropna=False)
             .size()
             .reset_index(name="cnt")
         )
-        return g
+        # NOTE: pandas .where/.fillna route string fills through numpy
+        # unicode arrays, which strip trailing NULs ("\x00" -> "") —
+        # the sentinel must be applied at the Python-object level. The
+        # histogram is tiny (distinct (lang, n_chars) rows), so the
+        # listcomp is off the hot path.
+        g["lang"] = [
+            "\x00" if pd.isna(x) else x for x in g["lang"].astype(object)
+        ]
+        return _pt(g, schema=_hist_schema)
 
     def walk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("n_chars")
         values = g["n_chars"].to_numpy()
         cum = np.cumsum(g["cnt"].to_numpy())
         n = int(cum[-1])
+        lang = g["lang"].iloc[0]
+        if lang == "\x00":  # sentinel -> the NULL lang group
+            lang = None
         rows = {"lang": [], "q": [], "value": []}
         for q in qs:
             idx = max(0, int(np.ceil(q * n)) - 1)
-            rows["lang"].append(g["lang"].iloc[0])
+            rows["lang"].append(lang)
             rows["q"].append(float(q))
             rows["value"].append(int(values[np.searchsorted(cum, idx + 1)]))
         return _pt(
@@ -2627,8 +2647,12 @@ def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
         .groupby(["lang", "n_chars"])
         .sum("cnt")
         .map_batches(
-            lambda df: df.rename(columns={"sum(cnt)": "cnt"}),
-            batch_format="pandas",
+            # stay in Arrow: a pandas rename block would reintroduce
+            # NaN lang keys ahead of the per-lang groupby
+            lambda t: t.rename_columns(
+                ["cnt" if c == "sum(cnt)" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
         )
         .groupby("lang")
         .map_groups(walk, batch_format="pandas")

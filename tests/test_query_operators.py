@@ -665,3 +665,62 @@ def test_cross_corpus_dedup_only_flags_new_side(ray_session):
     assert len(got) > 0
     assert (got["doc_id"] % 7 != 0).all()
     assert (got["best_jac6"] >= 0.8).all()
+
+
+def test_length_quantiles_by_lang_keeps_null_lang_group(ray_session, tmp_path):
+    """documents.lang is nullable: a NULL lang is a real group in the
+    oracle's GROUP BY lang, and the pandas hist combiner must not drop
+    it (groupby's default dropna=True silently would)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    langs = ["py", "js", None] * 40
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(120), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array(
+                rng.integers(10, 500, size=120), pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = (
+        Q.length_quantiles_by_lang(str(tmp_path))
+        .to_pandas()
+        .sort_values(["lang", "q"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(
+            """
+            SELECT lang, q, value FROM (
+                SELECT lang, 0.25 AS q,
+                       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT)
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+                FROM documents GROUP BY lang
+            )
+            """
+        )
+        .fetchdf()
+        .sort_values(["lang", "q"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 12  # 3 lang groups x 4 quantiles
+    assert got["lang"].isna().sum() == 4
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
