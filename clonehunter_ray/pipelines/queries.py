@@ -2150,7 +2150,91 @@ def cap_docs_per_source(sf_dir: str, cap: int = 20):
     )
 
 
-def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
+def _tfidf_topk_join(docs, df_tbl, n_docs: int, k: int):
+    """Corpus-scale tf-idf top-k path: the vocabulary stays
+    distributed. (doc_id, tok, tf) rows hash-partition-join the
+    (tok, df) table, scores are computed per joined batch with the
+    SAME arithmetic as the broadcast path (tf_float64 * ln(n/df) —
+    identical doubles), a per-batch local top-k bounds the per-doc
+    shuffle to <= k rows per doc per batch, and a per-doc map_groups
+    finisher applies the final (score desc, tok asc) top-k with the
+    Python-rounded emit."""
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.util import safe_join_partitions
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, parent = H.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat)
+        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nvocab = len(d.dictionary)
+        pair = parent * nvocab + inv
+        uniq_pairs, tf = np.unique(pair, return_counts=True)
+        rows = uniq_pairs // nvocab
+        tok_ids = uniq_pairs % nvocab
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rows], pa.int64()),
+                "tok": d.dictionary.take(pa.array(tok_ids, pa.int64())),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+
+    joined = docs.map_batches(tf_rows, batch_format="pyarrow").join(
+        df_tbl, "inner", safe_join_partitions(16), on=("tok",)
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tok = np.asarray(batch["tok"].to_pylist(), dtype=object)
+        s = tf * np.log(float(n_docs) / dfv)
+        order = np.lexsort((tok, -s, doc))
+        keep = order[H.run_ranks(doc[order]) < k]
+        keep = np.sort(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "tok": pa.array(list(tok[keep]), pa.string()),
+                "score": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    def final_top(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["score", "tok"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "tok": pa.array(list(g["tok"]), pa.string()),
+                "score6": pa.array(
+                    [round(float(v), 6) for v in g["score"].to_numpy()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(local_top, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
+def tfidf_top_terms_documents(
+    sf_dir: str, k: int = 3, vocab_broadcast_limit: int = 2_000_000
+):
     """Top-k TF-IDF terms per document (dataset cartography / keyword
     extraction): score = tf * ln(n_docs / df), ties broken by token
     asc.
@@ -2158,16 +2242,20 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
     Ray shape: pass 1 computes document frequencies with the same
     combiner as ``token_vocabulary_topk`` (per-batch DISTINCT tokens
     per doc -> one (token, partial_df) row per batch -> tiny groupby
-    sum) and broadcasts the sorted (token, df) arrays once via
-    ray.put; pass 2 streams docs, computes per-doc tf via Arrow
-    dictionary encoding + np.bincount, scores against the broadcast
-    df, and emits each doc's top-k. At 100 TB the full-vocabulary
-    broadcast is replaced by a df floor (terms below min_df score as
-    df=floor — rare-term idf saturates), which the Misra-Gries
-    heavy-hitter path already provides; at test scale the exact
-    broadcast keeps the oracle exact.
+    sum). Pass 2 dispatches on vocabulary size, exact either way:
+    below ``vocab_broadcast_limit`` distinct terms the sorted
+    (token, df) arrays broadcast once via ray.put and docs stream
+    through one stateless scoring pass; above it the full vocabulary
+    never leaves the cluster — per-doc (doc_id, tok, tf) rows
+    hash-partition-join the df table on tok, a per-batch local top-k
+    combiner bounds what shuffles to the per-doc finisher (<= k rows
+    per doc per batch, the ``cap_docs_per_source`` idiom). Same
+    score arithmetic on both paths, so the oracle comparison and the
+    broadcast/join parity test hold bit-exactly.
     """
     import pyarrow.compute as pc
+
+    from clonehunter_ray.util import safe_join_partitions
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
@@ -2200,7 +2288,10 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
         docs.map_batches(partial_df, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("pdf", alias_name="df"))
+        .materialize()
     )
+    if df_tbl.count() > vocab_broadcast_limit:
+        return _tfidf_topk_join(docs, df_tbl, n_docs, k)
     parts = [ray.get(r) for r in df_tbl.to_arrow_refs()]
     df_all = pa.concat_tables(parts).combine_chunks()
     toks = np.asarray(df_all["tok"].to_pylist(), dtype=object)

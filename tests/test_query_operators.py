@@ -724,3 +724,25 @@ def test_length_quantiles_by_lang_keeps_null_lang_group(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    """The corpus-scale partitioned-join tf-idf path (vocabulary never
+    broadcast) must agree bit-for-bit with the broadcast path: same
+    score arithmetic, same (score desc, tok asc) top-k tie-break,
+    same Python-rounded emit."""
+    cols = ["doc_id", "tok", "score6"]
+    bcast = (
+        Q.tfidf_top_terms_documents(SF_DIR)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    joinp = (
+        Q.tfidf_top_terms_documents(SF_DIR, vocab_broadcast_limit=1)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(bcast) > 0
+    pd.testing.assert_frame_equal(bcast, joinp, check_exact=True)
