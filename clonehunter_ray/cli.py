@@ -3,9 +3,11 @@
 Reference CLI parity (cli/main.py:137-183, cli/commands/scan.py:106-185,
 cli/commands/diff.py:19-82) re-expressed over the Ray Data engine:
 
-* ``scan``: input is either ``--files-parquet`` (the scale path — the
-  corpus IS the table, BASELINE.json input_hint) or positional
-  directories (convenience walk via sources.files_from_directory).
+* ``scan``: input is ``--files`` (corpus table in parquet / .jsonl /
+  .csv, autodetected — sources.read_corpus normalizes to the canonical
+  schema), ``--files-parquet`` (the scale path — the corpus IS the
+  table, BASELINE.json input_hint), or positional directories
+  (convenience walk via sources.files_from_directory).
 * ``diff``: run the same scan, then post-filter findings to those
   touching a git-changed file (broadcast semi-join; the reference also
   scans everything and filters output, diff.py:62-75).
@@ -29,6 +31,11 @@ def _build_parser() -> argparse.ArgumentParser:
     def add_common(sp):
         sp.add_argument("paths", nargs="*", help="directories to scan")
         sp.add_argument("--files-parquet", help="parquet files table input")
+        sp.add_argument(
+            "--files",
+            help="corpus table input in any supported format "
+            "(parquet dir/file, .jsonl, .csv — autodetected by extension)",
+        )
         sp.add_argument("--out", default="clonehunter_ray_report.json")
         sp.add_argument(
             "--format",
@@ -159,12 +166,14 @@ def _load_files(args):
 
     from clonehunter_ray import sources
 
+    if getattr(args, "files", None):
+        return sources.read_corpus(args.files)
     if args.files_parquet:
         from clonehunter_ray.util import read_parquet_clean
 
         return read_parquet_clean(args.files_parquet)
     if not args.paths:
-        raise SystemExit("scan: need directories or --files-parquet")
+        raise SystemExit("scan: need directories, --files, or --files-parquet")
     repotype_globs = sources.resolve_repotype_globs(args.repotype or ["python"])
     include = sources.merge_globs(
         (), repotype_globs, tuple(args.include or ())

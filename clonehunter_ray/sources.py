@@ -277,3 +277,67 @@ def read_sonarqube_report(path: str) -> pa.Table:
     from clonehunter_ray.stages.rollup import FINDINGS_SCHEMA
 
     return pa.Table.from_pydict(cols, schema=FINDINGS_SCHEMA)
+
+
+# canonical corpus schema (BASELINE.json input_hint)
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_corpus(path: str, fmt: str | None = None, columns=None):
+    """Format-flexible corpus ingest -> ``ray.data.Dataset`` with the
+    canonical (repo, path, commit, lang, content) schema.
+
+    Real crawl/export corpora arrive as Parquet, JSONL, or CSV;
+    ``fmt`` is auto-detected from the file extension when not given
+    (a directory defaults to parquet, the scale format). All formats
+    normalize to the same column order and string types so every
+    downstream stage sees one schema regardless of source:
+
+    * ``parquet`` — ``util.read_parquet_clean`` (column-pruned,
+      metadata-free schema so Ray's schema dedup can hash it)
+    * ``jsonl``/``json`` — ``ray.data.read_json`` (newline-delimited)
+    * ``csv`` — ``ray.data.read_csv`` (quoted multi-line content is
+      handled by the Arrow CSV reader)
+
+    Raises ValueError if a required corpus column is missing.
+    """
+    import ray.data
+
+    from clonehunter_ray.util import read_parquet_clean
+
+    want = list(columns or CORPUS_COLUMNS)
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".jsonl", ".json", ".ndjson")):
+            fmt = "jsonl"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        return read_parquet_clean(path, columns=want)
+    if fmt in ("jsonl", "json", "ndjson"):
+        ds = ray.data.read_json(path)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(path)
+    else:
+        raise ValueError(f"read_corpus: unknown format {fmt!r}")
+
+    def _normalize(t: pa.Table) -> pa.Table:
+        missing = [c for c in want if c not in t.column_names]
+        if missing:
+            raise ValueError(
+                f"read_corpus({fmt}): missing corpus columns {missing}; "
+                f"have {t.column_names}"
+            )
+        cols = {}
+        for c in want:
+            col = t[c]
+            # CSV/JSON readers may infer large_string or null for empty
+            # shards; pin every corpus column to plain string
+            if col.type != pa.string():
+                col = col.cast(pa.string())
+            cols[c] = col
+        return pa.table(cols)
+
+    return ds.map_batches(_normalize, batch_format="pyarrow")
