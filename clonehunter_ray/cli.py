@@ -132,6 +132,12 @@ def _build_parser() -> argparse.ArgumentParser:
         default=1.0,
         help="sampling rate for sources not named in --rates",
     )
+    e.add_argument(
+        "--shard-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="part-file format (jsonl = one JSON object per row)",
+    )
     e.add_argument("--num-cpus", type=int, default=None)
     return p
 
@@ -213,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
             shards_per_source=args.shards_per_source,
             rates=json.loads(args.rates) if args.rates else {},
             default_rate=args.default_rate,
+            shard_format=args.shard_format,
         )
         print(
             json.dumps(

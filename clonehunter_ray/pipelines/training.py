@@ -407,6 +407,7 @@ def export_training_shards(
     shards_per_source: int = 1,
     rates: dict[str, float] | None = None,
     default_rate: float | None = None,
+    shard_format: str = "parquet",
 ):
     """The composed end-to-end training-data export: mixture sample ->
     normalize -> token count -> shard-local pack -> resumable
@@ -464,6 +465,8 @@ def export_training_shards(
             "default_rate": eff_default,
             "budget": budget,
             "shards_per_source": shards_per_source,
+            # format changes the part-file layout -> resume-incompatible
+            **({"shard_format": shard_format} if shard_format != "parquet" else {}),
         },
         sort_keys=True,
     )
@@ -574,18 +577,24 @@ def export_training_shards(
             )
 
         staged = staged.map_batches(add_shard_key, batch_format="pyarrow")
-        write_partitioned_output(staged, out_dir, "export_part")
+        write_partitioned_output(staged, out_dir, "export_part", fmt=shard_format)
         prefix = "export_part="
     else:
-        write_partitioned_output(staged, out_dir, "source")
+        write_partitioned_output(staged, out_dir, "source", fmt=shard_format)
         prefix = "source="
 
     import pyarrow.parquet as pq
     from urllib.parse import unquote
 
+    def _part_rows(part_path: str) -> int:
+        if shard_format == "parquet":
+            return pq.read_metadata(part_path).num_rows
+        with open(part_path, "rb") as fh:  # jsonl: one row per line
+            return sum(1 for _ in fh)
+
     counts: dict[str, int] = {}
     for name in sorted(os.listdir(out_dir)):
-        part = os.path.join(out_dir, name, "part-0.parquet")
+        part = os.path.join(out_dir, name, f"part-0.{shard_format}")
         # count only COMPLETE partitions (_SUCCESS is the sink's
         # completion marker) and unquote the hive dirname back to the
         # raw value (the sink URL-quotes it); sharded partition values
@@ -605,9 +614,7 @@ def export_training_shards(
                 if prefix == "export_part=" and "/" in value
                 else value
             )
-            counts[source] = (
-                counts.get(source, 0) + pq.read_metadata(part).num_rows
-            )
+            counts[source] = counts.get(source, 0) + _part_rows(part)
     items = sorted(counts.items())
     return pa.table(
         {

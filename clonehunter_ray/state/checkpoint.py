@@ -194,11 +194,12 @@ def write_partitioned_output(
     out_dir: str,
     partition_col: str,
     skip_finished: bool = True,
+    fmt: str = "parquet",
 ) -> dict:
-    """Resumable hive-partitioned Parquet sink.
+    """Resumable hive-partitioned sink (Parquet or JSONL part files).
 
     One directory per partition value (``out_dir/<col>=<val>/`` with a
-    Parquet part file and a ``_SUCCESS`` marker), each written ON THE
+    part file and a ``_SUCCESS`` marker), each written ON THE
     WORKERS inside a ``groupby(partition_col).map_groups`` — never one
     giant driver-side file. A re-run with ``skip_finished`` filters out
     rows whose partition already carries ``_SUCCESS``, so a failed job
@@ -207,12 +208,19 @@ def write_partitioned_output(
     shared storage on a multi-node cluster — the same assumption every
     checkpoint here makes.
 
+    ``fmt="jsonl"`` writes newline-delimited JSON part files (the
+    format most LLM training loaders consume) with the same layout,
+    markers, and resume semantics as the Parquet sink.
+
     Returns ``{"written": n_partitions, "skipped": n_skipped,
     "rows": n_rows_written}``.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
+
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"write_partitioned_output: unknown fmt {fmt!r}")
 
     os.makedirs(out_dir, exist_ok=True)
     done = finished_partitions(out_dir, partition_col) if skip_finished else set()
@@ -238,9 +246,15 @@ def write_partitioned_output(
         value = group[partition_col][0].as_py()
         d = os.path.join(out_dir, _partition_dirname(partition_col, value))
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, "part-0.parquet.tmp")
-        pq.write_table(group, tmp)
-        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        part = f"part-0.{fmt}"
+        tmp = os.path.join(d, part + ".tmp")
+        if fmt == "parquet":
+            pq.write_table(group, tmp)
+        else:  # jsonl: one JSON object per row (pandas C writer)
+            group.to_pandas().to_json(
+                tmp, orient="records", lines=True, force_ascii=False
+            )
+        os.replace(tmp, os.path.join(d, part))
         with open(os.path.join(d, "_SUCCESS"), "w") as fh:
             fh.write("")
         return pa.table(

@@ -484,3 +484,50 @@ def test_chunk_documents_matches_duckdb(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_training_shards_jsonl_format(tmp_path):
+    """shard_format='jsonl' writes newline-delimited JSON part files
+    with the same layout, manifest, resume markers, and row content as
+    the Parquet sink."""
+    import json
+
+    pq_dir = str(tmp_path / "pq")
+    jl_dir = str(tmp_path / "jl")
+    m_pq = _norm(T.export_training_shards(SF_DIR, out_dir=pq_dir).to_pandas())
+    m_jl = _norm(
+        T.export_training_shards(
+            SF_DIR, out_dir=jl_dir, shard_format="jsonl"
+        ).to_pandas()
+    )
+    assert (m_pq.astype(str).values == m_jl.astype(str).values).all()
+    # one partition round-trips: same rows, full export schema
+    src = m_jl["source"].iloc[0]
+    part = os.path.join(jl_dir, f"source={src}", "part-0.jsonl")
+    assert os.path.exists(part)
+    assert os.path.exists(os.path.join(jl_dir, f"source={src}", "_SUCCESS"))
+    with open(part) as fh:
+        rows = [json.loads(line) for line in fh]
+    assert len(rows) == int(m_jl.loc[m_jl["source"] == src, "n_rows"].iloc[0])
+    assert set(rows[0]) >= {
+        "doc_id", "source", "norm_text", "n_tokens", "bin_id", "bin_slot"
+    }
+    import pyarrow.parquet as pq
+
+    pq_rows = pq.read_table(
+        os.path.join(pq_dir, f"source={src}", "part-0.parquet")
+    ).to_pylist()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in pq_rows
+    )
+    # a jsonl re-run resumes over the finished partitions
+    m_jl2 = _norm(
+        T.export_training_shards(
+            SF_DIR, out_dir=jl_dir, shard_format="jsonl"
+        ).to_pandas()
+    )
+    assert (m_jl2.astype(str).values == m_jl.astype(str).values).all()
+    # a format switch against an existing export dir is refused
+    with pytest.raises(ValueError, match="different parameters"):
+        T.export_training_shards(SF_DIR, out_dir=jl_dir)
