@@ -73,12 +73,15 @@ def hash_tokens_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
     ]
 
 
-def flat_tokens(texts):
+def flat_tokens(texts, with_parent: bool = True):
     """The canonical token stream with row attribution: lower -> split
     on the token alphabet's complement (``[^a-z0-9_]+``) -> flatten ->
     drop boundary empties, all as Arrow C++ kernels. Returns
     ``(flat tokens as a pa.StringArray, parent row index per token as
-    an int64 np.ndarray)``.
+    an int64 np.ndarray)`` — or ``(flat, None)`` with
+    ``with_parent=False``, the fast path for callers that only need
+    the token stream (vocabulary/heavy-hitter scans), skipping the
+    parent-index materialization entirely.
 
     Every tokenizing stage (signature hashing, TF-IDF, vocabulary
     top-k, chunking) builds on this one helper so the token-alphabet
@@ -94,6 +97,8 @@ def flat_tokens(texts):
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    if not with_parent:
+        return flat.filter(pc.not_equal(flat, "")), None
     parent = (
         pc.list_parent_indices(toks)
         .to_numpy(zero_copy_only=False)
@@ -101,6 +106,25 @@ def flat_tokens(texts):
     )
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     return flat.filter(pa.array(keep, pa.bool_())), parent[keep]
+
+
+def doc_token_pairs(flat, parent: np.ndarray):
+    """Distinct (row, token) reduction over a ``flat_tokens`` stream:
+    dictionary-encode the tokens, fuse (parent, dict-index) into one
+    int64 key, and np.unique it. Returns ``(rows, tok_ids, tf,
+    dictionary)`` — the parent row of each distinct pair, its index
+    into ``dictionary``, its within-row occurrence count, and the
+    batch dictionary array. One shared kernel behind the C4 filter,
+    TF-IDF (both paths), and any per-doc distinct-token statistic, so
+    the encode/decode arithmetic cannot drift between the oracles."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(flat)
+    inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nvocab = len(d.dictionary)
+    pair = parent.astype(np.int64) * nvocab + inv
+    uniq, tf = np.unique(pair, return_counts=True)
+    return uniq // nvocab, uniq % nvocab, tf.astype(np.int64), d.dictionary
 
 
 def run_ranks(sorted_keys: np.ndarray) -> np.ndarray:

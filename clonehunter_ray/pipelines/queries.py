@@ -1017,8 +1017,8 @@ def _flat_tokens_lower(text_col):
     Shared by token_vocabulary_topk and heavy_hitter_tokens so the two
     queries (and their common oracle regex '[a-z0-9_]+') cannot
     drift apart. Thin wrapper over the engine-wide canonical tokenizer
-    (functions/hashing.flat_tokens) dropping the parent indices."""
-    return H.flat_tokens(text_col)[0]
+    (functions/hashing.flat_tokens) on its no-parent fast path."""
+    return H.flat_tokens(text_col, with_parent=False)[0]
 
 
 # sidecar key carrying each batch's MG decrement through the merge
@@ -1969,14 +1969,9 @@ def c4_quality_filter_documents(
         flat, parent = H.flat_tokens(batch["text"])
         n = np.bincount(parent, minlength=n_rows).astype(np.int64)
         if len(flat):
-            d = pc.dictionary_encode(flat)
-            inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             # distinct (doc, token) pairs -> distinct tokens per doc
-            pair = parent * len(d.dictionary) + inv
-            uniq_docs = np.unique(pair) // len(d.dictionary)
-            distinct = np.bincount(uniq_docs, minlength=n_rows).astype(
-                np.int64
-            )
+            rows, _tok_ids, _tf, _d = H.doc_token_pairs(flat, parent)
+            distinct = np.bincount(rows, minlength=n_rows).astype(np.int64)
         else:
             distinct = np.zeros(n_rows, dtype=np.int64)
 
@@ -2174,18 +2169,12 @@ def _tfidf_topk_join(docs, df_tbl, n_docs: int, k: int):
                 }
             )
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        d = pc.dictionary_encode(flat)
-        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        nvocab = len(d.dictionary)
-        pair = parent * nvocab + inv
-        uniq_pairs, tf = np.unique(pair, return_counts=True)
-        rows = uniq_pairs // nvocab
-        tok_ids = uniq_pairs % nvocab
+        rows, tok_ids, tf, dictionary = H.doc_token_pairs(flat, parent)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids[rows], pa.int64()),
-                "tok": d.dictionary.take(pa.array(tok_ids, pa.int64())),
-                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+                "tok": dictionary.take(pa.array(tok_ids, pa.int64())),
+                "tf": pa.array(tf, pa.int64()),
             }
         )
 
@@ -2269,17 +2258,13 @@ def tfidf_top_terms_documents(
                     "pdf": pa.array([], pa.int64()),
                 }
             )
-        d = pc.dictionary_encode(flat)
-        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         # distinct (doc, token) pairs -> df contribution of this batch
-        pair = parent.astype(np.int64) * len(d.dictionary) + inv
-        uniq_pairs = np.unique(pair)
-        tok_ids = uniq_pairs % len(d.dictionary)
-        counts = np.bincount(tok_ids, minlength=len(d.dictionary))
+        _rows, tok_ids, _tf, dictionary = H.doc_token_pairs(flat, parent)
+        counts = np.bincount(tok_ids, minlength=len(dictionary))
         nz = np.flatnonzero(counts)
         return pa.table(
             {
-                "tok": d.dictionary.take(pa.array(nz, pa.int64())),
+                "tok": dictionary.take(pa.array(nz, pa.int64())),
                 "pdf": pa.array(counts[nz], pa.int64()),
             }
         )
@@ -2311,14 +2296,8 @@ def tfidf_top_terms_documents(
                     "score6": pa.array([], pa.float64()),
                 }
             )
-        d = pc.dictionary_encode(flat)
-        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        nvocab = len(d.dictionary)
-        pair = parent.astype(np.int64) * nvocab + inv
-        uniq_pairs, tf = np.unique(pair, return_counts=True)
-        rows = uniq_pairs // nvocab
-        tok_ids = uniq_pairs % nvocab
-        tok_strs = np.asarray(d.dictionary.to_pylist(), dtype=object)[tok_ids]
+        rows, tok_ids, tf, dictionary = H.doc_token_pairs(flat, parent)
+        tok_strs = np.asarray(dictionary.to_pylist(), dtype=object)[tok_ids]
         pos = np.searchsorted(vocab, tok_strs)
         idf = np.log(float(n_docs) / df_sorted[pos])
         s = tf * idf

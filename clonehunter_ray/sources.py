@@ -296,8 +296,13 @@ def read_corpus(path: str, fmt: str | None = None, columns=None):
     * ``parquet`` — ``util.read_parquet_clean`` (column-pruned,
       metadata-free schema so Ray's schema dedup can hash it)
     * ``jsonl``/``json`` — ``ray.data.read_json`` (newline-delimited)
-    * ``csv`` — ``ray.data.read_csv`` (quoted multi-line content is
-      handled by the Arrow CSV reader)
+    * ``csv`` — ``ray.data.read_csv`` with ``newlines_in_values=True``
+      (source-code content spans quoted newlines; Arrow's default
+      block splitter would otherwise break mid-row on any file above
+      one block) and every corpus column pinned to string at PARSE
+      time (type inference would read an all-digit commit hash as
+      int64 — dropping leading zeros on the cast back — and
+      'null'/'NaN'/'' values as NULL)
 
     Raises ValueError if a required corpus column is missing.
     """
@@ -315,11 +320,20 @@ def read_corpus(path: str, fmt: str | None = None, columns=None):
         else:
             fmt = "parquet"
     if fmt == "parquet":
-        return read_parquet_clean(path, columns=want)
-    if fmt in ("jsonl", "json", "ndjson"):
+        ds = read_parquet_clean(path, columns=want)
+    elif fmt in ("jsonl", "json", "ndjson"):
         ds = ray.data.read_json(path)
     elif fmt == "csv":
-        ds = ray.data.read_csv(path)
+        from pyarrow import csv as pacsv
+
+        ds = ray.data.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=pacsv.ConvertOptions(
+                column_types={c: pa.string() for c in want},
+                strings_can_be_null=False,
+            ),
+        )
     else:
         raise ValueError(f"read_corpus: unknown format {fmt!r}")
 

@@ -250,10 +250,24 @@ def write_partitioned_output(
         tmp = os.path.join(d, part + ".tmp")
         if fmt == "parquet":
             pq.write_table(group, tmp)
-        else:  # jsonl: one JSON object per row (pandas C writer)
-            group.to_pandas().to_json(
-                tmp, orient="records", lines=True, force_ascii=False
-            )
+        else:
+            # jsonl via Arrow to_pylist + json.dumps, NOT pandas
+            # to_json: the pandas route truncates float64 to 10
+            # significant digits by default and degrades nullable
+            # int64 to float64 — silent corruption for any caller
+            # of this shared sink with numeric columns. to_pylist
+            # preserves int64/None exactly; repr-based float
+            # serialization round-trips.
+            import json as _json
+
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for row in group.to_pylist():
+                    fh.write(
+                        _json.dumps(
+                            row, ensure_ascii=False, separators=(",", ":")
+                        )
+                    )
+                    fh.write("\n")
         os.replace(tmp, os.path.join(d, part))
         with open(os.path.join(d, "_SUCCESS"), "w") as fh:
             fh.write("")

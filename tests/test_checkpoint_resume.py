@@ -169,3 +169,42 @@ def test_partitioned_output_via_cli(ray_session, tmp_path):
     assert len(dirs) == stats["partitions_written"]
     assert all(os.path.exists(os.path.join(out, d, "_SUCCESS")) for d in dirs)
     assert stats["finding_count"] == stats["findings_written"]
+
+
+def test_partitioned_output_jsonl_preserves_numeric_exactness(
+    ray_session, tmp_path
+):
+    """The jsonl sink must be as lossless as the parquet sink: float64
+    round-trips exactly (pandas to_json's default 10-digit truncation
+    would corrupt it) and nullable int64 stays int (not 123.0)."""
+    out = str(tmp_path / "jl")
+    f64 = [0.1234567890123456789, 1e-17, 9007199254740993.0]
+    i64 = [2**53 + 1, None, 7]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(["a", "a", "b"], pa.string()),
+                "score": pa.array(f64, pa.float64()),
+                "n": pa.array(i64, pa.int64()),
+            }
+        )
+    )
+    stats = ckpt.write_partitioned_output(ds, out, "shard", fmt="jsonl")
+    assert stats["rows"] == 3 and stats["written"] == 2
+    rows = []
+    for d in sorted(os.listdir(out)):
+        p = os.path.join(out, d, "part-0.jsonl")
+        assert os.path.exists(os.path.join(out, d, "_SUCCESS"))
+        with open(p) as fh:
+            rows += [json.loads(line) for line in fh]
+    rows.sort(key=lambda r: (r["shard"], str(r["n"])))
+    got_scores = sorted(r["score"] for r in rows)
+    assert got_scores == sorted(f64)  # bit-exact float64 round-trip
+    ns = {r["n"] for r in rows}
+    assert 2**53 + 1 in ns  # int64 above 2^53 survives as int
+    assert None in ns  # null stays null, not NaN
+    # unknown format is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown fmt"):
+        ckpt.write_partitioned_output(ds, out, "shard", fmt="orc")

@@ -82,3 +82,69 @@ def test_scan_findings_identical_across_formats(ray_session, corpus_files):
     pd.testing.assert_frame_equal(
         results["files.parquet"], results["files.jsonl"]
     )
+
+
+def test_csv_multiline_content_above_one_block(ray_session, tmp_path):
+    """Arrow's CSV reader splits files into ~1MB blocks; without
+    newlines_in_values=True a quoted newline spanning a block boundary
+    fails the parse. A >5MB corpus with multi-line content must read."""
+    n = 1500
+    body = "def f(x):\n    y = x + 1\n    return y\n" * 60  # ~2.2KB
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i%7}" for i in range(n)], pa.string()),
+            "path": pa.array([f"p/{i}.py" for i in range(n)], pa.string()),
+            "commit": pa.array(["c" * 8] * n, pa.string()),
+            "lang": pa.array(["python"] * n, pa.string()),
+            "content": pa.array([body] * n, pa.string()),
+        }
+    )
+    p = tmp_path / "big.csv"
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(t, str(p))
+    assert p.stat().st_size > 2 * 1024 * 1024
+    got = _collect(sources.read_corpus(str(p)))
+    assert got.num_rows == n
+    assert got["content"][0].as_py() == body
+
+
+def test_csv_type_inference_hazards_pinned(ray_session, tmp_path):
+    """CSV columns are pinned to string at parse time: an all-digit
+    commit hash keeps its leading zero (int64 inference would drop
+    it) and literal 'null'/'NaN'/empty strings stay strings, matching
+    the parquet/jsonl round-trip exactly."""
+    t = pa.table(
+        {
+            "repo": pa.array(["r", "null"], pa.string()),
+            "path": pa.array(["a.py", "b.py"], pa.string()),
+            "commit": pa.array(["0123456", "NaN"], pa.string()),
+            "lang": pa.array(["", "python"], pa.string()),
+            "content": pa.array(["x = 1", "y = 2"], pa.string()),
+        }
+    )
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(t, str(tmp_path / "h.csv"))
+    got = _collect(sources.read_corpus(str(tmp_path / "h.csv")))
+    want = t.select(list(sources.CORPUS_COLUMNS))
+    order = pa.compute.sort_indices(want, sort_keys=[("path", "ascending")])
+    assert got.equals(want.take(order))
+
+
+def test_parquet_path_normalizes_large_string(ray_session, tmp_path):
+    """The parquet branch runs the same normalization as jsonl/csv:
+    large_string columns (e.g. polars-written) come out plain string
+    and a missing corpus column raises the documented error."""
+    t = pa.table(
+        {
+            "repo": pa.array(["r"], pa.large_string()),
+            "path": pa.array(["a.py"], pa.large_string()),
+            "commit": pa.array(["c"], pa.large_string()),
+            "lang": pa.array(["python"], pa.large_string()),
+            "content": pa.array(["x = 1"], pa.large_string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "ls.parquet"))
+    got = _collect(sources.read_corpus(str(tmp_path / "ls.parquet")))
+    assert [f.type for f in got.schema] == [pa.string()] * 5
