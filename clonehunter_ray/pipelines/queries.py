@@ -2277,7 +2277,14 @@ def tfidf_top_terms_documents(
     )
     if df_tbl.count() > vocab_broadcast_limit:
         return _tfidf_topk_join(docs, df_tbl, n_docs, k)
-    parts = [ray.get(r) for r in df_tbl.to_arrow_refs()]
+    # skip schema-less empty blocks (filter/map over empty input blocks
+    # emits zero-column tables that would break the concat)
+    parts = [
+        t for t in ray.get(df_tbl.to_arrow_refs()) if t.num_rows
+    ]
+    if not parts:
+        parts = [pa.table({"tok": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64())})]
     df_all = pa.concat_tables(parts).combine_chunks()
     toks = np.asarray(df_all["tok"].to_pylist(), dtype=object)
     dfs = df_all["df"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -213,10 +213,21 @@ def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
     zero-copy. Per-worker combine_chunks copies the full payload into
     each worker's HEAP (tens of GB across 32 workers at 400k
     snippets), and Table.take on a many-chunk table costs ~5 ms per
-    chunk per call — neither per-worker strategy survives at scale."""
-    if not tables:
+    chunk per call — neither per-worker strategy survives at scale.
+
+    Blocks produced by a filter/map over EMPTY input blocks come back
+    schema-less (zero columns — Ray skips the UDF and emits a bare
+    empty block), so any block missing the payload columns is dropped
+    rather than crashing the select; they carry no rows by
+    construction."""
+    usable = [
+        t for t in tables if all(c in t.column_names for c in cols)
+    ]
+    if not usable:
         return pa.table({c: [] for c in cols})
-    return pa.concat_tables([t.select(list(cols)) for t in tables]).combine_chunks()
+    return pa.concat_tables(
+        [t.select(list(cols)) for t in usable]
+    ).combine_chunks()
 
 
 def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):

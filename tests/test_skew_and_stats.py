@@ -404,3 +404,44 @@ def test_side_by_side_folds_long_changed_runs():
     rows = _side_by_side_rows(a, b)
     assert len(rows) < 50
     assert any(r[0] == "fold" and "changed lines" in r[2] for r in rows)
+
+
+def test_broadcast_handle_survives_schemaless_empty_blocks(ray_session):
+    """A filter over empty input blocks emits SCHEMA-LESS empty blocks
+    (zero columns — Ray skips the UDF); the plasma broadcast combiner
+    must drop them instead of crashing on the column select. This is
+    the sf0.1 shape: a doc_id < N filter empties most read blocks."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from clonehunter_ray.stages.candidates import (
+        get_broadcast_payload,
+        make_broadcast_handle,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "payload": pa.array([f"p{i}" for i in range(100)], pa.string()),
+        }
+    )
+    # 16 blocks, filter keeps only the first ~12 rows -> most blocks
+    # come back empty and schema-less
+    ds = (
+        ray.data.from_arrow(t)
+        .repartition(16)
+        .filter(expr="doc_id < 12")
+        .map_batches(lambda b: b, batch_format="pyarrow")
+        .materialize()
+    )
+    refs = ray.get(ds.to_arrow_refs())
+    assert any(len(r.column_names) == 0 for r in refs), (
+        "expected schema-less empty blocks in this Ray version; "
+        "if this stops holding, the combiner guard is untestable here"
+    )
+    handle = make_broadcast_handle(ds, ["doc_id", "payload"], key_col="doc_id")
+    payload, idx = get_broadcast_payload(handle)
+    assert payload.num_rows == 12
+    assert idx[5] == payload["doc_id"].to_pylist().index(5)
+    assert payload["payload"][idx[7]].as_py() == "p7"
