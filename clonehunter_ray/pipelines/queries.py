@@ -42,6 +42,14 @@ def _pt(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     ).replace_schema_metadata(None)
 
 
+def _collect_tables(ds) -> list[pa.Table]:
+    """Driver-side collect of a SMALL dataset's blocks, skipping the
+    schema-less empty blocks Ray emits for filters/maps over empty
+    input blocks (zero columns — a concat or column access on one
+    throws; see the sf0.1 broadcast-combiner regression)."""
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
 def _read(sf_dir: str, table: str, columns=None):
     # read_parquet_clean strips the b'pandas' footer metadata at the
     # READ op (unhashable schema -> "Failed to hash the schemas" noise
@@ -1863,7 +1871,15 @@ def large_volume_orders(sf_dir: str, min_qty: float = 320.0):
     )
     # survivors are ~0.1% of orders by design of the HAVING threshold;
     # collect sorted-by-key so workers can searchsorted against them
-    big_tbl = pa.concat_tables([ray.get(r) for r in big.to_arrow_refs()])
+    big_parts = _collect_tables(big) or [
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.float64()),
+            }
+        )
+    ]
+    big_tbl = pa.concat_tables(big_parts)
     order_k = np.argsort(big_tbl["l_orderkey"].to_numpy(zero_copy_only=False))
     big_keys = big_tbl["l_orderkey"].to_numpy(zero_copy_only=False)[order_k]
     big_qty = big_tbl["sum_qty"].to_numpy(zero_copy_only=False)[order_k]
@@ -1884,9 +1900,18 @@ def large_volume_orders(sf_dir: str, min_qty: float = 320.0):
     ).map_batches(match_orders, batch_format="pyarrow")
     # surviving orders (small) broadcast sorted by custkey; the
     # customer fact table streams against them
-    surv_tbl = pa.concat_tables(
-        [ray.get(r) for r in orders.to_arrow_refs()]
-    ).combine_chunks()
+    surv_parts = _collect_tables(orders) or [
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.float64()),
+            }
+        )
+    ]
+    surv_tbl = pa.concat_tables(surv_parts).combine_chunks()
     order_c = np.argsort(
         surv_tbl["o_custkey"].to_numpy(zero_copy_only=False), kind="stable"
     )
@@ -2058,9 +2083,8 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
 
     blobs = [
         b
-        for t in ray.get(
+        for t in _collect_tables(
             build.map_batches(only_blobs, batch_format="pyarrow")
-            .to_arrow_refs()
         )
         for b in t["bloom"].to_pylist()
     ]
@@ -2351,9 +2375,7 @@ def approx_length_quantiles(sf_dir: str, k: int = 256):
         partial, batch_format="pyarrow"
     )
     blobs = [
-        b
-        for t in ray.get(ds.to_arrow_refs())
-        for b in t["blob"].to_pylist()
+        b for t in _collect_tables(ds) for b in t["blob"].to_pylist()
     ]
     merged = QuantileSketch.deserialize(blobs[0])
     for b in blobs[1:]:

@@ -217,12 +217,20 @@ def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
 
     Blocks produced by a filter/map over EMPTY input blocks come back
     schema-less (zero columns — Ray skips the UDF and emits a bare
-    empty block), so any block missing the payload columns is dropped
-    rather than crashing the select; they carry no rows by
-    construction."""
-    usable = [
-        t for t in tables if all(c in t.column_names for c in cols)
-    ]
+    empty block); those are dropped. A block that HAS rows but lacks a
+    payload column is genuine schema drift and raises loudly — silently
+    dropping it would turn an upstream column rename into empty
+    downstream results."""
+    usable = []
+    for t in tables:
+        if all(c in t.column_names for c in cols):
+            usable.append(t)
+        elif t.num_rows:
+            missing = [c for c in cols if c not in t.column_names]
+            raise KeyError(
+                f"payload block with {t.num_rows} rows is missing "
+                f"columns {missing}; has {t.column_names}"
+            )
     if not usable:
         return pa.table({c: [] for c in cols})
     return pa.concat_tables(

@@ -251,23 +251,53 @@ def write_partitioned_output(
         if fmt == "parquet":
             pq.write_table(group, tmp)
         else:
-            # jsonl via Arrow to_pylist + json.dumps, NOT pandas
-            # to_json: the pandas route truncates float64 to 10
-            # significant digits by default and degrades nullable
-            # int64 to float64 — silent corruption for any caller
-            # of this shared sink with numeric columns. to_pylist
-            # preserves int64/None exactly; repr-based float
-            # serialization round-trips.
+            # jsonl via Arrow + json.dumps, NOT pandas to_json: the
+            # pandas route truncates float64 to 10 significant digits
+            # by default and degrades nullable int64 to float64 —
+            # silent corruption for any caller of this shared sink
+            # with numeric columns. Arrow row conversion preserves
+            # int64/None exactly; repr-based float serialization
+            # round-trips. Non-finite floats become null (RFC 8259
+            # has no NaN/Infinity token — strict loaders reject the
+            # bare tokens json.dumps would emit); timestamps/dates
+            # serialize as ISO strings and binary as base64 via the
+            # default hook. Rows stream batch-wise so a multi-GB
+            # partition never materializes as Python dicts at once.
+            import base64 as _b64
+            import datetime as _dt
             import json as _json
 
+            import pyarrow.compute as _pc
+
+            def _default(o):
+                if isinstance(o, (_dt.datetime, _dt.date, _dt.time)):
+                    return o.isoformat()
+                if isinstance(o, (bytes, bytearray)):
+                    return _b64.b64encode(o).decode("ascii")
+                raise TypeError(
+                    f"write_partitioned_output jsonl: cannot serialize "
+                    f"{type(o).__name__}"
+                )
+
+            clean = []
+            for name in group.column_names:
+                col = group[name]
+                if pa.types.is_floating(col.type):
+                    col = _pc.if_else(_pc.is_finite(col), col, None)
+                clean.append(col)
+            group_clean = pa.table(dict(zip(group.column_names, clean)))
             with open(tmp, "w", encoding="utf-8") as fh:
-                for row in group.to_pylist():
-                    fh.write(
-                        _json.dumps(
-                            row, ensure_ascii=False, separators=(",", ":")
+                for rb in group_clean.to_batches(max_chunksize=8192):
+                    for row in rb.to_pylist():
+                        fh.write(
+                            _json.dumps(
+                                row,
+                                ensure_ascii=False,
+                                separators=(",", ":"),
+                                default=_default,
+                            )
                         )
-                    )
-                    fh.write("\n")
+                        fh.write("\n")
         os.replace(tmp, os.path.join(d, part))
         with open(os.path.join(d, "_SUCCESS"), "w") as fh:
             fh.write("")

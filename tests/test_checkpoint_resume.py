@@ -208,3 +208,38 @@ def test_partitioned_output_jsonl_preserves_numeric_exactness(
 
     with _pytest.raises(ValueError, match="unknown fmt"):
         ckpt.write_partitioned_output(ds, out, "shard", fmt="orc")
+
+
+def test_partitioned_output_jsonl_nan_and_typed_columns(ray_session, tmp_path):
+    """Non-finite floats must emit RFC-valid null (bare NaN tokens
+    break strict loaders), timestamps serialize as ISO strings, and
+    binary as base64 — while a multi-batch partition streams without
+    materializing all rows at once."""
+    import base64
+    import datetime
+
+    out = str(tmp_path / "jl2")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(["a", "a", "a"], pa.string()),
+                "score": pa.array([1.5, float("nan"), float("inf")], pa.float64()),
+                "ts": pa.array(
+                    [datetime.datetime(2026, 8, 19, 1, 2, 3)] * 3,
+                    pa.timestamp("us"),
+                ),
+                "blob": pa.array([b"\x00\xff", b"hi", b""], pa.binary()),
+            }
+        )
+    )
+    ckpt.write_partitioned_output(ds, out, "shard", fmt="jsonl")
+    with open(os.path.join(out, "shard=a", "part-0.jsonl")) as fh:
+        raw = fh.read()
+        assert "NaN" not in raw and "Infinity" not in raw
+        rows = [json.loads(line) for line in raw.splitlines()]
+    scores = sorted((r["score"] for r in rows), key=lambda v: (v is None, v))
+    assert scores == [1.5, None, None]
+    assert rows[0]["ts"] == "2026-08-19T01:02:03"
+    assert {r["blob"] for r in rows} == {
+        base64.b64encode(b).decode() for b in (b"\x00\xff", b"hi", b"")
+    }
