@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_gram_stats_documents": Q.frequent_gram_stats_documents,
         "doc_length_quantiles": Q.doc_length_quantiles,
         "hash_sample_documents": Q.hash_sample_documents,
+        "sample_k_documents": Q.sample_k_documents,
         "mixture_sample_documents": training.mixture_sample_documents,
         "mixture_upsample_documents": training.mixture_upsample_documents,
         "normalize_text_documents": training.normalize_text_documents,
@@ -786,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')
+        """,
+        "sample_k_documents": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
         """,
         "mixture_sample_documents": """
             SELECT doc_id, source, lang, n_chars FROM documents

@@ -702,6 +702,44 @@ def hash_sample_documents(sf_dir: str):
     )
 
 
+def sample_k_documents(sf_dir: str, k: int = 100):
+    """Deterministic EXACT-k uniform sample (the 'give me exactly k
+    random rows, reproducibly' primitive the ~25% ``hash_sample`` and
+    per-source ``mixture_sample`` don't provide): priority = sha256 of
+    the doc_id string, keep the k smallest digests. Uniform because the
+    digest is uniform over ids; identical across re-runs, resumes, and
+    any partitioning with no RNG state.
+
+    Ray shape: per-batch LOCAL top-k by priority (a combiner — at most
+    k rows leave any block regardless of its size), then the bounded
+    survivor set (<= k x n_blocks rows, corpus-size-independent per
+    block) sorts globally and takes the final k. The only shuffle is
+    over survivors, never the corpus.
+    """
+    import hashlib as _hl
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pri = np.array(
+            [_hl.sha256(str(i).encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        keep = np.sort(np.lexsort((ids, pri))[:k])
+        out = batch.take(pa.array(keep, pa.int64()))
+        return out.append_column(
+            "priority", pa.array(list(pri[keep]), pa.string())
+        )
+
+    return (
+        docs.map_batches(local_top, batch_format="pyarrow")
+        .sort(["priority", "doc_id"])
+        .limit(k)
+        .drop_columns(["priority"])
+    )
+
+
 def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k ANN baseline: query matrix broadcast
     once via ray.put, per-batch numpy matmul + per-batch top-k, final

@@ -746,3 +746,33 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
     )
     assert len(bcast) > 0
     pd.testing.assert_frame_equal(bcast, joinp, check_exact=True)
+
+
+def test_sample_k_documents_matches_duckdb(ray_session, con2):
+    got = (
+        Q.sample_k_documents(SF_DIR, k=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        con2.execute(
+            """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+            """
+        )
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 50
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # determinism across re-runs (no RNG state)
+    again = (
+        Q.sample_k_documents(SF_DIR, k=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
