@@ -716,15 +716,20 @@ def sample_k_documents(sf_dir: str, k: int = 100):
     block) sorts globally and takes the final k. The only shuffle is
     over survivors, never the corpus.
     """
-    import hashlib as _hl
+    import pyarrow.compute as pc
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def local_top(batch: pa.Table) -> pa.Table:
+        # drop NULL ids BEFORE to_numpy: one null coerces the int64
+        # column to float64 and every id in the block would hash as
+        # 'X.0'. Parity: the oracle's sha256(CAST(NULL AS VARCHAR)) is
+        # NULL, which sorts NULLS LAST in DuckDB — never sampled while
+        # k <= non-null count.
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         pri = np.array(
-            [_hl.sha256(str(i).encode()).hexdigest() for i in ids],
-            dtype=object,
+            H.sha256_hex_many([str(i) for i in ids]), dtype=object
         )
         keep = np.sort(np.lexsort((ids, pri))[:k])
         out = batch.take(pa.array(keep, pa.int64()))
@@ -1909,6 +1914,8 @@ def large_volume_orders(sf_dir: str, min_qty: float = 320.0):
     )
     # survivors are ~0.1% of orders by design of the HAVING threshold;
     # collect sorted-by-key so workers can searchsorted against them
+    # fallback schema = the aggregate's output (l_orderkey key +
+    # Sum alias sum_qty above); keep in sync if that changes
     big_parts = _collect_tables(big) or [
         pa.table(
             {
@@ -1938,6 +1945,8 @@ def large_volume_orders(sf_dir: str, min_qty: float = 320.0):
     ).map_batches(match_orders, batch_format="pyarrow")
     # surviving orders (small) broadcast sorted by custkey; the
     # customer fact table streams against them
+    # fallback schema = the orders _read column list + match_orders'
+    # appended sum_qty; keep in sync if either changes
     surv_parts = _collect_tables(orders) or [
         pa.table(
             {

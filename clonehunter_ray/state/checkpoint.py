@@ -283,18 +283,28 @@ def write_partitioned_output(
             for name in group.column_names:
                 col = group[name]
                 if pa.types.is_floating(col.type):
+                    # is_finite/if_else have no halffloat kernel; widen
+                    # float16 first (to_pylist yields Python floats
+                    # either way, so the output is unchanged)
+                    if col.type == pa.float16():
+                        col = col.cast(pa.float32())
                     col = _pc.if_else(_pc.is_finite(col), col, None)
                 clean.append(col)
             group_clean = pa.table(dict(zip(group.column_names, clean)))
             with open(tmp, "w", encoding="utf-8") as fh:
                 for rb in group_clean.to_batches(max_chunksize=8192):
                     for row in rb.to_pylist():
+                        # allow_nan=False: non-finite floats NESTED in
+                        # list/struct columns bypass the top-level
+                        # cleanup above — fail loudly rather than
+                        # emitting the RFC-invalid bare NaN token
                         fh.write(
                             _json.dumps(
                                 row,
                                 ensure_ascii=False,
                                 separators=(",", ":"),
                                 default=_default,
+                                allow_nan=False,
                             )
                         )
                         fh.write("\n")

@@ -243,3 +243,45 @@ def test_partitioned_output_jsonl_nan_and_typed_columns(ray_session, tmp_path):
     assert {r["blob"] for r in rows} == {
         base64.b64encode(b).decode() for b in (b"\x00\xff", b"hi", b"")
     }
+
+
+def test_partitioned_output_jsonl_float16_and_nested_nan(ray_session, tmp_path):
+    """float16 columns widen and serialize (is_finite has no halffloat
+    kernel); non-finite floats NESTED in list columns bypass the
+    top-level cleanup and must fail loudly (allow_nan=False) instead of
+    writing RFC-invalid bare NaN tokens."""
+    import numpy as np
+
+    out = str(tmp_path / "h16")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(["a", "a"], pa.string()),
+                "h": pa.array(
+                    np.array([1.5, np.nan], dtype=np.float16), pa.float16()
+                ),
+            }
+        )
+    )
+    ckpt.write_partitioned_output(ds, out, "shard", fmt="jsonl")
+    with open(os.path.join(out, "shard=a", "part-0.jsonl")) as fh:
+        vals = sorted(
+            (json.loads(line)["h"] for line in fh),
+            key=lambda v: (v is None, v),
+        )
+    assert vals == [1.5, None]
+
+    nested = ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(["a"], pa.string()),
+                "v": pa.array([[1.0, float("nan")]], pa.list_(pa.float64())),
+            }
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not JSON compliant"):
+        ckpt.write_partitioned_output(
+            nested, str(tmp_path / "nested"), "shard", fmt="jsonl"
+        )
