@@ -77,6 +77,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    from clonehunter_ray.util import silence_empty_schema_warnings
+
+    silence_empty_schema_warnings()
+
     from clonehunter_ray.config import EngineConfig, ExecConfig
     from clonehunter_ray.pipelines import dedup, queries as Q
     from clonehunter_ray.pipelines.scan import scan
@@ -374,6 +378,10 @@ def run_actor_ab(lo: int, hi: int) -> dict:
         logging_level="ERROR",
     )
     DataContext.get_current().enable_progress_bars = False
+
+    from clonehunter_ray.util import silence_empty_schema_warnings
+
+    silence_empty_schema_warnings()
 
     from clonehunter_ray.config import EngineConfig, ExecConfig
     from clonehunter_ray.pipelines.scan import scan

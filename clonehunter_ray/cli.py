@@ -172,6 +172,10 @@ def _load_files(args):
 
     from clonehunter_ray import sources
 
+    if getattr(args, "files", None) and getattr(args, "files_parquet", None):
+        raise SystemExit(
+            "scan: --files and --files-parquet are mutually exclusive"
+        )
     if getattr(args, "files", None):
         return sources.read_corpus(args.files)
     if args.files_parquet:
@@ -208,6 +212,9 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from clonehunter_ray.util import silence_empty_schema_warnings
+
+    silence_empty_schema_warnings()
 
     if args.cmd == "export":
         from clonehunter_ray.pipelines.training import export_training_shards

@@ -322,7 +322,12 @@ def read_corpus(path: str, fmt: str | None = None, columns=None):
     if fmt == "parquet":
         ds = read_parquet_clean(path, columns=want)
     elif fmt in ("jsonl", "json", "ndjson"):
-        ds = ray.data.read_json(path)
+        # ray.data.read_json's default file_extensions excludes
+        # .ndjson, so a directly-named .ndjson file would raise
+        # "No input files found" — accept all three spellings
+        ds = ray.data.read_json(
+            path, file_extensions=["json", "jsonl", "ndjson"]
+        )
     elif fmt == "csv":
         from pyarrow import csv as pacsv
 

@@ -59,6 +59,46 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
+class _EmptySchemaBundleFilter:
+    """Suppress Ray Data's "RefBundle with a different schema" warning
+    ONLY when the divergent schema is the zero-column empty one.
+
+    Ray's sort/groupby exchange emits zero-column blocks for empty
+    output partitions (e.g. a final ``groupby(query_id)`` with 3
+    distinct keys sorted into 16 partitions leaves 13 empty) and the
+    streaming executor then warns "new schema: ." or
+    "new schema: PandasBlockSchema(names=[]...)". Reproduced with
+    every UDF in the pipeline emitting schema-stable empties — the
+    blocks are produced inside Ray's exchange, not by user code — so
+    the clean fix is filtering this one benign variant at the driver
+    logger. Schema divergences with REAL columns still warn."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        msg = record.getMessage()
+        if "Operator produced a RefBundle with a different schema" not in msg:
+            return True
+        return not (
+            "new schema: ." in msg
+            or "new schema: PandasBlockSchema(names=[]" in msg
+            or "new schema: None" in msg
+        )
+
+
+def silence_empty_schema_warnings() -> None:
+    """Install the empty-schema-bundle filter on the Ray Data
+    streaming-executor logger (idempotent). Driver-side only: the
+    warning is logged by the executor loop in the driver process."""
+    import logging
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(
+        isinstance(f, _EmptySchemaBundleFilter) for f in lg.filters
+    ):
+        lg.addFilter(_EmptySchemaBundleFilter())
+
+
 def auto_actor_count(reserve: int = 2, cap: int | None = None) -> int:
     """Size an actor pool to the cluster: CPUs minus ``reserve`` slots
     left for feeder/read tasks (min 2). A fixed small constant (the

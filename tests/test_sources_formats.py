@@ -49,6 +49,18 @@ def test_all_formats_identical(ray_session, corpus_files):
         assert got.equals(ref), name
 
 
+def test_ndjson_extension_reads(ray_session, corpus_files, tmp_path):
+    """ray.data.read_json's default file_extensions excludes .ndjson;
+    read_corpus must accept the spelling anyway (ADVICE r3)."""
+    import shutil
+
+    d, files = corpus_files
+    nd = tmp_path / "files.ndjson"
+    shutil.copy(str(d / "files.jsonl"), nd)
+    got = _collect(sources.read_corpus(str(nd)))
+    assert got.equals(_collect(sources.read_corpus(str(d / "files.jsonl"))))
+
+
 def test_missing_column_raises(ray_session, tmp_path):
     with open(tmp_path / "bad.jsonl", "w") as fh:
         fh.write(json.dumps({"repo": "r", "path": "p"}) + "\n")

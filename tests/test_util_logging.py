@@ -1,0 +1,65 @@
+"""The empty-schema RefBundle warning filter: suppresses only the
+zero-column variants emitted by Ray's sort/groupby exchange for empty
+partitions; real schema divergences still warn."""
+
+from __future__ import annotations
+
+import logging
+
+from clonehunter_ray.util import (
+    _EmptySchemaBundleFilter,
+    silence_empty_schema_warnings,
+)
+
+_LOGGER_NAME = "ray.data._internal.execution.streaming_executor_state"
+
+
+def _rec(msg: str) -> logging.LogRecord:
+    return logging.LogRecord(
+        _LOGGER_NAME, logging.WARNING, __file__, 1, msg, None, None
+    )
+
+
+def test_filter_suppresses_empty_schema_variants():
+    f = _EmptySchemaBundleFilter()
+    base = "Operator produced a RefBundle with a different schema "
+    assert not f.filter(
+        _rec(base + "than the previous one. Previous schema: a: int64, "
+             "new schema: . This may lead to unexpected behavior.")
+    )
+    assert not f.filter(
+        _rec(base + "... new schema: PandasBlockSchema(names=[], types=[]).")
+    )
+    assert not f.filter(_rec(base + "... new schema: None."))
+
+
+def test_filter_passes_real_divergence_and_other_messages():
+    f = _EmptySchemaBundleFilter()
+    assert f.filter(
+        _rec(
+            "Operator produced a RefBundle with a different schema than "
+            "the previous one. Previous schema: a: int64, new schema: "
+            "a: string. This may lead to unexpected behavior."
+        )
+    )
+    assert f.filter(_rec("some unrelated warning"))
+
+
+def test_install_is_idempotent():
+    lg = logging.getLogger(_LOGGER_NAME)
+    before = [f for f in lg.filters if isinstance(f, _EmptySchemaBundleFilter)]
+    for f in before:
+        lg.removeFilter(f)
+    try:
+        silence_empty_schema_warnings()
+        silence_empty_schema_warnings()
+        installed = [
+            f for f in lg.filters if isinstance(f, _EmptySchemaBundleFilter)
+        ]
+        assert len(installed) == 1
+    finally:
+        for f in list(lg.filters):
+            if isinstance(f, _EmptySchemaBundleFilter):
+                lg.removeFilter(f)
+        for f in before:
+            lg.addFilter(f)
