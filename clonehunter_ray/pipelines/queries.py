@@ -803,28 +803,51 @@ def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 def lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with map-side partial
-    aggregation before the shuffle (SURVEY §2.5 pattern)."""
+    aggregation before the shuffle (SURVEY §2.5 pattern). Partials are
+    Arrow-native (``Table.group_by``) — zero pandas copies on the hot
+    fact-table pass; the rounding in ``finish`` stays ``np.round``
+    (the same scaled-rint the pandas path used, so oracle hashes are
+    unchanged)."""
+    import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
         )
-        g = (
-            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base=("l_extendedprice", "sum"),
-                sum_disc=("disc_price", "sum"),
-                n=("l_quantity", "size"),
-            )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc,
+            }
         )
-        return g
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base",
+                "sum_disc",
+                "n",
+            ]
+        )
 
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pandas")
+    ).map_batches(partial, batch_format="pyarrow")
     agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="s_qty"),
         Sum("sum_base", alias_name="s_base"),
@@ -832,73 +855,99 @@ def lineitem_pricing_summary(sf_dir: str):
         Sum("n", alias_name="count_order"),
     )
 
-    def finish(batch: pd.DataFrame) -> pa.Table:
+    def _r2(col) -> pa.Array:
+        return pa.array(
+            np.round(col.to_numpy(zero_copy_only=False), 2), pa.float64()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "l_returnflag": pa.array(batch["l_returnflag"], pa.string()),
-                "l_linestatus": pa.array(batch["l_linestatus"], pa.string()),
-                "sum_qty": pa.array(batch["s_qty"].round(2), pa.float64()),
-                "sum_base_price": pa.array(batch["s_base"].round(2), pa.float64()),
-                "sum_disc_price": pa.array(batch["s_disc"].round(2), pa.float64()),
-                "count_order": pa.array(
-                    batch["count_order"].astype("int64"), pa.int64()
-                ),
+                "l_returnflag": pc.cast(batch["l_returnflag"], pa.string()),
+                "l_linestatus": pc.cast(batch["l_linestatus"], pa.string()),
+                "sum_qty": _r2(batch["s_qty"]),
+                "sum_base_price": _r2(batch["s_base"]),
+                "sum_disc_price": _r2(batch["s_disc"]),
+                "count_order": pc.cast(batch["count_order"], pa.int64()),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def events_daily_counts(sf_dir: str):
-    """Time-bucketed aggregate: day x event_type counts + value sums."""
+    """Time-bucketed aggregate: day x event_type counts + value sums.
+    Arrow-native partial (``pc.strftime`` + ``Table.group_by``) — the
+    events fact pass never round-trips through pandas."""
+    import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(day=batch["ts"].dt.strftime("%Y-%m-%d"))
-        return batch.groupby(["day", "event_type"], as_index=False).agg(
-            n=("value", "size"), v=("value", "sum")
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
         )
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["day", "event_type", "n", "v"])
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
     agg = ds.groupby(["day", "event_type"]).aggregate(
         Sum("n", alias_name="n_events"), Sum("v", alias_name="v_sum")
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "day": batch["day"],
-                "event_type": batch["event_type"],
-                "n_events": batch["n_events"].astype("int64"),
-                "sum_value": batch["v_sum"].round(2),
+                "day": pc.cast(batch["day"], pa.string()),
+                "event_type": pc.cast(batch["event_type"], pa.string()),
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        batch["v_sum"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def top_users_by_value(sf_dir: str, k: int = 10):
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("user_id", as_index=False).agg(v=("value", "sum"))
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([("value", "sum")])
+        return g.rename_columns(["user_id", "v"])
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Sum("v", alias_name="v_sum"))
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "user_id": batch["user_id"].astype("int64"),
-                "total_value": batch["v_sum"].round(2),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "total_value": pa.array(
+                    np.round(
+                        batch["v_sum"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
             }
         )
 
-    out = agg.map_batches(finish, batch_format="pandas")
+    out = agg.map_batches(finish, batch_format="pyarrow")
     return out.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
 
 
@@ -906,69 +955,114 @@ def suppliers_per_region(sf_dir: str):
     """Dimension-chain rollup exercising region/nation/supplier: count
     suppliers and sum account balance per region, dimensions broadcast
     (map-side join — no shuffle until the tiny final groupby)."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    nat_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    region_name = dict(zip(region["r_regionkey"], region["r_name"]))
-    maps_ref = ray.put((nat_region, region_name))
+    import pyarrow.compute as pc
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        nr, rn = ray.get(maps_ref)
-        rname = [rn.get(nr.get(k)) for k in batch["s_nationkey"]]
-        df = pd.DataFrame({"r_name": rname, "bal": batch["s_acctbal"]})
-        return df.groupby("r_name", as_index=False).agg(
-            n=("bal", "size"), b=("bal", "sum")
+    nation = pa.concat_tables(
+        _collect_tables(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    )
+    region = pa.concat_tables(
+        _collect_tables(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    )
+    # broadcast the two tiny dims as SORTED numpy lookup arrays: the
+    # per-batch join is two vectorized searchsorted probes (inner-join
+    # semantics — a supplier with an unknown nationkey is dropped,
+    # matching the oracle's INNER JOIN; TPC-H FK integrity means none
+    # are in practice)
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nr = nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nk)
+    nk, nr = nk[order], nr[order]
+    rk = region["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rn = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    rorder = np.argsort(rk)
+    rk, rn = rk[rorder], rn[rorder]
+    maps_ref = ray.put((nk, nr, rk, rn))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        nk_, nr_, rk_, rn_ = ray.get(maps_ref)
+        keys = (
+            batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        pos = np.clip(np.searchsorted(nk_, keys), 0, len(nk_) - 1)
+        hit = nk_[pos] == keys
+        regkey = nr_[pos[hit]]
+        rpos = np.clip(np.searchsorted(rk_, regkey), 0, len(rk_) - 1)
+        rhit = rk_[rpos] == regkey
+        t = pa.table(
+            {
+                "r_name": pa.array(rn_[rpos[rhit]], pa.string()),
+                "bal": batch["s_acctbal"]
+                .filter(pa.array(hit, pa.bool_()))
+                .filter(pa.array(rhit, pa.bool_())),
+            }
+        )
+        g = t.group_by("r_name").aggregate([("bal", "count"), ("bal", "sum")])
+        return g.rename_columns(["r_name", "n", "b"])
 
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
-        join_batch, batch_format="pandas"
+        join_batch, batch_format="pyarrow"
     )
     agg = ds.groupby("r_name").aggregate(
         Sum("n", alias_name="n_sum"), Sum("b", alias_name="b_sum")
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "r_name": batch["r_name"],
-                "n_suppliers": batch["n_sum"].astype("int64"),
-                "total_acctbal": batch["b_sum"].round(2),
+                "r_name": pc.cast(batch["r_name"], pa.string()),
+                "n_suppliers": pc.cast(batch["n_sum"], pa.int64()),
+                "total_acctbal": pa.array(
+                    np.round(
+                        batch["b_sum"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def parts_by_brand(sf_dir: str):
-    """Grouped aggregate over the part table (map-side partial agg)."""
+    """Grouped aggregate over the part table (Arrow-native map-side
+    partial agg)."""
+    import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("p_brand", as_index=False).agg(
-            n=("p_retailprice", "size"),
-            p=("p_retailprice", "sum"),
-            mx=("p_size", "max"),
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("p_brand").aggregate(
+            [
+                ("p_retailprice", "count"),
+                ("p_retailprice", "sum"),
+                ("p_size", "max"),
+            ]
         )
+        return g.rename_columns(["p_brand", "n", "p", "mx"])
 
     ds = _read(
         sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]
-    ).map_batches(partial, batch_format="pandas")
+    ).map_batches(partial, batch_format="pyarrow")
     agg = ds.groupby("p_brand").aggregate(
         Sum("n", alias_name="n_sum"),
         Sum("p", alias_name="p_sum"),
         Max("mx", alias_name="mx_max"),
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "p_brand": batch["p_brand"],
-                "n_parts": batch["n_sum"].astype("int64"),
-                "sum_retail": batch["p_sum"].round(2),
-                "max_size": batch["mx_max"].astype("int64"),
+                "p_brand": pc.cast(batch["p_brand"], pa.string()),
+                "n_parts": pc.cast(batch["n_sum"], pa.int64()),
+                "sum_retail": pa.array(
+                    np.round(
+                        batch["p_sum"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+                "max_size": pc.cast(batch["mx_max"], pa.int64()),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def events_asof_latest_view(sf_dir: str):
@@ -1298,33 +1392,44 @@ def order_priority_counts(sf_dir: str):
     """Filtered groupby count (TPC-H Q4 flavor): 1996 orders by
     priority. The date filter runs inside the read's map stage so only
     matching rows reach the (tiny) shuffle."""
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    import datetime
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = (batch["o_orderdate"] >= pd.Timestamp("1996-01-01")) & (
-            batch["o_orderdate"] < pd.Timestamp("1997-01-01")
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
         )
-        return (
-            batch[m]
-            .groupby("o_orderpriority", as_index=False)
-            .agg(n=("o_orderdate", "size"))
+        g = (
+            batch.filter(m)
+            .select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([("o_orderpriority", "count")])
         )
+        return g.rename_columns(["o_orderpriority", "n"])
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n", alias_name="n_sum"))
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "o_orderpriority": batch["o_orderpriority"],
-                "n_orders": batch["n_sum"].astype("int64"),
+                "o_orderpriority": pc.cast(
+                    batch["o_orderpriority"], pa.string()
+                ),
+                "n_orders": pc.cast(batch["n_sum"], pa.int64()),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 _VALUE_BUCKETS = [0.0, 10.0, 50.0, 100.0, 500.0]  # left edges; last is open
@@ -2110,6 +2215,15 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
     def build_partials(batch: pa.Table) -> pa.Table:
         urgent = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
         keys = np.unique(urgent["o_custkey"].to_numpy(zero_copy_only=False))
+        # the in-band bitmap row rides as o_custkey == -1 and the
+        # downstream only_keys filter keeps >= 0: a negative REAL key
+        # would be dropped from the exact-verify path, so fail loudly
+        # on non-TPC-H corpora instead of silently losing keys
+        if keys.size and keys[0] < 0:
+            raise ValueError(
+                "customers_without_orders_bloom: negative o_custkey "
+                f"({keys[0]}) collides with the in-band bitmap sentinel"
+            )
         blob = SK.bloom_partial(keys.astype(np.uint64), n_bits).tobytes()
         return pa.table(
             {
