@@ -153,7 +153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": Q.hash_sample_documents,
         "sample_k_documents": Q.sample_k_documents,
         "mixture_sample_documents": training.mixture_sample_documents,
-        "mixture_upsample_documents": training.mixture_upsample_documents,
         "normalize_text_documents": training.normalize_text_documents,
         "chunk_documents": training.chunk_documents,
         "large_volume_orders": Q.large_volume_orders,
@@ -165,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_dedup_documents": Q.cross_corpus_dedup_documents,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,
         "length_quantiles_by_lang": Q.length_quantiles_by_lang,
+        "passage_dup_stats_documents": _passage_dup_stats,
         # --- position 51+: oracle-backed twins pinned bit-equal to an
         # in-window entry by pytest (see ordering contract above)
         "customers_without_orders_bloom": Q.customers_without_orders_bloom,
@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocabulary_topk": Q.token_vocabulary_topk,
         "redact_pii_documents": Q.redact_pii_documents,
         "export_training_shards": training.export_training_shards,
+        "mixture_upsample_documents": training.mixture_upsample_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_documents": lambda sf: (
             text_analysis.compression_ratio(_docs(sf))
         ),
+        "passage_dedup_spans_documents": _passage_spans,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,
@@ -214,6 +216,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frame_sample": _media_frames,
         "media_resize_images": _media_resize,
     }
+
+
+def _passage_dup_stats(sf_dir: str):
+    """Oracle-checked: per-doc exact-duplicated-gram statistics (the
+    SQL-expressible companion of corpus-level passage dedup)."""
+    from clonehunter_ray.pipelines.passage import passage_dup_stats_documents
+
+    return passage_dup_stats_documents(sf_dir, gram_len=8)
+
+
+def _passage_spans(sf_dir: str):
+    """Rows-only: corpus-level exact-substring (passage) dedup — the
+    Lee-et-al-style operator: maximal verbatim token spans >= min_len
+    duplicated across documents, flagged in the non-keeper doc
+    (winnow fingerprints -> gram-bucket pair candidates -> suffix-array
+    matching statistics -> merged spans; pinned by tests/test_passage.py
+    against an offline all-pairs DP oracle)."""
+    from clonehunter_ray.pipelines.passage import passage_dedup_spans
+    from clonehunter_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return passage_dedup_spans(docs, min_len=15)
 
 
 def _media_ds(n: int = 128):
@@ -1140,6 +1166,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok, round(s, 6) AS score6
             FROM ranked WHERE rn <= 3
+        """,
+        "passage_dup_stats_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(ts) >= 8 THEN
+                        list_transform(range(1, len(ts) - 6),
+                            i -> array_to_string(ts[i : i + 7], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), c AS (
+                SELECT doc_id, gram, count(*) AS n
+                FROM g GROUP BY doc_id, gram
+            ), df AS (
+                SELECT gram, count(*) AS dfc FROM c GROUP BY gram
+            ), tot AS (
+                SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams
+                FROM c GROUP BY doc_id
+            ), dup AS (
+                SELECT c.doc_id, CAST(sum(c.n) AS BIGINT) AS n_dup
+                FROM c JOIN df USING (gram)
+                WHERE df.dfc >= 2 GROUP BY c.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(dup.n_dup, 0) AS n_dup_grams,
+                   CASE WHEN coalesce(tot.n_grams, 0) > 0 THEN
+                       CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / tot.n_grams
+                   ELSE 0.0 END AS dup_gram_frac
+            FROM t
+            LEFT JOIN tot ON t.doc_id = tot.doc_id
+            LEFT JOIN dup ON t.doc_id = dup.doc_id
         """,
         "heavy_hitter_tokens": """
             SELECT tok, count(*) AS n

@@ -189,6 +189,27 @@ def run_bench() -> dict:
     timed("chunk_documents", _chunk)
     timed("bm25_search_documents", Q.bm25_search_documents)
 
+    def _passage_spans(sf_dir):
+        from clonehunter_ray.pipelines.passage import passage_dedup_spans
+
+        return passage_dedup_spans(
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            min_len=15,
+        )
+
+    timed("passage_dedup_spans", _passage_spans)
+
+    def _passage_stats(sf_dir):
+        from clonehunter_ray.pipelines.passage import (
+            passage_dup_stats_documents,
+        )
+
+        return passage_dup_stats_documents(sf_dir, gram_len=8)
+
+    timed("passage_dup_stats", _passage_stats)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),

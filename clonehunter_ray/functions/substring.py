@@ -147,6 +147,109 @@ def lcs_token_len_dp(a: np.ndarray, b: np.ndarray) -> int:
     return best
 
 
+def matching_statistics(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Matching statistics of ``b`` against ``a``: ``ms[p]`` = length
+    of the longest prefix of ``b[p:]`` that occurs as a substring
+    anywhere in ``a`` (0 when ``b[p]`` never occurs in ``a``).
+
+    The per-pair verification kernel of corpus-level exact-substring
+    (passage) dedup: positions with ``ms >= min_len`` start duplicated
+    passages, and the union of ``[p, p + ms[p])`` over those positions
+    is exactly the duplicated region. Classic suffix-array reduction:
+    for the concatenated sequence, a b-suffix's best match into ``a``
+    is the max of its range-min LCP to the nearest a-suffix above and
+    below in suffix-array order (separators are unique symbols, so no
+    common prefix can span them). O((|a|+|b|) log) build + one linear
+    two-direction sweep.
+    """
+    na, nb = len(a), len(b)
+    if na == 0 or nb == 0:
+        return np.zeros(nb, dtype=np.int64)
+    both = np.concatenate([a.astype(np.uint64), b.astype(np.uint64)])
+    _, inv = np.unique(both, return_inverse=True)
+    sym = inv.astype(np.int64) + 2
+    seq = np.concatenate(
+        [
+            sym[:na],
+            np.array([0], dtype=np.int64),
+            sym[na:],
+            np.array([1], dtype=np.int64),
+        ]
+    )
+    sa = suffix_array(seq)
+    lcp = lcp_array(seq, sa)
+    n = len(seq)
+    from_a = sa < na
+    from_b = (sa > na) & (sa < n - 1)
+    big = np.int64(1 << 62)
+    # forward sweep: min LCP since the nearest a-suffix above
+    up = np.zeros(n, dtype=np.int64)
+    carry = -1  # -1 = no a-suffix seen yet
+    for r in range(n):
+        if r > 0 and carry >= 0:
+            carry = min(carry, lcp[r])
+        if from_b[r] and carry > 0:
+            up[r] = carry
+        if from_a[r]:
+            carry = big
+    # backward sweep: min LCP down to the nearest a-suffix below
+    down = np.zeros(n, dtype=np.int64)
+    carry = -1
+    for r in range(n - 1, -1, -1):
+        if from_b[r] and carry > 0:
+            down[r] = carry
+        if from_a[r]:
+            carry = big
+        if carry >= 0:
+            carry = min(carry, lcp[r])
+    ms = np.zeros(nb, dtype=np.int64)
+    best = np.maximum(up, down)
+    ms[sa[from_b] - (na + 1)] = best[from_b]
+    return ms
+
+
+def merge_intervals(
+    starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union of half-open intervals ``[start, end)`` -> disjoint merged
+    intervals sorted by start (touching intervals merge). Vectorized
+    sweep: sort by start, running-max of ends, split where a start
+    exceeds the running max so far."""
+    if len(starts) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    order = np.argsort(starts, kind="stable")
+    s = np.asarray(starts, dtype=np.int64)[order]
+    e = np.asarray(ends, dtype=np.int64)[order]
+    emax = np.maximum.accumulate(e)
+    new_run = np.concatenate(([True], s[1:] > emax[:-1]))
+    run_id = np.cumsum(new_run) - 1
+    out_s = s[new_run]
+    n_runs = run_id[-1] + 1
+    out_e = np.zeros(n_runs, dtype=np.int64)
+    np.maximum.at(out_e, run_id, e)
+    return out_s, out_e
+
+
+def matching_statistics_dp(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Quadratic-DP oracle for ``matching_statistics`` (test use):
+    ``L[i, p] = a[i] == b[p] ? L[i+1, p+1] + 1 : 0``; ``ms[p]`` =
+    ``max_i L[i, p]`` — row-vectorized over ``a``."""
+    na, nb = len(a), len(b)
+    ms = np.zeros(nb, dtype=np.int64)
+    if na == 0 or nb == 0:
+        return ms
+    prev = np.zeros(nb, dtype=np.int64)  # L[i+1, :]
+    for i in range(na - 1, -1, -1):
+        cur = np.zeros(nb, dtype=np.int64)
+        match = b == a[i]
+        cur[:-1] = np.where(match[:-1], prev[1:] + 1, 0)
+        if match[-1]:
+            cur[-1] = 1
+        np.maximum(ms, cur, out=ms)
+        prev = cur
+    return ms
+
+
 def lcs_ratio(a: np.ndarray, b: np.ndarray) -> float:
     """LCS length normalized by the shorter sequence — 1.0 when one
     snippet's token stream is wholly contained in the other."""
