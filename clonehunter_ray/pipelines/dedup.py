@@ -337,48 +337,138 @@ def minhash_dedup_pairs(
     return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+def _route_and_verify_chunk(
+    shards,
+    n_shards: int,
+    ids: np.ndarray,
+    blobs: list[bytes],
+    threshold: float,
+    n_qb: int,
+    *refs,
+) -> pa.Table:
+    """Worker-side tail of one ingest chunk: candidate-pair dedup,
+    owner-routed exact verification, keep-earliest reduction (a doc
+    lives in exactly one chunk, so the per-chunk reduction IS the
+    global one). ``refs[:n_qb]`` are the chunk's resolved per-shard
+    ``query_bands`` results; the remaining refs are the PREVIOUS
+    chunk's add results — data-only dependencies that guarantee every
+    earlier chunk's blobs are installed on every shard before this
+    task's verify calls land (actor tasks execute in submission order
+    per submitter, so add(N-1) done everywhere implies add(<=N-1)
+    done everywhere)."""
+    from clonehunter_ray.state.lsh_index import (
+        dedupe_candidate_pairs,
+        keep_earliest,
+        verify_on_owners,
+    )
+
+    qb = refs[:n_qb]
+    new_idx, corpus = dedupe_candidate_pairs(list(qb))
+    flagged = verify_on_owners(
+        shards, n_shards, new_idx, corpus, ids, blobs, threshold
+    )
+    return keep_earliest(flagged)
+
+
 def incremental_dedup_stream(
     docs_ds: "ray.data.Dataset",
     threshold: float = 0.8,
     chunk_rows: int = 200,
     n_shards: int = 4,
     config: SignatureConfig | None = None,
-) -> pa.Table:
+    max_inflight_chunks: int = 8,
+) -> "ray.data.Dataset":
     """Streaming-ingest near-dedup: documents arrive in doc_id order in
     chunks; each chunk is checked against everything indexed BEFORE it
-    (query-then-add against state/lsh_index.ShardedLshIndex), returning
+    (query-then-add against state/lsh_index's shard actors), returning
     (doc_id, dup_of, jaccard) with dup_of the EARLIEST matching indexed
     doc — the append-only semantics the batch re-band pipelines can't
-    express. The driver only routes id/band/blob arrays chunk by chunk;
-    signature hashing and Jaccard verification run vectorized on the
-    shard actors, and corpus payloads never leave their owning shard.
-    """
-    from clonehunter_ray.state.lsh_index import ShardedLshIndex
+    express.
 
-    index = ShardedLshIndex(n_shards=n_shards, config=config)
-    parts: list[pa.Table] = []
+    Pipelined (round-4 rework of the driver-serialized loop): signature
+    hashing runs as a distributed actor-pool stage BEFORE the ingest
+    order sort; the driver's per-chunk work is pure array slicing and
+    task submission — it submits query_bands then add to the shards
+    (actor submission order preserves query-before-add, chunk order,
+    and append-only semantics with NO ray.get barrier) and hands the
+    chunk's verification + keep-earliest reduction to a detached
+    worker task gated on the previous chunk's add refs. Chunk N's
+    verify therefore overlaps chunk N+1..N+k's routing
+    (``max_inflight_chunks`` bounds the overlap), and the flagged rows
+    come back as a ``ray.data.Dataset`` built from the per-chunk
+    result refs — nothing corpus-scale is ever concatenated on the
+    driver.
+    """
+    from clonehunter_ray.state.lsh_index import OUT_SCHEMA, ShardedLshIndex
+    from clonehunter_ray.util import auto_actor_count
+
+    cfg = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
+    index = ShardedLshIndex(n_shards=n_shards, config=cfg)
+
+    # distributed signature stage FIRST, ingest-order sort LAST (the
+    # sort being the final op keeps iter_batches in sorted order even
+    # with preserve_order off)
+    sig = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            DocSignatureStage,
+            fn_constructor_kwargs={"config": cfg},
+            concurrency=(2, auto_actor_count()),
+            batch_size=256,
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "shingles", "band_keys"])
+        .sort("doc_id")
+    )
+
+    flagged_refs = []
+    prev_add_refs: list = []
     try:
-        for batch in (
-            docs_ds.select_columns(["doc_id", "text"])
-            .sort("doc_id")
-            .iter_batches(batch_size=chunk_rows, batch_format="pyarrow")
+        for batch in sig.iter_batches(
+            batch_size=chunk_rows, batch_format="pyarrow"
         ):
-            parts.append(index.query_then_add(batch, threshold))
+            import pyarrow.compute as pc
+
+            ids = (
+                batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            blobs = batch["shingles"].to_pylist()
+            bands = (
+                pc.list_flatten(batch["band_keys"])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                .reshape(len(ids), cfg.num_bands)
+            )
+            qb_refs = index.submit_query_bands(ids, bands)
+            add_refs = index.submit_add(ids, blobs, bands)
+            flagged_refs.append(
+                _route_and_verify_chunk.remote(
+                    index.shards,
+                    n_shards,
+                    ids,
+                    blobs,
+                    threshold,
+                    len(qb_refs),
+                    *qb_refs,
+                    *prev_add_refs,
+                )
+            )
+            prev_add_refs = add_refs
+            if len(flagged_refs) > max_inflight_chunks:
+                # bounded pipeline: block until the chunk that is
+                # max_inflight behind has fully verified
+                ray.wait(
+                    [flagged_refs[-max_inflight_chunks - 1]], num_returns=1
+                )
+        # the shard actors must outlive every in-flight verify call
+        if flagged_refs:
+            ray.wait(flagged_refs, num_returns=len(flagged_refs))
     finally:
         index.shutdown()
-    flagged = pa.concat_tables(parts) if parts else None
-    if flagged is None or flagged.num_rows == 0:
-        return pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("dup_of", pa.int64()),
-                ("jaccard", pa.float64()),
-            ]
-        ).empty_table()
-    # keep the EARLIEST dup_of per doc (deterministic representative)
-    df = flagged.to_pandas().sort_values(["doc_id", "dup_of"])
-    df = df.groupby("doc_id", as_index=False).first()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    if not flagged_refs:
+        return ray.data.from_arrow(OUT_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(flagged_refs)
 
 
 def minhash_dedup_keep(

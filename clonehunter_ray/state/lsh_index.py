@@ -35,9 +35,17 @@ from clonehunter_ray.config import SignatureConfig
 from clonehunter_ray.functions import hashing as H
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _LshIndexShard:
-    """One hash shard: band postings + payload blobs + local verify."""
+    """One hash shard: band postings + payload blobs + local verify.
+
+    num_cpus=0: the shards are a long-lived state service that must
+    coexist with the signature actor pool and Ray Data's read/sort
+    tasks inside the same CPU budget — N shards each holding a full
+    logical CPU deadlocks a small session (4 shards = the whole 4-CPU
+    test cluster) before the ingest pipeline can start. Their verify
+    bursts are short and vectorized; mild oversubscription beats a
+    resource deadlock."""
 
     def __init__(self) -> None:
         self._postings: dict[int, list[np.ndarray]] = {}
@@ -100,6 +108,95 @@ class _LshIndexShard:
         return {"band_keys": len(self._postings), "docs": len(self._blobs)}
 
 
+OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("dup_of", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def dedupe_candidate_pairs(
+    qb_results: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-shard ``query_bands`` results and drop duplicate
+    (new_idx, corpus_doc) pairs (the same pair surfaces from many
+    bands/shards)."""
+    new_idx = np.concatenate([c[0] for c in qb_results])
+    corpus = np.concatenate([c[1] for c in qb_results])
+    if new_idx.size == 0:
+        return new_idx, corpus
+    order = np.lexsort((corpus, new_idx))
+    new_idx, corpus = new_idx[order], corpus[order]
+    keep = np.concatenate(
+        [[True], (new_idx[1:] != new_idx[:-1]) | (corpus[1:] != corpus[:-1])]
+    )
+    return new_idx[keep], corpus[keep]
+
+
+def verify_on_owners(
+    shards,
+    n_shards: int,
+    new_idx: np.ndarray,
+    corpus: np.ndarray,
+    ids: np.ndarray,
+    blobs: list[bytes],
+    threshold: float,
+) -> pa.Table:
+    """Exact-Jaccard verification of candidate (new, corpus) pairs on
+    the shard OWNING each corpus doc (payloads never move); returns
+    flagged (doc_id, dup_of, jaccard) rows. Blocks on the verify round
+    trip — call from a worker task to keep the driver free."""
+    if new_idx.size == 0:
+        return OUT_SCHEMA.empty_table()
+    owner = corpus % n_shards
+    refs, slots = [], []
+    for s in range(n_shards):
+        sel = np.flatnonzero(owner == s)
+        if sel.size == 0:
+            continue
+        refs.append(
+            shards[s].verify.remote(
+                corpus[sel], [blobs[i] for i in new_idx[sel]]
+            )
+        )
+        slots.append(sel)
+    jac = np.zeros(new_idx.size, dtype=np.float64)
+    for sel, res in zip(slots, ray.get(refs)):
+        jac[sel] = res
+    hit = jac >= threshold
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[new_idx[hit]], pa.int64()),
+            "dup_of": pa.array(corpus[hit], pa.int64()),
+            "jaccard": pa.array(jac[hit], pa.float64()),
+        },
+        schema=OUT_SCHEMA,
+    )
+
+
+def keep_earliest(t: pa.Table) -> pa.Table:
+    """One row per doc_id: the EARLIEST (min) dup_of — the
+    deterministic representative. Vectorized lexsort + run-first."""
+    if t.num_rows == 0:
+        return OUT_SCHEMA.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    dup = t["dup_of"].to_numpy(zero_copy_only=False)
+    jac = t["jaccard"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dup, ids))
+    first = np.concatenate([[True], ids[order][1:] != ids[order][:-1]])
+    sel = order[first]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "dup_of": pa.array(dup[sel], pa.int64()),
+            "jaccard": pa.array(jac[sel], pa.float64()),
+        },
+        schema=OUT_SCHEMA,
+    )
+
+
 class ShardedLshIndex:
     """Driver-side handle over N ``_LshIndexShard`` actors."""
 
@@ -127,8 +224,11 @@ class ShardedLshIndex:
 
     # -- mutations / queries -------------------------------------------------
 
-    def add(self, batch: pa.Table) -> None:
-        ids, shingles, bands = self._signatures(batch)
+    def submit_add(self, ids: np.ndarray, blobs: list[bytes], bands: np.ndarray):
+        """Route one chunk's signatures to the shards WITHOUT blocking:
+        returns the per-shard add ObjectRefs (actor tasks execute in
+        submission order, so a caller that submits query-then-add per
+        chunk keeps append-only semantics with no driver barrier)."""
         flat_keys = bands.ravel()
         flat_ids = np.repeat(ids, bands.shape[1])
         band_shard = (flat_keys % np.uint64(self.n)).astype(np.int64)
@@ -142,70 +242,48 @@ class ShardedLshIndex:
                     flat_keys[bm],
                     flat_ids[bm],
                     ids[dm],
-                    [shingles[i].tobytes() for i in dm],
+                    [blobs[i] for i in dm],
                 )
             )
-        ray.get(refs)
+        return refs
+
+    def submit_query_bands(self, ids: np.ndarray, bands: np.ndarray):
+        """Route one chunk's band keys to the shards WITHOUT blocking:
+        returns per-shard ``query_bands`` ObjectRefs resolving to
+        (local new-row idx, corpus doc_id) candidate arrays."""
+        flat_keys = bands.ravel()
+        flat_idx = np.repeat(
+            np.arange(len(ids), dtype=np.int64), bands.shape[1]
+        )
+        band_shard = (flat_keys % np.uint64(self.n)).astype(np.int64)
+        return [
+            self.shards[s].query_bands.remote(
+                flat_keys[band_shard == s], flat_idx[band_shard == s]
+            )
+            for s in range(self.n)
+        ]
+
+    def add(self, batch: pa.Table) -> None:
+        ids, shingles, bands = self._signatures(batch)
+        ray.get(
+            self.submit_add(ids, [s.tobytes() for s in shingles], bands)
+        )
 
     def query(self, batch: pa.Table, threshold: float = 0.8) -> pa.Table:
         """Verified near-dup pairs of ``batch`` against the CURRENT
         index: (doc_id, dup_of, jaccard), one row per indexed doc whose
         exact shingle Jaccard with the new doc reaches ``threshold``."""
-        out_schema = pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("dup_of", pa.int64()),
-                ("jaccard", pa.float64()),
-            ]
-        )
         ids, shingles, bands = self._signatures(batch)
-        flat_keys = bands.ravel()
-        flat_idx = np.repeat(np.arange(len(ids), dtype=np.int64), bands.shape[1])
-        band_shard = (flat_keys % np.uint64(self.n)).astype(np.int64)
-        cand = ray.get(
-            [
-                self.shards[s].query_bands.remote(
-                    flat_keys[band_shard == s], flat_idx[band_shard == s]
-                )
-                for s in range(self.n)
-            ]
-        )
-        new_idx = np.concatenate([c[0] for c in cand])
-        corpus = np.concatenate([c[1] for c in cand])
-        if new_idx.size == 0:
-            return out_schema.empty_table()
-        # dedupe candidate pairs (same pair from many bands/shards)
-        order = np.lexsort((corpus, new_idx))
-        new_idx, corpus = new_idx[order], corpus[order]
-        keep = np.concatenate(
-            [[True], (new_idx[1:] != new_idx[:-1]) | (corpus[1:] != corpus[:-1])]
-        )
-        new_idx, corpus = new_idx[keep], corpus[keep]
-        # verify on the OWNER shard of each corpus doc
-        owner = corpus % self.n
-        refs, slots = [], []
-        for s in range(self.n):
-            sel = np.flatnonzero(owner == s)
-            if sel.size == 0:
-                continue
-            refs.append(
-                self.shards[s].verify.remote(
-                    corpus[sel],
-                    [shingles[i].tobytes() for i in new_idx[sel]],
-                )
-            )
-            slots.append(sel)
-        jac = np.zeros(new_idx.size, dtype=np.float64)
-        for sel, res in zip(slots, ray.get(refs)):
-            jac[sel] = res
-        hit = jac >= threshold
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[new_idx[hit]], pa.int64()),
-                "dup_of": pa.array(corpus[hit], pa.int64()),
-                "jaccard": pa.array(jac[hit], pa.float64()),
-            },
-            schema=out_schema,
+        cand = ray.get(self.submit_query_bands(ids, bands))
+        new_idx, corpus = dedupe_candidate_pairs(cand)
+        return verify_on_owners(
+            self.shards,
+            self.n,
+            new_idx,
+            corpus,
+            ids,
+            [s.tobytes() for s in shingles],
+            threshold,
         )
 
     def query_then_add(self, batch: pa.Table, threshold: float = 0.8) -> pa.Table:

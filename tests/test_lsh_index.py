@@ -123,7 +123,7 @@ def test_incremental_stream_batch_boundary_semantics(ray_session):
     texts = ["identical text body " * 10] * 3
     ds = ray.data.from_arrow(_mk_batch([1, 2, 3], texts))
     res = incremental_dedup_stream(ds, threshold=0.8, chunk_rows=10, config=CFG)
-    assert res.num_rows == 0
+    assert res.count() == 0
     # chunk_rows=1 -> docs 2 and 3 both dup of doc 1
     res2 = incremental_dedup_stream(
         ds, threshold=0.8, chunk_rows=1, config=CFG

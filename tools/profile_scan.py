@@ -52,25 +52,41 @@ def main() -> None:
             override_num_blocks=max(32, ncpu * 4, n_files // 400),
         )
 
+    def plasma_used() -> str:
+        """Current plasma (object store) usage, from the memory
+        summary's 'Plasma memory usage N MiB' line."""
+        try:
+            from ray._private.internal_api import memory_summary
+
+            for line in memory_summary(stats_only=True).splitlines():
+                if "Plasma memory usage" in line:
+                    return line.strip()
+        except Exception as exc:  # noqa: BLE001 - diagnostic only
+            return f"(memory summary unavailable: {exc})"
+        return "(no plasma line)"
+
     t0 = time.monotonic()
     signatures = build_signatures(read(), cfg).materialize()
     t_sig = time.monotonic() - t0
     n_sig = signatures.count()
+    mem_sig = plasma_used()
 
     t0 = time.monotonic()
     pairs = build_pairs(signatures, cfg).materialize()
     t_pairs = time.monotonic() - t0
     n_pairs = pairs.count()
+    mem_pairs = plasma_used()
 
     t0 = time.monotonic()
     findings = build_findings(pairs, cfg).materialize()
     t_find = time.monotonic() - t0
     n_find = findings.count()
+    mem_find = plasma_used()
 
     print(f"files={n_files} cpus={ncpu}")
-    print(f"signatures: {t_sig:8.2f}s  rows={n_sig}")
-    print(f"pairs:      {t_pairs:8.2f}s  rows={n_pairs}")
-    print(f"findings:   {t_find:8.2f}s  rows={n_find}")
+    print(f"signatures: {t_sig:8.2f}s  rows={n_sig}  [{mem_sig}]")
+    print(f"pairs:      {t_pairs:8.2f}s  rows={n_pairs}  [{mem_pairs}]")
+    print(f"findings:   {t_find:8.2f}s  rows={n_find}  [{mem_find}]")
     total = t_sig + t_pairs + t_find
     print(f"total:      {total:8.2f}s  ({n_files / total:.1f} files/s)")
     print("--- pairs stage stats (tail) ---")
