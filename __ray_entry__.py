@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_analysis.compression_ratio(_docs(sf))
         ),
         "passage_dedup_spans_documents": _passage_spans,
+        "passage_decontaminate_spans_documents": _passage_decon_spans,
         "scan_documents_pipeline": _scan_documents,
         "scan_code_expansion": _scan_code_expansion,
         "scan_code_substring": _scan_code_substring,
@@ -240,6 +241,36 @@ def _passage_spans(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return passage_dedup_spans(docs, min_len=15)
+
+
+def _passage_decon_spans(sf_dir: str):
+    """Rows-only: span-level benchmark decontamination — maximal
+    verbatim token spans of train docs (doc_id % 13 != 0) that also
+    appear in the held-out set (doc_id % 13 == 0), with exact removal
+    boundaries (the GPT-3 13-gram recipe's span-precise form; the
+    gram-overlap variant decontaminate_documents is the oracle-checked
+    companion). Pinned by tests/test_passage.py vs a DP oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clonehunter_ray.pipelines.passage import passage_decontaminate_spans
+    from clonehunter_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _side(keep_bench: bool):
+        def fn(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 13 == 0) == keep_bench
+            return t.filter(pa.array(m, pa.bool_()))
+
+        return fn
+
+    train = docs.map_batches(_side(False), batch_format="pyarrow")
+    bench = docs.map_batches(_side(True), batch_format="pyarrow")
+    return passage_decontaminate_spans(train, bench, min_len=13)
 
 
 def _media_ds(n: int = 128):

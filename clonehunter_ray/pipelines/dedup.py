@@ -313,9 +313,21 @@ def minhash_dedup_pairs(
     b_side = payload.map_batches(
         lambda t: t.rename_columns(["b_id", "b_shingles"]), batch_format="pyarrow"
     )
-    joined = deduped.select_columns(["a_id", "b_id", "capped"]).join(
-        a_side, "inner", num_partitions, on=("a_id",)
-    ).join(b_side, "inner", num_partitions, on=("b_id",))
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        safe_join(
+            deduped.select_columns(["a_id", "b_id", "capped"]),
+            a_side,
+            "inner",
+            num_partitions,
+            on=("a_id",),
+        ),
+        b_side,
+        "inner",
+        num_partitions,
+        on=("b_id",),
+    )
 
     def verify_joined(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -550,8 +562,15 @@ def _minhash_keep_distributed(
     )
     labels = hashmin_labels(edges)  # (unit_id:int64, label:int64)
     nparts = safe_join_partitions(16)
-    annotated = docs_ds.select_columns(["doc_id"]).join(
-        labels, "left_outer", nparts, on=("doc_id",), right_on=("unit_id",)
+    from clonehunter_ray.util import safe_join
+
+    annotated = safe_join(
+        docs_ds.select_columns(["doc_id"]),
+        labels,
+        "left_outer",
+        nparts,
+        on=("doc_id",),
+        right_on=("unit_id",),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -729,7 +748,7 @@ def minhash_dedup_keep_best(
     import pyarrow.compute as pc
 
     from clonehunter_ray.pipelines.text_analysis import quality_scores_batch
-    from clonehunter_ray.util import safe_join_partitions
+    from clonehunter_ray.util import safe_join, safe_join_partitions
 
     base = minhash_dedup_keep(
         docs_ds, threshold, config, driver_max_edges
@@ -754,7 +773,9 @@ def minhash_dedup_keep_best(
     )
     nj = safe_join_partitions(num_partitions)
     labeled = (
-        base.join(quality, "inner", nj, on=("doc_id",), right_on=("q_doc_id",))
+        safe_join(
+            base, quality, "inner", nj, on=("doc_id",), right_on=("q_doc_id",)
+        )
         .select_columns(["doc_id", "cluster_id", "quality"])
         # consumed twice (winner partials + final attach): materialize
         # the NARROW table (3 scalar cols, ~20 B/row — spills fine)
@@ -822,8 +843,13 @@ def minhash_dedup_keep_best(
         .repartition(nj)
     )
 
-    out = labeled.join(
-        winners, "left_outer", nj, on=("cluster_id",), right_on=("w_cluster_id",)
+    out = safe_join(
+        labeled,
+        winners,
+        "left_outer",
+        nj,
+        on=("cluster_id",),
+        right_on=("w_cluster_id",),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -239,6 +239,22 @@ def passage_dup_span_pairs(
         _dedupe_int_pairs_partition, batch_format="pyarrow"
     )
 
+    return _attach_and_verify(
+        sig, deduped, min_len, broadcast_limit, num_partitions
+    )
+
+
+def _attach_and_verify(
+    sig,
+    deduped,
+    min_len: int,
+    broadcast_limit: int,
+    num_partitions: int,
+):
+    """Shared verification tail: attach both sides' token blobs to the
+    deduped (a_id, b_id, capped) candidate pairs — plasma broadcast
+    below ``broadcast_limit`` docs, two partitioned hash joins above —
+    then run the exact matching-statistics span kernel per pair."""
     n_docs = sig.count()
     if n_docs <= broadcast_limit:
         from clonehunter_ray.stages.candidates import (
@@ -285,10 +301,20 @@ def passage_dup_span_pairs(
         lambda t: t.rename_columns(["b_id", "b_tokens"]),
         batch_format="pyarrow",
     )
-    joined = (
-        deduped.select_columns(["a_id", "b_id", "capped"])
-        .join(a_side, "inner", nparts, on=("a_id",))
-        .join(b_side, "inner", nparts, on=("b_id",))
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        safe_join(
+            deduped.select_columns(["a_id", "b_id", "capped"]),
+            a_side,
+            "inner",
+            nparts,
+            on=("a_id",),
+        ),
+        b_side,
+        "inner",
+        nparts,
+        on=("b_id",),
     )
 
     def verify_joined(batch: pa.Table) -> pa.Table:
@@ -392,8 +418,6 @@ def passage_dedup_documents(
         per_doc, batch_format="pyarrow"
     )
 
-    from clonehunter_ray.util import safe_join_partitions
-
     ids = docs_ds.map_batches(
         lambda t: pa.table(
             {
@@ -406,11 +430,10 @@ def passage_dedup_documents(
         ),
         batch_format="pyarrow",
     )
-    joined = ids.join(
-        flagged,
-        "left_outer",
-        safe_join_partitions(16),
-        on=("doc_id",),
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        ids, flagged, "left_outer", 16, on=("doc_id",)
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -635,3 +658,200 @@ def passage_dup_stats_documents(
     return stats.map_batches(finish, batch_format="pyarrow").union(
         docs.map_batches(short_doc_zero_rows, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination: train spans verbatim-present in a benchmark
+# ---------------------------------------------------------------------------
+
+
+def _emit_cross_side_pairs_partition(
+    partition: pa.Table, max_bucket_pairs: int = 1024
+) -> pa.Table:
+    """One gram-hash partition of (band_key, doc_id, side) rows ->
+    cross-side candidate pairs (a_id = benchmark doc, b_id = train
+    doc). Buckets whose bench x train product exceeds the cap connect
+    every train doc to the MIN bench id only (flaggedness is
+    preserved — the selected gram is identical content in all of them
+    — and ``capped`` rides to the output). Only buckets containing
+    BOTH sides are walked, so the Python loop touches contaminated
+    grams only."""
+    from clonehunter_ray.pipelines.dedup import _INT_PAIRS_SCHEMA
+
+    if partition.num_rows == 0:
+        return _INT_PAIRS_SCHEMA.empty_table()
+    keys = partition["band_key"].to_numpy(zero_copy_only=False)
+    ids = partition["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    side = partition["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, side, keys))
+    keys, ids, side = keys[order], ids[order], side[order]
+    # drop duplicate (key, side, id) rows
+    keep = np.concatenate(
+        [
+            [True],
+            (keys[1:] != keys[:-1])
+            | (side[1:] != side[:-1])
+            | (ids[1:] != ids[:-1]),
+        ]
+    )
+    keys, ids, side = keys[keep], ids[keep], side[keep]
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    # buckets with both sides: side is sorted within bucket (0s first)
+    n_bench = np.add.reduceat(
+        (side == 0).astype(np.int64), starts
+    )
+    mixed = (n_bench > 0) & (n_bench < counts)
+    a_parts, b_parts, c_parts = [], [], []
+    for s, c, nb in zip(starts[mixed], counts[mixed], n_bench[mixed]):
+        bench = ids[s : s + nb]
+        train = ids[s + nb : s + c]
+        if nb * (c - nb) <= max_bucket_pairs:
+            a_parts.append(np.repeat(bench, train.size))
+            b_parts.append(np.tile(train, bench.size))
+            c_parts.append(np.zeros(bench.size * train.size, dtype=bool))
+        else:
+            a_parts.append(np.full(train.size, bench[0], dtype=np.int64))
+            b_parts.append(train)
+            c_parts.append(np.ones(train.size, dtype=bool))
+    if not a_parts:
+        return _INT_PAIRS_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "a_id": pa.array(np.concatenate(a_parts), pa.int64()),
+            "b_id": pa.array(np.concatenate(b_parts), pa.int64()),
+            "capped": pa.array(np.concatenate(c_parts), pa.bool_()),
+        },
+        schema=_INT_PAIRS_SCHEMA,
+    )
+
+
+def passage_decontaminate_spans(
+    train_ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    min_len: int = 13,
+    gram_len: int | None = None,
+    window: int | None = None,
+    num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
+    max_bucket_pairs: int = 1024,
+) -> "ray.data.Dataset":
+    """Span-level benchmark decontamination (the GPT-3 13-gram recipe
+    with exact removal boundaries): maximal verbatim token spans of
+    >= ``min_len`` tokens in TRAIN documents that also appear anywhere
+    in the BENCHMARK corpus, as (doc_id, span_start, span_end,
+    span_tokens) rows over the train side. The gram-overlap companion
+    (queries.decontaminate_documents) answers *whether* a doc is
+    contaminated; this answers *which bytes to cut*.
+
+    Same exact machinery as passage dedup — winnow fingerprints on
+    both sides (detection guarantee ``min_len``), one gram-partitioned
+    shuffle of (gram, doc, side) id rows, cross-side-only pair
+    emission, suffix-array matching statistics of each train doc
+    against its matched benchmark doc — so a benchmark of any size
+    streams; nothing requires the held-out set to fit in one object.
+    Doc ids must be unique ACROSS the two inputs (they address the
+    shared token-blob table).
+    """
+    if gram_len is None:
+        gram_len = max(2, (min_len + 1) // 2)
+    if window is None:
+        window = min_len - gram_len + 1
+    if gram_len + window - 1 != min_len:
+        raise ValueError(
+            f"gram_len ({gram_len}) + window ({window}) - 1 must equal "
+            f"min_len ({min_len}) for the winnowing guarantee"
+        )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = _fingerprint_batch(batch, gram_len, window)
+            return t.append_column(
+                "side", pa.nulls(t.num_rows, pa.int8()).fill_null(side)
+            )
+
+        return fn
+
+    sig = (
+        bench_ds.map_batches(tag(0), batch_format="pyarrow", batch_size=256)
+        .union(
+            train_ds.map_batches(
+                tag(1), batch_format="pyarrow", batch_size=256
+            )
+        )
+        .materialize()
+    )
+
+    def explode_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        base = _explode_grams(batch)
+        parent = pc.list_parent_indices(batch["grams"]).to_numpy(
+            zero_copy_only=False
+        )
+        sides = (
+            batch["side"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        )
+        return base.append_column("side", pa.array(sides, pa.int8()))
+
+    bands = sig.select_columns(["doc_id", "grams", "side"]).map_batches(
+        explode_side, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    t["band_key"].to_numpy(zero_copy_only=False)
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    from clonehunter_ray.pipelines.dedup import _dedupe_int_pairs_partition
+
+    cand = bands.groupby("part").map_groups(
+        lambda g: _emit_cross_side_pairs_partition(g, max_bucket_pairs),
+        batch_format="pyarrow",
+    )
+    deduped = cand.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pa.array(
+                (
+                    (
+                        t["a_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                        ^ t["b_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        _dedupe_int_pairs_partition, batch_format="pyarrow"
+    )
+
+    pairs = _attach_and_verify(
+        sig, deduped, min_len, broadcast_limit, num_partitions
+    )
+
+    def merge_doc(g: pa.Table) -> pa.Table:
+        s, e = merge_intervals(
+            g["b_start"].to_numpy(zero_copy_only=False),
+            g["b_end"].to_numpy(zero_copy_only=False),
+        )
+        did = g["b_id"][0].as_py()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(s), did), pa.int64()),
+                "span_start": pa.array(s, pa.int64()),
+                "span_end": pa.array(e, pa.int64()),
+                "span_tokens": pa.array(e - s, pa.int64()),
+            },
+            schema=_SPAN_SCHEMA,
+        )
+
+    return pairs.groupby("b_id").map_groups(merge_doc, batch_format="pyarrow")

@@ -342,11 +342,10 @@ def duplicate_clusters_documents(
             }
         )
 
-    return docs.join(
-        labels,
-        "left_outer",
-        safe_join_partitions(8),
-        on=("doc_id",),
+    from clonehunter_ray.util import safe_join
+
+    return safe_join(
+        docs, labels, "left_outer", 8, on=("doc_id",)
     ).map_batches(finish, batch_format="pyarrow")
 
 
@@ -1530,9 +1529,10 @@ def customers_without_orders(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_o"))
     )
-    nparts = safe_join_partitions(16)
-    joined = cust.join(
-        dist, "left_outer", nparts, on=("c_custkey",), right_on=("o_custkey",)
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        cust, dist, "left_outer", 16, on=("c_custkey",), right_on=("o_custkey",)
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
@@ -1602,8 +1602,15 @@ def shipping_priority_revenue(
         seg_keys = cust_ds.filter(
             expr="c_mktsegment == 'BUILDING'"
         ).select_columns(["c_custkey"])
-        orders = orders.join(
-            seg_keys, "inner", nparts, on=("o_custkey",), right_on=("c_custkey",)
+        from clonehunter_ray.util import safe_join
+
+        orders = safe_join(
+            orders,
+            seg_keys,
+            "inner",
+            nparts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
         ).select_columns(["o_orderkey", "o_orderdate"])
 
     def line_partial(batch: pd.DataFrame) -> pa.Table:
@@ -1651,8 +1658,15 @@ def shipping_priority_revenue(
 
         joined = line.map_batches(attach, batch_format="pandas")
     else:
-        joined = line.join(
-            orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
+        from clonehunter_ray.util import safe_join
+
+        joined = safe_join(
+            line,
+            orders,
+            "inner",
+            nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
         )
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("v", alias_name="v_sum")
@@ -1919,9 +1933,11 @@ def revenue_by_nation(sf_dir: str, customer_broadcast_limit: int = 1_000_000):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(partial_by_order, batch_format="pandas")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from clonehunter_ray.util import safe_join
+
     nparts = safe_join_partitions(16)
-    joined = line.join(
-        orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
+    joined = safe_join(
+        line, orders, "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     if broadcast_cust:
@@ -1943,8 +1959,13 @@ def revenue_by_nation(sf_dir: str, customer_broadcast_limit: int = 1_000_000):
         keyed = joined.map_batches(to_nation, batch_format="pandas")
     else:
         nn_ref = ray.put(nation_name)
-        joined = joined.join(
-            cust_ds, "inner", nparts, on=("o_custkey",), right_on=("c_custkey",)
+        joined = safe_join(
+            joined,
+            cust_ds,
+            "inner",
+            nparts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
         )
 
         def to_nation_joined(batch: pd.DataFrame) -> pa.Table:
@@ -2278,10 +2299,13 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_o"))
     )
-    joined = maybes.join(
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        maybes,
         dist,
         "left_outer",
-        safe_join_partitions(16),
+        16,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -2363,8 +2387,14 @@ def _tfidf_topk_join(docs, df_tbl, n_docs: int, k: int):
             }
         )
 
-    joined = docs.map_batches(tf_rows, batch_format="pyarrow").join(
-        df_tbl, "inner", safe_join_partitions(16), on=("tok",)
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        docs.map_batches(tf_rows, batch_format="pyarrow"),
+        df_tbl,
+        "inner",
+        16,
+        on=("tok",),
     )
 
     def local_top(batch: pa.Table) -> pa.Table:
@@ -2629,8 +2659,10 @@ def decontaminate_documents_distributed(
 
     train_rows = train.map_batches(train_grams, batch_format="pyarrow")
     nparts = safe_join_partitions(16)
-    hit_rows = train_rows.join(
-        bench_set, "inner", nparts, on=("gram",), right_on=("gram",)
+    from clonehunter_ray.util import safe_join
+
+    hit_rows = safe_join(
+        train_rows, bench_set, "inner", nparts, on=("gram",), right_on=("gram",)
     )
     hits = (
         hit_rows.select_columns(["t_doc", "cnt"])
@@ -2638,8 +2670,8 @@ def decontaminate_documents_distributed(
         .aggregate(Sum("cnt", alias_name="n_hits"))
     )
     train_ids = train.select_columns(["doc_id"])
-    out = train_ids.join(
-        hits, "left_outer", nparts, on=("doc_id",), right_on=("t_doc",)
+    out = safe_join(
+        train_ids, hits, "left_outer", nparts, on=("doc_id",), right_on=("t_doc",)
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -230,13 +230,16 @@ def build_pairs(
 
     th = config.thresholds
     narrow_cols = ["snippet_id", "kind", "n_shingles", "n_tokens"]
+    from clonehunter_ray.util import safe_join
+
     nj = safe_join_partitions(nparts)
     gated = (
-        deduped.join(
-            _prefixed(signatures, "a_", narrow_cols),
-            "inner", nj, on=("a_id",), right_on=("a_snippet_id",),
-        )
-        .join(
+        safe_join(
+            safe_join(
+                deduped,
+                _prefixed(signatures, "a_", narrow_cols),
+                "inner", nj, on=("a_id",), right_on=("a_snippet_id",),
+            ),
             _prefixed(signatures, "b_", narrow_cols),
             "inner", nj, on=("b_id",), right_on=("b_snippet_id",),
         )
@@ -407,12 +410,18 @@ def _attach_payload_join(
     signature payload onto the pair rows."""
     from clonehunter_ray.util import safe_join_partitions
 
+    from clonehunter_ray.util import safe_join
+
     nparts = safe_join_partitions(config.exec.shuffle_partitions or 16)
     sig_a = _prefixed(signatures, "a_", payload_cols)
     sig_b = _prefixed(signatures, "b_", payload_cols)
-    return deduped.join(
-        sig_a, "inner", nparts, on=("a_id",), right_on=("a_snippet_id",)
-    ).join(sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",))
+    return safe_join(
+        safe_join(
+            deduped, sig_a, "inner", nparts,
+            on=("a_id",), right_on=("a_snippet_id",),
+        ),
+        sig_b, "inner", nparts, on=("b_id",), right_on=("b_snippet_id",),
+    )
 
 
 def build_findings(

@@ -133,12 +133,13 @@ def attach_cluster_ids_join(
                 )
         return batch
 
-    joined = findings_ds.map_batches(
-        _pack_lists, batch_format="pyarrow"
-    ).join(
+    from clonehunter_ray.util import safe_join
+
+    joined = safe_join(
+        findings_ds.map_batches(_pack_lists, batch_format="pyarrow"),
         labels_ds,
         "left_outer",
-        safe_join_partitions(num_partitions),
+        num_partitions,
         on=("unit_a",),
         right_on=("unit_id",),
     )
@@ -266,8 +267,10 @@ def hashmin_labels(
             lambda t: t.rename_columns(["src", "src_label"]),
             batch_format="pyarrow",
         )
-        msgs = sym_edges.join(
-            lab_src, "inner", num_partitions, on=("src",)
+        from clonehunter_ray.util import safe_join
+
+        msgs = safe_join(
+            sym_edges, lab_src, "inner", num_partitions, on=("src",)
         )
 
         def _emit(batch: pa.Table) -> pa.Table:
@@ -299,8 +302,11 @@ def hashmin_labels(
             prev_sum = new_sum
         else:
             # converged when no label changed (tiny join to compare)
+            from clonehunter_ray.util import safe_join
+
             changed = (
-                new_labels.join(
+                safe_join(
+                    new_labels,
                     labels.map_batches(
                         lambda t: t.rename_columns(["unit_id", "old_label"]),
                         batch_format="pyarrow",

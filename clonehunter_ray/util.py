@@ -22,6 +22,46 @@ def safe_join_partitions(requested: int) -> int:
     return max(2, min(requested, max(2, cpus // 2)))
 
 
+def scrub_empty_blocks(ds, batch_size: int = 4096):
+    """Re-bundle a Dataset so zero-column empty blocks disappear.
+
+    Ray's sort/aggregate exchanges emit ZERO-COLUMN blocks for empty
+    output partitions, map operators pass them through without ever
+    invoking the UDF, and Acero's hash join then dies with "No match
+    or multiple matches for key field reference" when one reaches a
+    join input (reproduced on Ray 2.49.2 with a tiny groupby feeding
+    a join). A map_batches with a NUMERIC batch_size coalesces blocks
+    through the batcher, which drops the schema-less empties — one
+    streaming pass, no materialization."""
+
+    def _identity(t):
+        return t
+
+    return ds.map_batches(
+        _identity, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def safe_join(
+    left,
+    right,
+    join_type: str,
+    num_partitions: int,
+    on: tuple,
+    right_on: tuple | None = None,
+):
+    """``Dataset.join`` with both inputs scrubbed of zero-column empty
+    blocks (see scrub_empty_blocks) and the partition count capped to
+    the cluster (see safe_join_partitions)."""
+    return scrub_empty_blocks(left).join(
+        scrub_empty_blocks(right),
+        join_type,
+        safe_join_partitions(num_partitions),
+        on=on,
+        right_on=right_on,
+    )
+
+
 def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     """``ray.data.read_parquet`` with the b'pandas' footer metadata
     stripped from the schema at the READ operator.

@@ -246,3 +246,100 @@ def test_passage_dup_stats_matches_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def _expected_decon_spans(train_tbl, bench_tbl, min_len):
+    """Offline oracle: per train doc, union of DP matching-statistics
+    spans >= min_len against EVERY benchmark doc."""
+    tr_toks = H.tokenize_hash_texts(train_tbl["text"])
+    be_toks = H.tokenize_hash_texts(bench_tbl["text"])
+    out = {}
+    for ti, tid in enumerate(train_tbl["doc_id"].to_pylist()):
+        starts, ends = [], []
+        for bj in range(len(be_toks)):
+            ms = matching_statistics_dp(be_toks[bj], tr_toks[ti])
+            hit = np.flatnonzero(ms >= min_len)
+            starts.extend(hit.tolist())
+            ends.extend((hit + ms[hit]).tolist())
+        if starts:
+            s, e = merge_intervals(np.array(starts), np.array(ends))
+            out[int(tid)] = list(zip(s.tolist(), e.tolist()))
+    return out
+
+
+def test_passage_decontaminate_spans_matches_oracle(ray_session):
+    rng = np.random.default_rng(41)
+    bench_texts = [
+        " ".join(_words(rng, int(rng.integers(20, 60)))) for _ in range(10)
+    ]
+    train_texts = [
+        " ".join(_words(rng, int(rng.integers(30, 100)))) for _ in range(30)
+    ]
+    # leak benchmark passages into three train docs
+    leak_a = " ".join(bench_texts[2].split()[:15])
+    leak_b = " ".join(bench_texts[7].split()[5:25])
+    train_texts[4] += " " + leak_a
+    train_texts[11] = leak_b + " " + train_texts[11]
+    train_texts[23] += " " + leak_a + " filler " + leak_b
+    bench = pa.table(
+        {
+            "doc_id": pa.array(range(1000, 1010), pa.int64()),
+            "text": pa.array(bench_texts, pa.string()),
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(train_texts, pa.string()),
+        }
+    )
+    got = _collect_spans(
+        passage.passage_decontaminate_spans(
+            ray.data.from_arrow(train),
+            ray.data.from_arrow(bench),
+            min_len=MIN_LEN,
+        )
+    )
+    want = _expected_decon_spans(train, bench, MIN_LEN)
+    assert got == want
+    assert {4, 11, 23} <= set(got)
+    # benchmark docs never appear in the output (train side only)
+    assert all(d < 1000 for d in got)
+
+
+def test_passage_decontaminate_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(5)
+    bench_texts = [" ".join(_words(rng, 30)) for _ in range(5)]
+    train_texts = [" ".join(_words(rng, 50)) for _ in range(20)]
+    train_texts[3] += " " + " ".join(bench_texts[0].split()[:12])
+    bench = pa.table(
+        {
+            "doc_id": pa.array(range(500, 505), pa.int64()),
+            "text": pa.array(bench_texts, pa.string()),
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(train_texts, pa.string()),
+        }
+    )
+    a = _collect_spans(
+        passage.passage_decontaminate_spans(
+            ray.data.from_arrow(train),
+            ray.data.from_arrow(bench),
+            min_len=MIN_LEN,
+        )
+    )
+    b = _collect_spans(
+        passage.passage_decontaminate_spans(
+            ray.data.from_arrow(train).repartition(6),
+            ray.data.from_arrow(bench).repartition(3),
+            min_len=MIN_LEN,
+            num_partitions=11,
+            broadcast_limit=0,  # join path
+            max_bucket_pairs=2,  # exercise the capped hub-spoke branch
+        )
+    )
+    assert 3 in a
+    assert a == b

@@ -63,3 +63,46 @@ def test_install_is_idempotent():
                 lg.removeFilter(f)
         for f in before:
             lg.addFilter(f)
+
+
+def test_safe_join_survives_zero_column_blocks(ray_session):
+    """Ray's sort/aggregate exchanges emit zero-column empty blocks;
+    map operators pass them through without invoking the UDF, and
+    Acero's hash join dies on them ("No match or multiple matches for
+    key field reference"). safe_join scrubs both sides first."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from clonehunter_ray.util import safe_join
+
+    left = ray.data.from_arrow(
+        [
+            pa.table({}),  # the poisoned block
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([10, 20, 30], pa.int64()),
+                }
+            ),
+        ]
+    )
+    right = ray.data.from_arrow(
+        [
+            pa.table(
+                {
+                    "k": pa.array([2, 3], pa.int64()),
+                    "w": pa.array([200, 300], pa.int64()),
+                }
+            ),
+            pa.table({}),
+        ]
+    )
+    out = (
+        safe_join(left, right, "inner", 4, on=("k",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [2, 3]
+    assert list(out["w"]) == [200, 300]

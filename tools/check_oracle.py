@@ -49,6 +49,9 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from clonehunter_ray.util import silence_empty_schema_warnings
+
+    silence_empty_schema_warnings()
 
     import __ray_entry__ as E
 

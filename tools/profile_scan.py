@@ -30,6 +30,9 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from clonehunter_ray.util import silence_empty_schema_warnings
+
+    silence_empty_schema_warnings()
 
     from bench import corpus_path
     from clonehunter_ray.config import EngineConfig
@@ -52,36 +55,31 @@ def main() -> None:
             override_num_blocks=max(32, ncpu * 4, n_files // 400),
         )
 
-    def plasma_used() -> str:
-        """Current plasma (object store) usage, from the memory
-        summary's 'Plasma memory usage N MiB' line."""
+    def mib(ds) -> str:
+        """Materialized object-store footprint of a stage's blocks —
+        the number the broadcast-cutover thresholds are sized by."""
         try:
-            from ray._private.internal_api import memory_summary
-
-            for line in memory_summary(stats_only=True).splitlines():
-                if "Plasma memory usage" in line:
-                    return line.strip()
+            return f"{ds.size_bytes() / (1 << 20):.0f} MiB in plasma"
         except Exception as exc:  # noqa: BLE001 - diagnostic only
-            return f"(memory summary unavailable: {exc})"
-        return "(no plasma line)"
+            return f"(size unavailable: {exc})"
 
     t0 = time.monotonic()
     signatures = build_signatures(read(), cfg).materialize()
     t_sig = time.monotonic() - t0
     n_sig = signatures.count()
-    mem_sig = plasma_used()
+    mem_sig = mib(signatures)
 
     t0 = time.monotonic()
     pairs = build_pairs(signatures, cfg).materialize()
     t_pairs = time.monotonic() - t0
     n_pairs = pairs.count()
-    mem_pairs = plasma_used()
+    mem_pairs = mib(pairs)
 
     t0 = time.monotonic()
     findings = build_findings(pairs, cfg).materialize()
     t_find = time.monotonic() - t0
     n_find = findings.count()
-    mem_find = plasma_used()
+    mem_find = mib(findings)
 
     print(f"files={n_files} cpus={ncpu}")
     print(f"signatures: {t_sig:8.2f}s  rows={n_sig}  [{mem_sig}]")
