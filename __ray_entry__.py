@@ -125,7 +125,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_counts": Q.events_daily_counts,
         "top_users_by_value": Q.top_users_by_value,
         "revenue_by_nation": Q.revenue_by_nation,
-        "suppliers_per_region": Q.suppliers_per_region,
         "parts_by_brand": Q.parts_by_brand,
         "events_asof_latest_view": Q.events_asof_latest_view,
         "top_orders_per_customer": Q.top_orders_per_customer,
@@ -164,9 +163,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_dedup_documents": Q.cross_corpus_dedup_documents,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,
         "length_quantiles_by_lang": Q.length_quantiles_by_lang,
+        "segment_dedup_documents": _segment_dedup,
         "passage_dup_stats_documents": _passage_dup_stats,
         # --- position 51+: oracle-backed twins pinned bit-equal to an
-        # in-window entry by pytest (see ordering contract above)
+        # in-window entry by pytest (see ordering contract above), plus
+        # suppliers_per_region (driver-green rounds 1-3, demoted to keep
+        # the round-4 queries inside the 50-entry check window)
+        "suppliers_per_region": Q.suppliers_per_region,
         "customers_without_orders_bloom": Q.customers_without_orders_bloom,
         "decontaminate_documents_distributed": (
             Q.decontaminate_documents_distributed
@@ -225,6 +228,14 @@ def _passage_dup_stats(sf_dir: str):
     from clonehunter_ray.pipelines.passage import passage_dup_stats_documents
 
     return passage_dup_stats_documents(sf_dir, gram_len=8)
+
+
+def _segment_dedup(sf_dir: str):
+    """C4-style keep-first exact dedup at 10-token-segment granularity
+    (pipelines/segment.py); bit-exact vs the DuckDB window oracle."""
+    from clonehunter_ray.pipelines.segment import segment_dedup_documents
+
+    return segment_dedup_documents(sf_dir, seg_tokens=10)
 
 
 def _passage_spans(sf_dir: str):
@@ -1197,6 +1208,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok, round(s, 6) AS score6
             FROM ranked WHERE rn <= 3
+        """,
+        "segment_dedup_documents": """
+            WITH t AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ), c AS (
+                SELECT doc_id, ts,
+                       unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT)))
+                           AS i
+                FROM t
+            ), segs AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                       array_to_string(ts[i*10 + 1 : i*10 + 10], ' ') AS seg
+                FROM c
+            ), ranked AS (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (
+                           PARTITION BY seg ORDER BY doc_id, seg_idx
+                       ) AS rn
+                FROM segs
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0)
+                        AS BIGINT) AS n_dup_segments,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                       ORDER BY seg_idx), '') AS dedup_text
+            FROM ranked GROUP BY doc_id
         """,
         "passage_dup_stats_documents": """
             WITH t AS (

@@ -210,6 +210,13 @@ def run_bench() -> dict:
 
     timed("passage_dup_stats", _passage_stats)
 
+    def _segment_dedup(sf_dir):
+        from clonehunter_ray.pipelines.segment import segment_dedup_documents
+
+        return segment_dedup_documents(sf_dir, seg_tokens=10)
+
+    timed("segment_dedup_documents", _segment_dedup)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),

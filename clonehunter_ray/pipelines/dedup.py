@@ -315,9 +315,18 @@ def minhash_dedup_pairs(
     )
     from clonehunter_ray.util import safe_join
 
+    # zero candidate pairs (dup-free corpus) leave the join's left
+    # sequence globally empty, which crashes Ray's hash join (see
+    # util.left_attach_or_nulls). The pair table is ids-only and
+    # bounded by the banding caps — materializing it for the gate is
+    # cheap relative to the payload joins it feeds.
+    deduped = deduped.select_columns(["a_id", "b_id", "capped"]).materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(verified_schema.empty_table())
+
     joined = safe_join(
         safe_join(
-            deduped.select_columns(["a_id", "b_id", "capped"]),
+            deduped,
             a_side,
             "inner",
             num_partitions,
@@ -843,13 +852,17 @@ def minhash_dedup_keep_best(
         .repartition(nj)
     )
 
-    out = safe_join(
+    from clonehunter_ray.util import left_attach_or_nulls
+
+    # a dup-free corpus has NO clusters -> winners is globally empty,
+    # which crashes Ray's hash join (see util.left_attach_or_nulls)
+    out = left_attach_or_nulls(
         labeled,
         winners,
-        "left_outer",
         nj,
         on=("cluster_id",),
         right_on=("w_cluster_id",),
+        right_schema=_WINNER_SCHEMA,
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -303,9 +303,16 @@ def _attach_and_verify(
     )
     from clonehunter_ray.util import safe_join
 
+    # zero candidate pairs leave the join's left sequence globally
+    # empty, which crashes Ray's hash join (util.left_attach_or_nulls
+    # documents the mechanism); the pair table is ids-only and capped
+    deduped = deduped.select_columns(["a_id", "b_id", "capped"]).materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(_SPAN_PAIR_SCHEMA.empty_table())
+
     joined = safe_join(
         safe_join(
-            deduped.select_columns(["a_id", "b_id", "capped"]),
+            deduped,
             a_side,
             "inner",
             nparts,
@@ -430,10 +437,17 @@ def passage_dedup_documents(
         ),
         batch_format="pyarrow",
     )
-    from clonehunter_ray.util import safe_join
+    from clonehunter_ray.util import left_attach_or_nulls
 
-    joined = safe_join(
-        ids, flagged, "left_outer", 16, on=("doc_id",)
+    # a span-dup-free corpus means flagged is GLOBALLY empty, which
+    # crashes Ray's hash join (see util.left_attach_or_nulls)
+    joined = left_attach_or_nulls(
+        ids,
+        flagged,
+        16,
+        on=("doc_id",),
+        right_on=("doc_id",),
+        right_schema=_SUMMARY_SCHEMA,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
