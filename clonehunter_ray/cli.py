@@ -30,6 +30,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
     def add_common(sp):
         sp.add_argument("paths", nargs="*", help="directories to scan")
+        sp.add_argument(
+            "--progress",
+            action="store_true",
+            help="show live per-stage progress bars (Ray Data's native "
+            "bars — the analogue of the reference tqdm bar, "
+            "core/pipeline.py:97-116); off by default so JSON stdout "
+            "stays clean",
+        )
         sp.add_argument("--files-parquet", help="parquet files table input")
         sp.add_argument(
             "--files",
@@ -211,7 +219,9 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", **kwargs)
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = bool(
+        getattr(args, "progress", False)
+    )
     from clonehunter_ray.util import silence_empty_schema_warnings
 
     silence_empty_schema_warnings()

@@ -1529,10 +1529,19 @@ def customers_without_orders(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_o"))
     )
-    from clonehunter_ray.util import safe_join
+    from clonehunter_ray.util import left_attach_or_nulls
 
-    joined = safe_join(
-        cust, dist, "left_outer", 16, on=("c_custkey",), right_on=("o_custkey",)
+    # zero urgent orders -> dist is GLOBALLY empty, which crashes
+    # Ray's hash join (see util.left_attach_or_nulls)
+    joined = left_attach_or_nulls(
+        cust,
+        dist,
+        16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("n_o", pa.int64())]
+        ),
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
@@ -2299,15 +2308,19 @@ def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_o"))
     )
-    from clonehunter_ray.util import safe_join
+    from clonehunter_ray.util import left_attach_or_nulls
 
-    joined = safe_join(
+    # zero urgent orders -> dist is GLOBALLY empty, which crashes
+    # Ray's hash join (see util.left_attach_or_nulls)
+    joined = left_attach_or_nulls(
         maybes,
         dist,
-        "left_outer",
         16,
         on=("c_custkey",),
         right_on=("o_custkey",),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("n_o", pa.int64())]
+        ),
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
@@ -2670,8 +2683,20 @@ def decontaminate_documents_distributed(
         .aggregate(Sum("cnt", alias_name="n_hits"))
     )
     train_ids = train.select_columns(["doc_id"])
-    out = safe_join(
-        train_ids, hits, "left_outer", nparts, on=("doc_id",), right_on=("t_doc",)
+    from clonehunter_ray.util import left_attach_or_nulls
+
+    # a contamination-free corpus leaves hits GLOBALLY empty, which
+    # crashes Ray's hash join (see util.left_attach_or_nulls); hits is
+    # one narrow row per contaminated doc, so the count gate is cheap
+    out = left_attach_or_nulls(
+        train_ids,
+        hits,
+        nparts,
+        on=("doc_id",),
+        right_on=("t_doc",),
+        right_schema=pa.schema(
+            [("t_doc", pa.int64()), ("n_hits", pa.int64())]
+        ),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

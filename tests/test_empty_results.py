@@ -153,6 +153,59 @@ def test_cross_corpus_no_overlap(ray_session):
         pytest.skip("no dataset-level cross_corpus_dedup entry")
 
 
+def test_customers_without_orders_no_urgent(ray_session, tmp_path):
+    """Zero urgent orders -> the distinct-urgent side of the anti-join
+    is globally empty; every customer must come back."""
+    import pyarrow.parquet as pq
+
+    from clonehunter_ray.pipelines import queries as Q
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(20), pa.int64()),
+                "c_name": pa.array([f"cust{i}" for i in range(20)]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(range(20), pa.int64()),
+                "o_orderpriority": pa.array(["3-MEDIUM"] * 20),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = Q.customers_without_orders(str(tmp_path)).to_pandas()
+    assert len(out) == 20
+
+
+def test_decontaminate_distributed_no_contamination(ray_session, tmp_path):
+    """No train gram appears in the benchmark side -> the hit side of
+    the fill-zeros join is globally empty."""
+    import pyarrow.parquet as pq
+
+    from clonehunter_ray.pipelines import queries as Q
+
+    texts = [
+        " ".join(f"tok{i}x{j}" for j in range(12)) for i in range(26)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(26), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = Q.decontaminate_documents_distributed(str(tmp_path)).to_pandas()
+    assert (out["n_contaminated_grams"] == 0).all()
+    assert not out["contaminated"].any()
+
+
 def test_key_sentinel_rejects_unsigned():
     from clonehunter_ray.util import key_sentinel
 

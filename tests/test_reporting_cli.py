@@ -269,3 +269,15 @@ def test_cli_export_training_shards(ray_session, tmp_path):
     assert report["manifest"]["src1"] == 25
     parts = [p.name for p in out_dir.iterdir() if p.name.startswith("export_part=")]
     assert len(parts) > 20  # sources actually fanned out to shards
+
+
+def test_cli_progress_flag_parses():
+    """--progress (reference core/pipeline.py:97-116 tqdm analogue):
+    opt-in, defaults to off so JSON stdout stays clean."""
+    from clonehunter_ray.cli import _build_parser
+
+    p = _build_parser()
+    on = p.parse_args(["scan", "x", "--progress"])
+    off = p.parse_args(["scan", "x"])
+    assert on.progress is True
+    assert off.progress is False
