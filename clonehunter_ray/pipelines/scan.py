@@ -232,6 +232,17 @@ def build_pairs(
     narrow_cols = ["snippet_id", "kind", "n_shingles", "n_tokens"]
     from clonehunter_ray.util import safe_join
 
+    # zero candidate pairs (clone-free corpus above the broadcast
+    # cutover) leave the join's left sequence globally empty, which
+    # crashes Ray's hash join (util.left_attach_or_nulls documents the
+    # mechanism); the pair table is ids-only and capped by the banding
+    # accountant, so the gating materialize is cheap
+    from clonehunter_ray.stages.verify import PAIRS_SCHEMA
+
+    deduped = deduped.materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+
     nj = safe_join_partitions(nparts)
     gated = (
         safe_join(

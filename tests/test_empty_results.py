@@ -146,6 +146,37 @@ def test_scan_clone_free_corpus(ray_session):
     assert res.findings.count() == 0
 
 
+def test_scan_clone_free_corpus_join_path(ray_session):
+    """Same clone-free corpus forced down the scale (partitioned-join)
+    pair-attach path: zero candidate pairs leave the join's left
+    sequence globally empty."""
+    from clonehunter_ray.config import EngineConfig, ExecConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    files = pa.table(
+        {
+            "repo": pa.array(["r0"] * 20),
+            "path": pa.array([f"/src/j{i}.py" for i in range(20)]),
+            "commit": pa.array(["c0"] * 20),
+            "lang": pa.array(["python"] * 20),
+            "content": pa.array(
+                [
+                    (
+                        f"def jn_{i}(p, q):\n"
+                        f"    u{i} = p - {i} * q\n"
+                        f"    v{i} = u{i} // ({i} + 2)\n"
+                        f"    return v{i} * p + q - {i}\n"
+                    )
+                    for i in range(20)
+                ]
+            ),
+        }
+    )
+    cfg = EngineConfig(exec=ExecConfig(broadcast_signatures_limit=0))
+    res = scan(ray.data.from_arrow(files), cfg)
+    assert res.findings.count() == 0
+
+
 def test_cross_corpus_no_overlap(ray_session):
     from clonehunter_ray.pipelines import queries as Q
 
