@@ -23,7 +23,8 @@ def safe_join_partitions(requested: int) -> int:
 
 
 def scrub_empty_blocks(ds, batch_size: int = 4096):
-    """Re-bundle a Dataset so zero-column empty blocks disappear.
+    """Re-bundle a Dataset so zero-column empty blocks (mostly)
+    disappear.
 
     Ray's sort/aggregate exchanges emit ZERO-COLUMN blocks for empty
     output partitions, map operators pass them through without ever
@@ -31,8 +32,16 @@ def scrub_empty_blocks(ds, batch_size: int = 4096):
     or multiple matches for key field reference" when one reaches a
     join input (reproduced on Ray 2.49.2 with a tiny groupby feeding
     a join). A map_batches with a NUMERIC batch_size coalesces blocks
-    through the batcher, which drops the schema-less empties — one
-    streaming pass, no materialization."""
+    through the batcher, which drops the schema-less empties in one
+    streaming pass, no materialization.
+
+    Limit: a scrub TASK whose input blocks are ALL empty re-emits one
+    empty block (map_transformer.py:443-460 builds it from the first
+    input block's builder, so it stays zero-column), and the join's
+    one schema-broadcast slot is consumed by the first block submitted
+    per side even when that block is empty (hash_shuffle.py:223 +
+    :584-586). A side that can be GLOBALLY empty therefore needs
+    left_attach_or_nulls / a count gate, not just the scrub."""
 
     def _identity(t):
         return t
