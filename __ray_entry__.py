@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": Q.redact_pii_documents,
         "export_training_shards": training.export_training_shards,
         "mixture_upsample_documents": training.mixture_upsample_documents,
+        "global_shuffle_documents": Q.global_shuffle_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1307,5 +1308,22 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS n_7d
             FROM daily
+        """,
+        "global_shuffle_documents": """
+            WITH r AS (
+                SELECT doc_id,
+                       sha256('s42:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, h,
+                       CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                            % 4 AS BIGINT) AS shard
+                FROM r
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                   ) AS BIGINT) AS pos
+            FROM s
         """,
     }

@@ -3020,3 +3020,52 @@ def cross_corpus_dedup_documents(
         )
     )
     return agg.select_columns(["doc_id", "n_ref_matches", "best_jac6"])
+
+
+def global_shuffle_documents(sf_dir: str, seed: str = "s42", n_shards: int = 4):
+    """Deterministic seeded GLOBAL SHUFFLE + shard assignment — the
+    training-export primitive ("shuffle the corpus, then cut it into
+    shards, reproducibly") that ``random_shuffle`` can't give you:
+    rank = sha256(seed || ':' || doc_id), shard = first rank nibble
+    mod ``n_shards``, pos = 1-based rank order within the shard.
+    Changing ``seed`` is a fresh permutation; re-runs, resumes and any
+    input partitioning reproduce it bit-exactly with no RNG state
+    (same recipe as ``hash_sample_documents`` / the reference's
+    deterministic sha256 ordering, io/fingerprints.py:6-7).
+
+    Ray shape: a stateless ids-only rank/shard map (payload columns
+    never read) -> ONE hash exchange on ``shard`` -> per-shard
+    lexsort + enumerate inside ``map_groups``. At 100 TB, size
+    ``n_shards`` in the thousands so one shard (the exchange moves
+    only 72 B/row: id + 64-hex rank) fits a worker; the per-shard
+    sort is exactly the per-output-file ordering pass the exporter
+    needs anyway.
+    """
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [
+            hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()
+            for i in ids
+        ]
+        shard = np.array([int(h[0], 16) for h in hs], np.int64) % n_shards
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard": pa.array(shard, pa.int64()),
+                "_rank": pa.array(hs, pa.string()),
+            }
+        )
+
+    def order(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_rank", "doc_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(rank, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+    )

@@ -776,3 +776,54 @@ def test_sample_k_documents_matches_duckdb(ray_session, con2):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_global_shuffle_matches_duckdb(ray_session, con2):
+    # seeded deterministic global shuffle + shard assignment
+    _check(
+        Q.global_shuffle_documents(SF_DIR),
+        con2,
+        """
+        WITH r AS (
+            SELECT doc_id, sha256('s42:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), s AS (
+            SELECT doc_id, h,
+                   CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                        % 4 AS BIGINT) AS shard
+            FROM r
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY h, doc_id
+               ) AS BIGINT) AS pos
+        FROM s
+        """,
+    )
+
+
+def test_global_shuffle_seed_and_determinism(ray_session):
+    base = (
+        Q.global_shuffle_documents(SF_DIR, seed="s42")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    again = (
+        Q.global_shuffle_documents(SF_DIR, seed="s42")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, again)
+    other = (
+        Q.global_shuffle_documents(SF_DIR, seed="s43")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # a different seed is a genuinely different permutation
+    assert not other[["shard", "pos"]].equals(base[["shard", "pos"]])
+    # every shard's positions are a contiguous 1..n enumeration
+    for _, g in base.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
