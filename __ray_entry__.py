@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_training_shards": training.export_training_shards,
         "mixture_upsample_documents": training.mixture_upsample_documents,
         "global_shuffle_documents": Q.global_shuffle_documents,
+        "bigram_logprob_documents": Q.bigram_logprob_documents,
+        "dsir_logweights_documents": Q.dsir_logweights_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -220,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_exact_dedup": _media_dedup,
         "media_video_frame_sample": _media_frames,
         "media_resize_images": _media_resize,
+        "semdedup_embeddings": lambda sf: similarity.semdedup_embeddings(
+            _emb(sf), k=8, iters=6, threshold=0.4
+        ),
     }
 
 
@@ -1325,5 +1330,67 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY shard ORDER BY h, doc_id
                    ) AS BIGINT) AS pos
             FROM s
+        """,
+        "bigram_logprob_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ), big AS (
+                SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
+            ), counts AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS k
+                FROM big GROUP BY ALL
+            ), ctot AS (
+                SELECT w1, w2, SUM(k) AS c_big FROM counts GROUP BY ALL
+            ), w1tot AS (
+                SELECT w1, SUM(k) AS c_w1 FROM counts GROUP BY w1
+            ), vocab AS (
+                SELECT COUNT(DISTINCT w1) AS v FROM counts
+            )
+            SELECT c.doc_id,
+                   CAST(SUM(c.k) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(c.k * LN((t.c_big + 1.0) / (w.c_w1 + vocab.v)))
+                         / SUM(c.k), 6) AS avg_ll6
+            FROM counts c
+            JOIN ctot t USING (w1, w2)
+            JOIN w1tot w USING (w1)
+            CROSS JOIN vocab
+            GROUP BY c.doc_id
+        """,
+        "dsir_logweights_documents": """
+            WITH toks AS (
+                SELECT doc_id, lang = 'en' AS tgt,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, tgt, ts[i] AS feat
+                FROM toks, UNNEST(generate_series(1, len(ts))) AS r(i)
+            ), big AS (
+                SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS feat
+                FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
+            ), feats AS (
+                SELECT * FROM uni UNION ALL SELECT * FROM big
+            ), counts AS (
+                SELECT doc_id, tgt, feat, COUNT(*) AS k
+                FROM feats GROUP BY ALL
+            ), ftot AS (
+                SELECT feat, SUM(k) AS c_q,
+                       SUM(CASE WHEN tgt THEN k ELSE 0 END) AS c_p
+                FROM counts GROUP BY feat
+            ), scal AS (
+                SELECT COUNT(*) AS f, SUM(c_q) AS t_q, SUM(c_p) AS t_p
+                FROM ftot
+            )
+            SELECT c.doc_id,
+                   CAST(SUM(c.k) AS BIGINT) AS n_feats,
+                   ROUND(SUM(c.k * (LN((t.c_p + 1.0) / (s.t_p + s.f))
+                                  - LN((t.c_q + 1.0) / (s.t_q + s.f)))),
+                         6) AS logweight6
+            FROM counts c
+            JOIN ftot t USING (feat)
+            CROSS JOIN scal s
+            GROUP BY c.doc_id
         """,
     }

@@ -217,6 +217,18 @@ def run_bench() -> dict:
 
     timed("segment_dedup_documents", _segment_dedup)
 
+    def _semdedup(sf_dir):
+        from clonehunter_ray.pipelines.similarity import semdedup_embeddings
+
+        return semdedup_embeddings(
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
+            k=8,
+            iters=6,
+            threshold=0.4,
+        )
+
+    timed("semdedup_embeddings", _semdedup)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),

@@ -3069,3 +3069,353 @@ def global_shuffle_documents(sf_dir: str, seed: str = "s42", n_shards: int = 4):
         .groupby("shard")
         .map_groups(order, batch_format="pandas")
     )
+
+
+def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020 filter
+    web text by LM perplexity; the reference has no LM stage — this is
+    the engine's training-data extension): train an add-one-smoothed
+    bigram LM on the corpus itself and score every document by its
+    average bigram log-probability,
+    ``p(w2|w1) = (C(w1 w2) + 1) / (C(w1 .) + V)`` with
+    ``V = |distinct first-position tokens|`` (the documented vocabulary
+    convention — everything derives from one bigram-instance table).
+    Tokens are the canonical ``[a-z0-9_]+`` stream; docs with < 2
+    tokens have no bigrams and are absent from the output.
+    Returns (doc_id, n_bigrams, avg_ll6).
+
+    Ray shape: ONE stateless pass emits per-batch distinct
+    (bigram-hash, w1-hash, doc_id, k) rows — ids-only: tokens hash to
+    uint64 (blake2b, batch-unique-amortized; same 64-bit-key-collision
+    stance as passage_dup_stats' shingle grams) and the payload text
+    never leaves the batch — materialized once to feed both the
+    vocabulary count and the scoring pass. ONE exchange on ``part``
+    (NOT per-w1 groups — tens of thousands of tiny map_groups UDF
+    calls; measured 11 s -> 8 s partitioned -> this ids-only form)
+    computes C(w1 .), every C(w1 w2) AND the per-(doc, bigram)
+    contribution with vectorized pandas transforms over many w1
+    groups at once (all instances of a bigram share its first token,
+    so no second exchange for the numerator); a map-side combine then
+    ONE tiny exchange on ``doc_id`` sums contributions. At 100 TB: a
+    partition holds distinct (bigram, doc) rows for
+    ~vocab/num_partitions first-tokens — raise ``num_partitions``
+    with corpus size; the materialize becomes a parquet checkpoint."""
+    import pyarrow.compute as pc
+
+    bg_schema = pa.schema(
+        [
+            ("bigh", pa.uint64()),
+            ("w1h", pa.uint64()),
+            ("doc_id", pa.int64()),
+            ("k", pa.int64()),
+            ("part", pa.int64()),
+        ]
+    )
+
+    def bigram_doc_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return bg_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parent = H.flat_tokens(batch["text"])
+        if len(flat) < 2:
+            return bg_schema.empty_table()
+        same = parent[1:] == parent[:-1]
+        if not same.any():
+            return bg_schema.empty_table()
+        # token hashes amortized over the batch's unique tokens; the
+        # 2-shingle mix over the flat stream gives every adjacent-pair
+        # hash, masked down to within-document pairs
+        f_np = flat.to_numpy(zero_copy_only=False).astype(object)
+        uniq, inv = np.unique(f_np, return_inverse=True)
+        uh = np.fromiter(
+            (H.hash_token_u64(t) for t in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        th = uh[inv]
+        bigh = H.shingle_hashes_seq(th, 2)[same]
+        w1h = th[:-1][same]
+        docs_ = ids[parent[:-1][same]]
+        order = np.lexsort((docs_, bigh))
+        b_s, d_s = bigh[order], docs_[order]
+        new = np.concatenate(
+            ([True], (b_s[1:] != b_s[:-1]) | (d_s[1:] != d_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [len(b_s)])))
+        w1_out = w1h[order[starts]]
+        return pa.table(
+            {
+                "bigh": pa.array(b_s[starts], pa.uint64()),
+                "w1h": pa.array(w1_out, pa.uint64()),
+                "doc_id": pa.array(d_s[starts], pa.int64()),
+                "k": pa.array(counts.astype(np.int64), pa.int64()),
+                "part": pa.array(
+                    (w1_out % np.uint64(num_partitions)).astype(np.int64),
+                    pa.int64(),
+                ),
+            },
+            schema=bg_schema,
+        )
+
+    bg = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(bigram_doc_counts, batch_format="pyarrow", batch_size=4096)
+        .materialize()  # feeds the vocab count AND the scoring pass
+    )
+
+    def w1_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("w1h", pa.uint64())]).empty_table()
+        return pa.table({"w1h": pc.unique(t["w1h"])})
+
+    n_vocab = float(
+        len(bg.map_batches(w1_partial, batch_format="pyarrow").unique("w1h"))
+    )
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition = many whole w1 groups, all vectorized:
+        # collapse duplicate (bigram, doc) per-batch partials, then
+        # corpus totals via grouped transforms (a bigram implies its w1)
+        gg = g.groupby(["w1h", "bigh", "doc_id"], as_index=False)["k"].sum()
+        c_big = gg.groupby("bigh")["k"].transform("sum").to_numpy()
+        c_w1 = gg.groupby("w1h")["k"].transform("sum").to_numpy()
+        k = gg["k"].to_numpy().astype(np.float64)
+        ll = k * np.log((c_big + 1.0) / (c_w1 + n_vocab))
+        return pd.DataFrame(
+            {"doc_id": gg["doc_id"], "n": gg["k"], "ll": ll}
+        )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        # map-side combine: the doc exchange moves <= n_docs rows per
+        # batch instead of one row per distinct (doc, bigram)
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n", pa.int64()), ("ll", pa.float64())]
+            ).empty_table()
+        return pa.TableGroupBy(batch, "doc_id").aggregate(
+            [("n", "sum"), ("ll", "sum")]
+        ).rename_columns(["doc_id", "n", "ll"])
+
+    scored = (
+        bg.groupby("part")
+        .map_groups(contrib, batch_format="pandas")
+        .map_batches(doc_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_sum"), Sum("ll", alias_name="ll_sum"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_bigrams", pa.int64()),
+                    ("avg_ll6", pa.float64()),
+                ]
+            ).empty_table()
+        n = batch["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ll = batch["ll_sum"].to_numpy(zero_copy_only=False)
+        avg = np.array(
+            [round(float(v), 6) for v in ll / n], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pc.cast(batch["n_sum"], pa.int64()),
+                "avg_ll6": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow", batch_size=4096)
+
+
+def dsir_logweights_documents(
+    sf_dir: str,
+    target_lang: str = "en",
+    n_buckets: int | None = None,
+    num_partitions: int = 32,
+):
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    fit two add-one-smoothed bag-of-feature distributions — p over the
+    TARGET slice (``lang = target_lang``), q over the whole corpus —
+    on unigram+bigram features, and give every document its importance
+    log-weight ``sum_f k_f * (ln p_f - ln q_f)``; resampling is a
+    downstream deterministic sampler (``hash_sample``/Gumbel top-k)
+    over the weights. ``n_buckets=None`` keeps exact string features
+    (the SQL-checkable form); setting it hashes features into
+    ``n_buckets`` buckets (blake2b % B) — the paper's memory-bounded
+    form for 100 TB vocabularies, byte-identical pipeline otherwise.
+    Returns (doc_id, n_feats, logweight6).
+
+    Ray shape: same single-exchange family as
+    ``bigram_logprob_documents`` — per-batch distinct
+    (feat, doc, k, is-target) rows; ONE exchange on a feat-hash
+    partition key computes target counts, corpus counts AND per-doc
+    contributions vectorized within the partition (scalars T_p, T_q,
+    F reduce through tiny side passes); map-side combine then one doc
+    exchange."""
+    import pyarrow.compute as pc
+
+    feat_type = pa.string() if n_buckets is None else pa.uint64()
+    bg_schema = pa.schema(
+        [
+            ("feat", feat_type),
+            ("doc_id", pa.int64()),
+            ("k", pa.int64()),
+            ("tgt", pa.int64()),
+            ("part", pa.int64()),
+        ]
+    )
+
+    def feat_doc_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return bg_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_tgt = pc.equal(
+            pc.fill_null(batch["lang"], ""), target_lang
+        ).to_numpy(zero_copy_only=False)
+        flat, parent = H.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return bg_schema.empty_table()
+        uni_np = flat.to_numpy(zero_copy_only=False).astype(object)
+        same = parent[1:] == parent[:-1] if len(flat) > 1 else np.zeros(0, bool)
+        if same.any():
+            mask = pa.array(same, pa.bool_())
+            w1 = flat.slice(0, len(flat) - 1).filter(mask)
+            w2 = flat.slice(1).filter(mask)
+            big_np = (
+                pc.binary_join_element_wise(w1, w2, " ")
+                .to_numpy(zero_copy_only=False)
+                .astype(object)
+            )
+            big_docs = parent[:-1][same]
+        else:
+            big_np = np.empty(0, dtype=object)
+            big_docs = np.empty(0, dtype=np.int64)
+        feats = np.concatenate((uni_np, big_np))
+        rows = np.concatenate((parent, big_docs))
+        # distinct (feat, doc) + counts via batch-unique encode + lexsort
+        uniq, inv = np.unique(feats, return_inverse=True)
+        order = np.lexsort((rows, inv))
+        f_s, r_s = inv[order], rows[order]
+        new = np.concatenate(
+            ([True], (f_s[1:] != f_s[:-1]) | (r_s[1:] != r_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [len(f_s)])))
+        uh = np.fromiter(
+            (H.hash_token_u64(t) for t in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        sel = f_s[starts]
+        out_hash = uh[sel]
+        if n_buckets is None:
+            feat_col = pa.array(uniq[sel].astype(str), pa.string())
+            part = (out_hash % np.uint64(num_partitions)).astype(np.int64)
+        else:
+            bucket = out_hash % np.uint64(n_buckets)
+            feat_col = pa.array(bucket, pa.uint64())
+            part = (bucket % np.uint64(num_partitions)).astype(np.int64)
+        docs_out = ids[r_s[starts]]
+        return pa.table(
+            {
+                "feat": feat_col,
+                "doc_id": pa.array(docs_out, pa.int64()),
+                "k": pa.array(counts.astype(np.int64), pa.int64()),
+                "tgt": pa.array(
+                    is_tgt[r_s[starts]].astype(np.int64), pa.int64()
+                ),
+                "part": pa.array(part, pa.int64()),
+            },
+            schema=bg_schema,
+        )
+
+    bg = (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(feat_doc_counts, batch_format="pyarrow", batch_size=4096)
+        .materialize()  # feeds the scalar passes AND the scoring pass
+    )
+
+    def feat_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("feat", feat_type)]).empty_table()
+        return pa.table({"feat": pc.unique(t["feat"])})
+
+    n_feats_distinct = float(
+        len(bg.map_batches(feat_partial, batch_format="pyarrow").unique("feat"))
+    )
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"t_p": pa.array([], pa.int64()), "t_q": pa.array([], pa.int64())}
+            )
+        k = t["k"].to_numpy(zero_copy_only=False)
+        tg = t["tgt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t_p": pa.array([int((k * tg).sum())], pa.int64()),
+                "t_q": pa.array([int(k.sum())], pa.int64()),
+            }
+        )
+
+    tot_tables = _collect_tables(
+        bg.map_batches(tot_partial, batch_format="pyarrow")
+    )
+    t_p = float(sum(t["t_p"].to_pandas().sum() for t in tot_tables))
+    t_q = float(sum(t["t_q"].to_pandas().sum() for t in tot_tables))
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["feat", "doc_id", "tgt"], as_index=False)["k"].sum()
+        c_q = gg.groupby("feat")["k"].transform("sum").to_numpy()
+        pk = gg["k"].to_numpy() * gg["tgt"].to_numpy()
+        c_p = (
+            gg.assign(pk=pk).groupby("feat")["pk"].transform("sum").to_numpy()
+        )
+        k = gg["k"].to_numpy().astype(np.float64)
+        ll = k * (
+            np.log((c_p + 1.0) / (t_p + n_feats_distinct))
+            - np.log((c_q + 1.0) / (t_q + n_feats_distinct))
+        )
+        return pd.DataFrame({"doc_id": gg["doc_id"], "n": gg["k"], "ll": ll})
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n", pa.int64()), ("ll", pa.float64())]
+            ).empty_table()
+        return pa.TableGroupBy(batch, "doc_id").aggregate(
+            [("n", "sum"), ("ll", "sum")]
+        ).rename_columns(["doc_id", "n", "ll"])
+
+    scored = (
+        bg.groupby("part")
+        .map_groups(contrib, batch_format="pandas")
+        .map_batches(doc_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_sum"), Sum("ll", alias_name="ll_sum"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_feats", pa.int64()),
+                    ("logweight6", pa.float64()),
+                ]
+            ).empty_table()
+        ll = batch["ll_sum"].to_numpy(zero_copy_only=False)
+        w6 = np.array([round(float(v), 6) for v in ll], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_feats": pc.cast(batch["n_sum"], pa.int64()),
+                "logweight6": pa.array(w6, pa.float64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow", batch_size=4096)

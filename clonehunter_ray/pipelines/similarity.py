@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -431,3 +433,243 @@ def embedding_cosine_pairs_exact(
         return pa.table(cols)
 
     return norm.map_batches(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: distributed k-means + per-cluster semantic-duplicate pruning
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+_KM_PARTIAL_SCHEMA = pa.schema(
+    [("cluster", pa.int64()), ("n", pa.int64()), ("vsum", pa.binary())]
+)
+_KM_INIT_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("rank", pa.string()), ("vecn", pa.binary())]
+)
+_SEM_ASSIGN_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("cluster", pa.int64()),
+        ("centroid_cos5", pa.float64()),
+        ("vecn", pa.binary()),
+    ]
+)
+
+
+def _normalized_f64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, row-normalized float64 matrix) for one Arrow batch."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms < 1e-12] = 1.0
+    return ids, mat / norms
+
+
+def kmeans_embeddings(
+    emb_ds: "ray.data.Dataset", k: int = 8, iters: int = 6, seed: int = 31
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the FULL corpus —
+    unlike ``ivf_knn_cosine``'s bounded-sample coarse quantizer, every
+    iteration is one streaming pass: centroids broadcast once via
+    ``ray.put``, ``map_batches`` emits one (cluster, count, float64-sum
+    blob) partial row per non-empty cluster per batch, a batched
+    combine pass tree-reduces the partials WITHOUT a shuffle, and only
+    ~k rows ever reach the driver. Init is the k corpus vectors with
+    the smallest sha256(seed:vec_id) rank — a deterministic seeded
+    uniform sample with no RNG state (same recipe as
+    ``queries.hash_sample_documents``), found with the same per-batch
+    top-k combiner. Empty clusters keep their previous centroid.
+    Returns the (k, dim) unit-row centroid matrix. The corpus is
+    re-scanned per iteration (lazy Dataset re-execution) — at 100 TB
+    that is the memory-safe choice vs materializing it in plasma.
+    """
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _KM_INIT_SCHEMA.empty_table()
+        ids, matn = _normalized_f64(batch)
+        ranks = np.array(
+            [
+                hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()
+                for i in ids
+            ]
+        )
+        top = np.lexsort((ids, ranks))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "rank": pa.array(ranks[top], pa.string()),
+                "vecn": pa.array(
+                    [matn[i].tobytes() for i in top], pa.binary()
+                ),
+            }
+        )
+
+    init_rows = [
+        t
+        for t in ray.get(
+            emb_ds.map_batches(
+                init_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not init_rows:
+        raise ValueError("kmeans_embeddings: empty embedding corpus")
+    cand = pa.concat_tables(init_rows).to_pandas()
+    cand = cand.sort_values(["rank", "vec_id"], kind="mergesort").head(k)
+    centroids = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in cand["vecn"]]
+    )
+    k = len(centroids)  # corpus smaller than k -> one centroid per row
+
+    def step_partial(ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _KM_PARTIAL_SCHEMA.empty_table()
+            cents = ray.get(ref)
+            _, matn = _normalized_f64(batch)
+            assign = np.argmax(matn @ cents.T, axis=1)
+            clusters, counts, sums = [], [], []
+            for c in np.unique(assign):
+                rows = matn[assign == c]
+                clusters.append(int(c))
+                counts.append(len(rows))
+                sums.append(rows.sum(axis=0).tobytes())
+            return pa.table(
+                {
+                    "cluster": pa.array(clusters, pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "vsum": pa.array(sums, pa.binary()),
+                }
+            )
+
+        return fn
+
+    def combine(batch: pa.Table) -> pa.Table:
+        # tree-reduce partials within a batch: n_blocks*k rows -> <=k
+        if batch.num_rows == 0:
+            return _KM_PARTIAL_SCHEMA.empty_table()
+        df = batch.to_pandas()
+        clusters, counts, sums = [], [], []
+        for c, g in df.groupby("cluster", sort=True):
+            clusters.append(int(c))
+            counts.append(int(g["n"].sum()))
+            vs = np.sum(
+                np.stack(
+                    [np.frombuffer(b, dtype=np.float64) for b in g["vsum"]]
+                ),
+                axis=0,
+            )
+            sums.append(vs.tobytes())
+        return pa.table(
+            {
+                "cluster": pa.array(clusters, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "vsum": pa.array(sums, pa.binary()),
+            }
+        )
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        reduced = (
+            emb_ds.map_batches(step_partial(ref), batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow", batch_size=8192)
+            .map_batches(combine, batch_format="pyarrow", batch_size=8192)
+        )
+        parts = [
+            t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows
+        ]
+        merged = combine(pa.concat_tables(parts)) if parts else None
+        if merged is None or merged.num_rows == 0:
+            break
+        new = centroids.copy()
+        for c, n, blob in zip(
+            merged["cluster"].to_pylist(),
+            merged["n"].to_pylist(),
+            merged["vsum"].to_pylist(),
+        ):
+            if n:
+                v = np.frombuffer(blob, dtype=np.float64) / n
+                nrm = np.linalg.norm(v)
+                if nrm > 1e-12:
+                    new[c] = v / nrm
+        centroids = new
+    return centroids
+
+
+def semdedup_embeddings(
+    emb_ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 6,
+    threshold: float = 0.6,
+    seed: int = 31,
+):
+    """SemDeDup semantic near-dedup (arXiv:2303.09540 §3): k-means
+    cluster the embedding space with ``kmeans_embeddings``, then
+    within each cluster greedily mark semantic duplicates — visiting
+    members farthest-from-centroid FIRST (the paper keeps the
+    lowest-centroid-similarity representative of each duplicate
+    group; ties broken by vec_id), an item is a duplicate iff its
+    cosine to an already-kept member reaches ``threshold`` (= 1 - eps
+    in the paper's notation). Returns one row per vector:
+    (vec_id, cluster, centroid_cos5, keep).
+
+    Ray shape: centroids broadcast once; a stateless assign pass ships
+    (id, cluster, normalized-vector blob); ONE hash exchange on
+    ``cluster``; the O(|c|^2) Gram prune runs per cluster inside
+    ``map_groups``. Partitioning assumption (document per SURVEY
+    §2.4): one k-means cluster fits a worker — size k so corpus/k is
+    bounded (the paper uses 11k clusters at LAION scale; skewed
+    clusters want a larger k, not a bigger worker).
+    """
+    centroids = kmeans_embeddings(emb_ds, k=k, iters=iters, seed=seed)
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SEM_ASSIGN_SCHEMA.empty_table()
+        cents = ray.get(ref)
+        ids, matn = _normalized_f64(batch)
+        sims = matn @ cents.T
+        cluster = np.argmax(sims, axis=1)
+        ccos = sims[np.arange(len(ids)), cluster]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cluster.astype(np.int64), pa.int64()),
+                "centroid_cos5": pa.array(np.round(ccos, 5), pa.float64()),
+                "vecn": pa.array(
+                    [matn[i].tobytes() for i in range(len(ids))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["centroid_cos5", "vec_id"], ascending=[True, True]
+        ).reset_index(drop=True)
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in g["vecn"]]
+        )
+        gram = mat @ mat.T
+        keep = np.zeros(len(g), dtype=bool)
+        kept: list[int] = []
+        for i in range(len(g)):
+            if not kept or gram[i, kept].max() < threshold:
+                keep[i] = True
+                kept.append(i)
+        g = g[["vec_id", "cluster", "centroid_cos5"]].copy()
+        g["keep"] = keep
+        return g
+
+    return (
+        # numeric batch_size: the batcher coalesces away the
+        # zero-column empty blocks sparse parquet read tasks emit
+        # (see util.scrub_empty_blocks) before the sort exchange
+        emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )

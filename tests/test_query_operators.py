@@ -827,3 +827,59 @@ def test_global_shuffle_seed_and_determinism(ray_session):
     # every shard's positions are a contiguous 1..n enumeration
     for _, g in base.groupby("shard"):
         assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+
+def test_bigram_logprob_matches_duckdb(ray_session, con2):
+    # add-one-smoothed bigram LM scores, bit-exact vs the SQL oracle
+    import __ray_entry__
+
+    _check(
+        Q.bigram_logprob_documents(SF_DIR),
+        con2,
+        __ray_entry__.oracle_sql()["bigram_logprob_documents"],
+    )
+
+
+def test_dsir_logweights_matches_duckdb(ray_session, con2):
+    # DSIR importance log-weights, exact-string features vs SQL oracle
+    import __ray_entry__
+
+    _check(
+        Q.dsir_logweights_documents(SF_DIR),
+        con2,
+        __ray_entry__.oracle_sql()["dsir_logweights_documents"],
+    )
+
+
+def test_dsir_hashed_buckets_path(ray_session):
+    # the memory-bounded hashed-feature form: same docs scored, target
+    # slice scores higher on average (weights are target-likelihood
+    # ratios), and a large bucket count converges to the exact scores
+    exact = (
+        Q.dsir_logweights_documents(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    hashed = (
+        Q.dsir_logweights_documents(SF_DIR, n_buckets=1 << 20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(hashed["doc_id"]) == list(exact["doc_id"])
+    assert (hashed["n_feats"] == exact["n_feats"]).all()
+    # 2^20 buckets over a tiny vocab: collisions are rare, so scores
+    # track the exact form closely (identical up to bucket collisions)
+    diff = (hashed["logweight6"] - exact["logweight6"]).abs()
+    assert (diff < 0.05).mean() > 0.95
+    import pandas as pd
+
+    langs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    j = exact.merge(langs, on="doc_id")
+    assert (
+        j.loc[j["lang"] == "en", "logweight6"].mean()
+        > j.loc[j["lang"] != "en", "logweight6"].mean()
+    )

@@ -159,3 +159,99 @@ def test_ensemble_dup_pairs_vs_oracle(ray_session):
         " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ).fetchone()[0]
     assert len(mine) < cos_only  # the lexical gate actually prunes
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (distributed k-means + per-cluster greedy prune)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_offline(rows, k, iters, threshold, seed):
+    """Single-threaded reference of the SemDeDup algorithm: same hash
+    init, same spherical Lloyd's updates, same farthest-first greedy
+    prune — global numpy sums instead of per-block partials."""
+    import hashlib
+
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms < 1e-12] = 1.0
+    matn = mat / norms
+
+    ranks = np.array(
+        [hashlib.sha256(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+    )
+    top = np.lexsort((ids, ranks))[: min(k, len(ids))]
+    centroids = matn[top].copy()
+    for _ in range(iters):
+        assign = np.argmax(matn @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = matn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    centroids[c] = v / n
+    sims = matn @ centroids.T
+    cluster = np.argmax(sims, axis=1)
+    ccos = np.round(sims[np.arange(len(ids)), cluster], 5)
+
+    keep = np.zeros(len(ids), dtype=bool)
+    for c in np.unique(cluster):
+        member = np.flatnonzero(cluster == c)
+        order = member[np.lexsort((ids[member], ccos[member]))]
+        kept = []
+        for i in order:
+            if not kept or (matn[kept] @ matn[i]).max() < threshold:
+                keep[i] = True
+                kept.append(i)
+    return {
+        int(i): (int(c), float(cc), bool(kp))
+        for i, c, cc, kp in zip(ids, cluster, ccos, keep)
+    }
+
+
+def test_semdedup_matches_offline_oracle(ray_session):
+    from clonehunter_ray.pipelines.similarity import semdedup_embeddings
+
+    rows = _clustered_embeddings(n=240, dim=12, n_clusters=5, seed=11)
+    ds = ray.data.from_items(rows).repartition(7)
+    got = (
+        semdedup_embeddings(ds, k=5, iters=6, threshold=0.9, seed=31)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = _semdedup_offline(rows, k=5, iters=6, threshold=0.9, seed=31)
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        c, cc, kp = want[int(r["vec_id"])]
+        assert int(r["cluster"]) == c, r["vec_id"]
+        assert abs(float(r["centroid_cos5"]) - cc) < 1e-9, r["vec_id"]
+        assert bool(r["keep"]) == kp, r["vec_id"]
+    # duplicates exist on clustered data with a 0.9 threshold, and
+    # every cluster keeps at least one representative
+    assert (~got["keep"]).sum() > 0
+    assert got.groupby("cluster")["keep"].any().all()
+
+
+def test_semdedup_kept_set_is_mutually_dissimilar(ray_session):
+    from clonehunter_ray.pipelines.similarity import semdedup_embeddings
+
+    rows = _clustered_embeddings(n=150, dim=10, n_clusters=4, seed=7)
+    ds = ray.data.from_items(rows).repartition(5)
+    got = semdedup_embeddings(ds, k=4, iters=4, threshold=0.95, seed=31)
+    df = got.to_pandas()
+    mat = np.stack(
+        [rows[int(i)]["embedding"] for i in df["vec_id"]]
+    ).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for c, g in df.groupby("cluster"):
+        kept_rows = np.flatnonzero(g["keep"].to_numpy())
+        if len(kept_rows) < 2:
+            continue
+        sub = mat[g.index.to_numpy()[kept_rows]]
+        gram = sub @ sub.T
+        np.fill_diagonal(gram, 0.0)
+        # no two kept members of a cluster are semantic duplicates
+        assert gram.max() < 0.95 + 1e-9
