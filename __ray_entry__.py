@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle_documents": Q.global_shuffle_documents,
         "bigram_logprob_documents": Q.bigram_logprob_documents,
         "dsir_logweights_documents": Q.dsir_logweights_documents,
+        "dsir_resample_documents": Q.dsir_resample_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -405,6 +406,44 @@ def _scan_code_substring(sf_dir: str):
 
     cfg = EngineConfig(substring=SubstringConfig(enabled=True))
     return scan(_corpus_for(sf_dir), cfg).findings
+
+
+# DSIR importance-weight query, shared by the logweights entry and the
+# Gumbel top-k resample entry (which wraps it as a CTE)
+_DSIR_WEIGHTS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+        FROM documents
+    ), uni AS (
+        SELECT doc_id, tgt, ts[i] AS feat
+        FROM toks, UNNEST(generate_series(1, len(ts))) AS r(i)
+    ), big AS (
+        SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS feat
+        FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
+    ), feats AS (
+        SELECT * FROM uni UNION ALL SELECT * FROM big
+    ), counts AS (
+        SELECT doc_id, tgt, feat, COUNT(*) AS k
+        FROM feats GROUP BY ALL
+    ), ftot AS (
+        SELECT feat, SUM(k) AS c_q,
+               SUM(CASE WHEN tgt THEN k ELSE 0 END) AS c_p
+        FROM counts GROUP BY feat
+    ), scal AS (
+        SELECT COUNT(*) AS f, SUM(c_q) AS t_q, SUM(c_p) AS t_p
+        FROM ftot
+    )
+    SELECT c.doc_id,
+           CAST(SUM(c.k) AS BIGINT) AS n_feats,
+           ROUND(SUM(c.k * (LN((t.c_p + 1.0) / (s.t_p + s.f))
+                          - LN((t.c_q + 1.0) / (s.t_q + s.f)))),
+                 6) AS logweight6
+    FROM counts c
+    JOIN ftot t USING (feat)
+    CROSS JOIN scal s
+    GROUP BY c.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1359,38 +1398,19 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN vocab
             GROUP BY c.doc_id
         """,
-        "dsir_logweights_documents": """
-            WITH toks AS (
-                SELECT doc_id, lang = 'en' AS tgt,
-                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
-                FROM documents
-            ), uni AS (
-                SELECT doc_id, tgt, ts[i] AS feat
-                FROM toks, UNNEST(generate_series(1, len(ts))) AS r(i)
-            ), big AS (
-                SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS feat
-                FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
-            ), feats AS (
-                SELECT * FROM uni UNION ALL SELECT * FROM big
-            ), counts AS (
-                SELECT doc_id, tgt, feat, COUNT(*) AS k
-                FROM feats GROUP BY ALL
-            ), ftot AS (
-                SELECT feat, SUM(k) AS c_q,
-                       SUM(CASE WHEN tgt THEN k ELSE 0 END) AS c_p
-                FROM counts GROUP BY feat
-            ), scal AS (
-                SELECT COUNT(*) AS f, SUM(c_q) AS t_q, SUM(c_p) AS t_p
-                FROM ftot
+        "dsir_logweights_documents": _DSIR_WEIGHTS_SQL,
+        "dsir_resample_documents": f"""
+            WITH w AS ({_DSIR_WEIGHTS_SQL}),
+            keyed AS (
+                SELECT doc_id, logweight6,
+                       ROUND(logweight6 + (-LN(-LN(
+                           (CAST('0x' || substr(
+                                sha256('dsir42:' || CAST(doc_id AS VARCHAR)),
+                                1, 13) AS BIGINT) + 0.5)
+                           / 4503599627370496.0))), 6) AS gkey6
+                FROM w
             )
-            SELECT c.doc_id,
-                   CAST(SUM(c.k) AS BIGINT) AS n_feats,
-                   ROUND(SUM(c.k * (LN((t.c_p + 1.0) / (s.t_p + s.f))
-                                  - LN((t.c_q + 1.0) / (s.t_q + s.f)))),
-                         6) AS logweight6
-            FROM counts c
-            JOIN ftot t USING (feat)
-            CROSS JOIN scal s
-            GROUP BY c.doc_id
+            SELECT doc_id, logweight6, gkey6 FROM keyed
+            ORDER BY gkey6 DESC, doc_id ASC LIMIT 100
         """,
     }

@@ -3419,3 +3419,72 @@ def dsir_logweights_documents(
         )
 
     return scored.map_batches(finish, batch_format="pyarrow", batch_size=4096)
+
+
+def dsir_resample_documents(
+    sf_dir: str,
+    k: int = 100,
+    seed: str = "dsir42",
+    target_lang: str = "en",
+):
+    """Gumbel top-k importance RESAMPLING — the selection half of DSIR
+    (arXiv:2302.03169 alg. 1 resamples k examples without replacement
+    w.p. proportional to exp(importance weight); perturbing each log
+    weight with Gumbel(0,1) noise and keeping the global top-k draws
+    exactly that sample): u = sha256(seed:doc_id) mapped into (0,1)
+    via its first 52 bits, g = -ln(-ln u),
+    gkey = round(logweight + g, 6), ties by doc_id. Deterministic —
+    no RNG state; a seed change is a fresh draw. Returns the k
+    selected (doc_id, logweight6, gkey6).
+
+    Ray shape: stateless key map over the ids-only dsir weight table,
+    per-batch LOCAL top-k combiner (at most k rows leave any block),
+    global sort over <= k x n_blocks survivors, limit(k) — the corpus
+    never shuffles (same recipe as sample_k_documents)."""
+    import pyarrow.compute as pc
+
+    w = dsir_logweights_documents(sf_dir, target_lang=target_lang)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("logweight6", pa.float64()),
+                    ("gkey6", pa.float64()),
+                ]
+            ).empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lw = batch["logweight6"].to_numpy(zero_copy_only=False)
+        v = np.array(
+            [
+                int(
+                    hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()[
+                        :13
+                    ],
+                    16,
+                )
+                for i in ids
+            ],
+            dtype=np.float64,
+        )
+        u = (v + 0.5) / float(1 << 52)
+        gkey = np.array(
+            [round(float(x), 6) for x in lw + (-np.log(-np.log(u)))],
+            dtype=np.float64,
+        )
+        keep = np.sort(np.lexsort((ids, -gkey))[:k])
+        idx = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(idx),
+                "logweight6": batch["logweight6"].take(idx),
+                "gkey6": pa.array(gkey[keep], pa.float64()),
+            }
+        )
+
+    return (
+        w.map_batches(local_top, batch_format="pyarrow")
+        .sort(["gkey6", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -883,3 +883,34 @@ def test_dsir_hashed_buckets_path(ray_session):
         j.loc[j["lang"] == "en", "logweight6"].mean()
         > j.loc[j["lang"] != "en", "logweight6"].mean()
     )
+
+
+def test_dsir_resample_matches_duckdb(ray_session, con2):
+    # Gumbel top-k importance resample: identical selection + keys
+    import __ray_entry__
+
+    _check(
+        Q.dsir_resample_documents(SF_DIR),
+        con2,
+        __ray_entry__.oracle_sql()["dsir_resample_documents"],
+    )
+
+
+def test_dsir_resample_seed_changes_draw(ray_session):
+    a = (
+        Q.dsir_resample_documents(SF_DIR, k=50, seed="dsir42")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    b = (
+        Q.dsir_resample_documents(SF_DIR, k=50, seed="dsir43")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert set(a) != set(b)  # fresh Gumbel draw
+    again = (
+        Q.dsir_resample_documents(SF_DIR, k=50, seed="dsir42")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert a == again  # deterministic re-run
