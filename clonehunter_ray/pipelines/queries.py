@@ -3193,9 +3193,14 @@ def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
             return pa.schema(
                 [("doc_id", pa.int64()), ("n", pa.int64()), ("ll", pa.float64())]
             ).empty_table()
-        return pa.TableGroupBy(batch, "doc_id").aggregate(
+        agg = pa.TableGroupBy(batch, "doc_id").aggregate(
             [("n", "sum"), ("ll", "sum")]
-        ).rename_columns(["doc_id", "n", "ll"])
+        )
+        # select by name: aggregate's key/aggregate column order is a
+        # pyarrow implementation detail
+        return agg.select(["doc_id", "n_sum", "ll_sum"]).rename_columns(
+            ["doc_id", "n", "ll"]
+        )
 
     scored = (
         bg.groupby("part")
@@ -3387,9 +3392,14 @@ def dsir_logweights_documents(
             return pa.schema(
                 [("doc_id", pa.int64()), ("n", pa.int64()), ("ll", pa.float64())]
             ).empty_table()
-        return pa.TableGroupBy(batch, "doc_id").aggregate(
+        agg = pa.TableGroupBy(batch, "doc_id").aggregate(
             [("n", "sum"), ("ll", "sum")]
-        ).rename_columns(["doc_id", "n", "ll"])
+        )
+        # select by name: aggregate's key/aggregate column order is a
+        # pyarrow implementation detail
+        return agg.select(["doc_id", "n_sum", "ll_sum"]).rename_columns(
+            ["doc_id", "n", "ll"]
+        )
 
     scored = (
         bg.groupby("part")
