@@ -1360,7 +1360,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), s AS (
                 SELECT doc_id, h,
-                       CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                       CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT)
                             % 4 AS BIGINT) AS shard
                 FROM r
             )

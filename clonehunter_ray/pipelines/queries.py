@@ -3026,8 +3026,9 @@ def global_shuffle_documents(sf_dir: str, seed: str = "s42", n_shards: int = 4):
     """Deterministic seeded GLOBAL SHUFFLE + shard assignment — the
     training-export primitive ("shuffle the corpus, then cut it into
     shards, reproducibly") that ``random_shuffle`` can't give you:
-    rank = sha256(seed || ':' || doc_id), shard = first rank nibble
-    mod ``n_shards``, pos = 1-based rank order within the shard.
+    rank = sha256(seed || ':' || doc_id), shard = the rank's first 15
+    hex chars (60 bits — BIGINT-safe in the SQL oracle) mod
+    ``n_shards``, pos = 1-based rank order within the shard.
     Changing ``seed`` is a fresh permutation; re-runs, resumes and any
     input partitioning reproduce it bit-exactly with no RNG state
     (same recipe as ``hash_sample_documents`` / the reference's
@@ -3044,11 +3045,10 @@ def global_shuffle_documents(sf_dir: str, seed: str = "s42", n_shards: int = 4):
 
     def rank(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        hs = [
-            hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()
-            for i in ids
-        ]
-        shard = np.array([int(h[0], 16) for h in hs], np.int64) % n_shards
+        hs = H.sha256_hex_many(f"{seed}:{i}" for i in ids)
+        # 60 bits of the rank, not one nibble: shards stay uniform
+        # for any n_shards (a nibble caps the universe at 16 shards)
+        shard = np.array([int(h[:15], 16) for h in hs], np.int64) % n_shards
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -3169,8 +3169,14 @@ def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
             return pa.schema([("w1h", pa.uint64())]).empty_table()
         return pa.table({"w1h": pc.unique(t["w1h"])})
 
+    # distributed count-distinct: per-batch distinct partials, one
+    # groupby dedupe, then a row COUNT — the vocabulary list itself
+    # never reaches the driver (it is only ever used as a scalar)
     n_vocab = float(
-        len(bg.map_batches(w1_partial, batch_format="pyarrow").unique("w1h"))
+        bg.map_batches(w1_partial, batch_format="pyarrow")
+        .groupby("w1h")
+        .count()
+        .count()
     )
 
     def contrib(g: pd.DataFrame) -> pd.DataFrame:
@@ -3350,7 +3356,10 @@ def dsir_logweights_documents(
         return pa.table({"feat": pc.unique(t["feat"])})
 
     n_feats_distinct = float(
-        len(bg.map_batches(feat_partial, batch_format="pyarrow").unique("feat"))
+        bg.map_batches(feat_partial, batch_format="pyarrow")
+        .groupby("feat")
+        .count()
+        .count()
     )
 
     def tot_partial(t: pa.Table) -> pa.Table:
@@ -3468,13 +3477,8 @@ def dsir_resample_documents(
         lw = batch["logweight6"].to_numpy(zero_copy_only=False)
         v = np.array(
             [
-                int(
-                    hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()[
-                        :13
-                    ],
-                    16,
-                )
-                for i in ids
+                int(h[:13], 16)
+                for h in H.sha256_hex_many(f"{seed}:{i}" for i in ids)
             ],
             dtype=np.float64,
         )

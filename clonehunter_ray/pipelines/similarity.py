@@ -11,13 +11,13 @@
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from clonehunter_ray.functions import hashing as H
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
@@ -489,12 +489,7 @@ def kmeans_embeddings(
         if batch.num_rows == 0:
             return _KM_INIT_SCHEMA.empty_table()
         ids, matn = _normalized_f64(batch)
-        ranks = np.array(
-            [
-                hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()
-                for i in ids
-            ]
-        )
+        ranks = np.array(H.sha256_hex_many(f"{seed}:{i}" for i in ids))
         top = np.lexsort((ids, ranks))[:k]
         return pa.table(
             {

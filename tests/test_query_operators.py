@@ -789,7 +789,7 @@ def test_global_shuffle_matches_duckdb(ray_session, con2):
             FROM documents
         ), s AS (
             SELECT doc_id, h,
-                   CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                   CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT)
                         % 4 AS BIGINT) AS shard
             FROM r
         )
@@ -827,6 +827,9 @@ def test_global_shuffle_seed_and_determinism(ray_session):
     # every shard's positions are a contiguous 1..n enumeration
     for _, g in base.groupby("shard"):
         assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # shard universe is NOT capped at 16 (regression: one-nibble shard)
+    wide = Q.global_shuffle_documents(SF_DIR, n_shards=33).to_pandas()
+    assert wide["shard"].nunique() == 33
 
 
 def test_bigram_logprob_matches_duckdb(ray_session, con2):
