@@ -228,6 +228,9 @@ def run_bench() -> dict:
         )
 
     timed("semdedup_embeddings", _semdedup)
+    timed("bigram_logprob_documents", Q.bigram_logprob_documents)
+    timed("dsir_logweights_documents", Q.dsir_logweights_documents)
+    timed("global_shuffle_documents", Q.global_shuffle_documents)
 
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",

@@ -3165,9 +3165,14 @@ def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
     )
 
     def w1_partial(t: pa.Table) -> pa.Table:
+        # bit-reinterpret uint64 -> int64: Ray's groupby rebuilds blocks
+        # through python ints and a value above 2^63 trips an Arrow
+        # int64 conversion fallback (pickled blocks + schema warnings)
         if t.num_rows == 0:
-            return pa.schema([("w1h", pa.uint64())]).empty_table()
-        return pa.table({"w1h": pc.unique(t["w1h"])})
+            return pa.schema([("w1h", pa.int64())]).empty_table()
+        return pa.table(
+            {"w1h": pc.unique(t["w1h"]).view(pa.int64())}
+        )
 
     # distributed count-distinct: per-batch distinct partials, one
     # groupby dedupe, then a row COUNT — the vocabulary list itself
@@ -3352,8 +3357,12 @@ def dsir_logweights_documents(
 
     def feat_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.schema([("feat", feat_type)]).empty_table()
-        return pa.table({"feat": pc.unique(t["feat"])})
+            out_type = pa.string() if n_buckets is None else pa.int64()
+            return pa.schema([("feat", out_type)]).empty_table()
+        u = pc.unique(t["feat"])
+        if n_buckets is not None:
+            u = u.view(pa.int64())  # same uint64 groupby hazard as w1h
+        return pa.table({"feat": u})
 
     n_feats_distinct = float(
         bg.map_batches(feat_partial, batch_format="pyarrow")
