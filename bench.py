@@ -217,6 +217,15 @@ def run_bench() -> dict:
 
     timed("segment_dedup_documents", _segment_dedup)
 
+    def _curate(sf_dir):
+        from clonehunter_ray.pipelines.curation import (
+            curate_documents_pipeline,
+        )
+
+        return curate_documents_pipeline(sf_dir)
+
+    timed("curate_documents_pipeline", _curate)
+
     def _semdedup(sf_dir):
         from clonehunter_ray.pipelines.similarity import semdedup_embeddings
 
