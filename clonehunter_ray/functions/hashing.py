@@ -144,6 +144,33 @@ def run_ranks(sorted_keys: np.ndarray) -> np.ndarray:
     return np.arange(n, dtype=np.int64) - starts[run_id]
 
 
+def tokenize_hash_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """texts -> ``(flat uint64 token hashes in document order,
+    per-row token counts int64)`` — the flat form of
+    :func:`tokenize_hash_texts`, for batch kernels that would only
+    re-concatenate the per-row split."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    flat, parent = flat_tokens(texts)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    d = pc.dictionary_encode(flat)
+    uniq = d.dictionary.to_pylist()
+    inv = d.indices.to_numpy(zero_copy_only=False)
+    uniq_hashes = np.fromiter(
+        (hash_token_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    all_hashes = uniq_hashes[inv]
+    lens = np.bincount(parent, minlength=n).astype(np.int64)
+    return all_hashes, lens
+
+
 def tokenize_hash_texts(texts) -> list[np.ndarray]:
     """texts (Arrow string array / chunked array) -> ordered uint64
     token-hash array per row.
@@ -153,26 +180,10 @@ def tokenize_hash_texts(texts) -> list[np.ndarray]:
     per-token dedup as ``dictionary_encode`` (hash table, no argsort
     over Python objects), and only the per-UNIQUE-token blake2b stays
     in Python."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = pa.array(list(texts), pa.string())
-    n = len(texts)
-    if n == 0:
+    flat, lens = tokenize_hash_flat(texts)
+    if len(lens) == 0:
         return []
-    flat, parent = flat_tokens(texts)
-    if len(flat) == 0:
-        return [np.empty(0, dtype=np.uint64) for _ in range(n)]
-    d = pc.dictionary_encode(flat)
-    uniq = d.dictionary.to_pylist()
-    inv = d.indices.to_numpy(zero_copy_only=False)
-    uniq_hashes = np.fromiter(
-        (hash_token_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
-    )
-    all_hashes = uniq_hashes[inv]
-    lens = np.bincount(parent, minlength=n)
-    return np.split(all_hashes, np.cumsum(lens)[:-1])
+    return np.split(flat, np.cumsum(lens)[:-1])
 
 
 # -- shingles ---------------------------------------------------------------
@@ -388,6 +399,49 @@ class MinHasher:
             i = j
         return out
 
+    def signatures_flat(
+        self, flat_values: np.ndarray, counts: np.ndarray
+    ) -> np.ndarray:
+        """(n_rows, num_perm) signatures from per-row value sets in
+        flattened form — bit-identical to :meth:`signatures_batch` on
+        the split lists, minus its re-concatenation. Same chunked
+        scratch-buffer regime."""
+        n = len(counts)
+        out = np.full((n, self.num_perm), _MASK64, dtype=np.uint64)
+        if flat_values.size == 0 or n == 0:
+            return out
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        budget = self._budget
+        if self._buf is None:
+            self._buf = np.empty((self.num_perm, budget), dtype=np.uint64)
+        buf = self._buf
+        i = 0
+        while i < n:
+            j = max(
+                i + 1,
+                int(
+                    np.searchsorted(
+                        offsets, offsets[i] + budget, side="right"
+                    )
+                )
+                - 1,
+            )
+            j = min(j, n)
+            seg = flat_values[offsets[i] : offsets[j]]
+            if seg.size:
+                if len(seg) > budget:  # one giant row: one-off buffer
+                    v = np.empty((self.num_perm, len(seg)), dtype=np.uint64)
+                else:
+                    v = buf[:, : len(seg)]
+                np.multiply(self.a[:, None], seg[None, :], out=v)
+                np.add(v, self.b[:, None], out=v)
+                rows_ne = i + np.flatnonzero(counts[i:j] > 0)
+                rel = (offsets[rows_ne] - offsets[i]).astype(np.intp)
+                out[rows_ne] = np.minimum.reduceat(v, rel, axis=1).T
+            i = j
+        return out
+
 
 def band_hashes(signature: np.ndarray, num_bands: int, band_rows: int) -> np.ndarray:
     """Hash each band of a signature to one uint64 (row version).
@@ -432,6 +486,134 @@ def simhash_batch(shingle_lists: list[np.ndarray]) -> np.ndarray:
         out[i] = np.bitwise_or.reduce(
             (vote.astype(np.uint64) << shifts), axis=0
         )
+    return out
+
+
+# -- flat batch kernels (signature stage hot path) ---------------------------
+#
+# Bit-identical batch forms of the per-row kernels above: one lexsort /
+# reduceat over the whole batch instead of thousands of tiny np.unique
+# and (n_shingles x 64) expansions. The per-row forms stay for callers
+# that genuinely hold one row (verify, winnowing) and as the parity
+# oracle in tests/test_hashing.py.
+
+
+def dedup_per_row(
+    values: np.ndarray, rows: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(values, row_idx) instances -> per-row SORTED DISTINCT values,
+    flattened, plus per-row distinct counts — bit-identical to
+    ``np.unique(values[rows == r])`` per row, in one batch lexsort."""
+    if values.size == 0:
+        return np.empty(0, dtype=values.dtype), np.zeros(
+            n_rows, dtype=np.int64
+        )
+    order = np.lexsort((values, rows))
+    v, r = values[order], rows[order]
+    first = np.empty(v.size, dtype=bool)
+    first[0] = True
+    first[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
+    counts = np.bincount(r[first], minlength=n_rows).astype(np.int64)
+    return v[first], counts
+
+
+def batch_shingle_sets(
+    flat_tokens_u64: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row sorted-distinct k-shingle hashes of a whole batch,
+    flattened: ``(flat_shingles, per-row counts)`` — bit-identical to
+    ``shingle_hashes(row_tokens, k)`` per row (including the short-row
+    single-shingle fallback), without per-row Python calls."""
+    n_rows = len(lens)
+    total = int(lens.sum())
+    if n_rows == 0 or total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_rows, np.int64)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+
+    # full-width shingles for rows with len >= k: one flat pass,
+    # boundary-straddling windows masked (flat_gram_hashes semantics)
+    if total >= k:
+        m = total - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]) ^ (
+                flat_tokens_u64[j : j + m]
+            )
+        acc = _mix64(acc)
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        valid = row_of[:m] == row_of[k - 1 :]
+        grams, gram_rows = acc[valid], row_of[:m][valid]
+    else:
+        grams = np.empty(0, dtype=np.uint64)
+        gram_rows = np.empty(0, dtype=np.int64)
+
+    # short-row fallback (0 < len < k): ONE shingle over all tokens,
+    # j-th step applied to rows still long enough — <= k-1 vector ops
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if short.size:
+        s_lens = lens[short]
+        s_starts = starts[short]
+        h = np.zeros(short.size, dtype=np.uint64)
+        for j in range(int(s_lens.max())):
+            active = s_lens > j
+            h[active] = (
+                h[active] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+            ) ^ flat_tokens_u64[s_starts[active] + j]
+        grams = np.concatenate([grams, _mix64(h)])
+        gram_rows = np.concatenate([gram_rows, short])
+
+    return dedup_per_row(grams, gram_rows, n_rows)
+
+
+_BYTE_BITS = (
+    (np.arange(256, dtype=np.uint8)[:, None] >> np.arange(8, dtype=np.uint8))
+    & 1
+).astype(np.uint8)
+
+
+def simhash_from_flat(
+    flat_values: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """64-bit SimHash per row from flattened per-row value sets —
+    bit-identical to :func:`simhash_batch` on the split lists. Bit
+    counting runs through a byte LUT + ``add.reduceat`` per row-chunk
+    (bounded scratch) instead of a per-row (n x 64) expansion."""
+    n_rows = len(counts)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if flat_values.size == 0 or n_rows == 0:
+        return out
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    chunk_vals = 1 << 18  # 256k values -> <= 64 MB int32 scratch
+    i = 0
+    while i < n_rows:
+        j = max(
+            i + 1,
+            int(
+                np.searchsorted(
+                    offsets, offsets[i] + chunk_vals, side="right"
+                )
+            )
+            - 1,
+        )
+        j = min(j, n_rows)
+        seg = flat_values[offsets[i] : offsets[j]]
+        if seg.size:
+            # little-endian byte b of a uint64 holds bits 8b..8b+7, so
+            # the C-order reshape lands bit index byte*8+bit == global
+            bits = _BYTE_BITS[seg.view(np.uint8).reshape(-1, 8)].reshape(
+                -1, 64
+            )
+            rows_ne = i + np.flatnonzero(counts[i:j] > 0)
+            rel = (offsets[rows_ne] - offsets[i]).astype(np.intp)
+            cnt = np.add.reduceat(bits.astype(np.int32), rel, axis=0)
+            vote = cnt.astype(np.int64) * 2 > counts[rows_ne][:, None]
+            out[rows_ne] = np.bitwise_or.reduce(
+                vote.astype(np.uint64) << shifts[None, :], axis=1
+            )
+        i = j
     return out
 
 

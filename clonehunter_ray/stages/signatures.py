@@ -47,6 +47,38 @@ SIGNATURE_META_COLS = [
 ]
 
 
+def _binary_from_flat_u64(flat: np.ndarray, counts: np.ndarray) -> pa.Array:
+    """Zero-copy-ish binary column from flattened per-row uint64 sets:
+    one values buffer + int32 offsets, byte-identical to per-row
+    ``arr.tobytes()`` (little-endian uint64)."""
+    n = len(counts)
+    total_bytes = int(counts.sum()) * 8
+    if total_bytes >= (1 << 31):  # int32 offset overflow: fall back
+        splits = np.split(flat, np.cumsum(counts)[:-1])
+        return pa.array([s.tobytes() for s in splits], pa.binary())
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts * 8, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(flat.astype("<u8", copy=False).tobytes()),
+        ],
+    )
+
+
+def _list_from_matrix_u64(mat: np.ndarray) -> pa.Array:
+    """list<uint64> column from an (n_rows, width) uint64 matrix
+    without the ``tolist()`` round-trip."""
+    n, width = mat.shape
+    offsets = pa.array(
+        np.arange(0, (n + 1) * width, width, dtype=np.int32), pa.int32()
+    )
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel(), pa.uint64()))
+
+
 class SignatureStage:
     """Stateful per-actor signature computer (one MinHasher per actor)."""
 
@@ -65,16 +97,22 @@ class SignatureStage:
         self.emit_token_seq = emit_token_seq
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        token_hashes = H.tokenize_hash_texts(batch["text"])
-        shingle_lists = [
-            H.shingle_hashes(th, self.config.shingle_k) for th in token_hashes
-        ]
-        token_sets = [H.token_set_hashes(th) for th in token_hashes]
-        sigs = self.hasher.signatures_batch(shingle_lists)
+        n = batch.num_rows
+        # flat batch kernels: one lexsort/reduceat over the whole batch
+        # instead of per-row np.unique / (n x 64) expansions — outputs
+        # bit-identical to the per-row forms (pinned by
+        # tests/test_hashing.py parity tests)
+        flat_tok, tok_lens = H.tokenize_hash_flat(batch["text"])
+        flat_sh, sh_counts = H.batch_shingle_sets(
+            flat_tok, tok_lens, self.config.shingle_k
+        )
+        tok_rows = np.repeat(np.arange(n, dtype=np.int64), tok_lens)
+        flat_tset, tset_counts = H.dedup_per_row(flat_tok, tok_rows, n)
+        sigs = self.hasher.signatures_flat(flat_sh, sh_counts)
         bands = H.band_hashes_batch(
             sigs, self.config.num_bands, self.config.band_rows
         )
-        simhashes = H.simhash_batch(shingle_lists)
+        simhashes = H.simhash_from_flat(flat_sh, sh_counts)
 
         cols: dict[str, pa.Array] = {}
         for name in SIGNATURE_META_COLS:
@@ -83,21 +121,17 @@ class SignatureStage:
         # binary-encoded sorted uint64 sets (little-endian) — list types
         # can't ride through Acero hash joins as payload, and the blob
         # form is also the compact wire format for the verify shuffle
-        cols["shingles"] = pa.array(
-            [s.tobytes() for s in shingle_lists], pa.binary()
-        )
-        cols["tokens"] = pa.array(
-            [t.tobytes() for t in token_sets], pa.binary()
-        )
+        cols["shingles"] = _binary_from_flat_u64(flat_sh, sh_counts)
+        cols["tokens"] = _binary_from_flat_u64(flat_tset, tset_counts)
         if self.emit_token_seq:
-            cols["token_seq"] = pa.array(
-                [th.tobytes() for th in token_hashes], pa.binary()
-            )
-        cols["minhash"] = pa.array(sigs.tolist(), pa.list_(pa.uint64()))
-        cols["band_keys"] = pa.array(bands.tolist(), pa.list_(pa.uint64()))
-        cols["simhash"] = pa.array(simhashes.tolist(), pa.uint64())
+            cols["token_seq"] = _binary_from_flat_u64(flat_tok, tok_lens)
+        cols["minhash"] = _list_from_matrix_u64(sigs)
+        cols["band_keys"] = _list_from_matrix_u64(bands)
+        cols["simhash"] = pa.array(simhashes, pa.uint64())
         cols["n_shingles"] = pa.array(
-            [len(s) for s in shingle_lists], pa.int32()
+            sh_counts.astype(np.int32), pa.int32()
         )
-        cols["n_tokens"] = pa.array([len(t) for t in token_sets], pa.int32())
+        cols["n_tokens"] = pa.array(
+            tset_counts.astype(np.int32), pa.int32()
+        )
         return pa.table(cols)

@@ -226,3 +226,114 @@ def test_run_ranks_matches_pandas_cumcount():
     # string keys (cap_docs_per_source sorts object arrays)
     s = np.array(["a", "a", "b", "c", "c", "c"], dtype=object)
     assert H.run_ranks(s).tolist() == [0, 1, 0, 0, 1, 2]
+
+
+def test_flat_batch_kernels_match_per_row_forms():
+    """The signature stage's flat batch kernels (batch_shingle_sets /
+    dedup_per_row / simhash_from_flat / MinHasher.signatures_flat) are
+    bit-identical to the per-row forms they replace — including empty
+    rows, short-row (< k) shingle fallback, and a giant row that
+    overflows the MinHasher chunk budget."""
+    rng = np.random.default_rng(11)
+    k, num_perm = 6, 32
+    hasher_a = H.MinHasher(num_perm, 42)
+    hasher_b = H.MinHasher(num_perm, 42)
+    hasher_b._budget = 64  # force multi-chunk + giant-row paths
+
+    lens = [0, 1, 3, k - 1, k, 17, 300, 0, 2, 95]
+    token_lists = [
+        rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+        for n in lens
+    ]
+    # repeats inside a row exercise the dedup
+    token_lists[5][3:6] = token_lists[5][0:3]
+    flat = (
+        np.concatenate([t for t in token_lists if len(t)])
+        if any(lens)
+        else np.empty(0, np.uint64)
+    )
+    lens_arr = np.asarray(lens, dtype=np.int64)
+    n_rows = len(lens)
+
+    # per-row reference
+    shingle_lists = [H.shingle_hashes(t, k) for t in token_lists]
+    token_sets = [H.token_set_hashes(t) for t in token_lists]
+    sigs_ref = hasher_a.signatures_batch(shingle_lists)
+    sim_ref = H.simhash_batch(shingle_lists)
+
+    # flat batch
+    flat_sh, sh_counts = H.batch_shingle_sets(flat, lens_arr, k)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens_arr)
+    flat_ts, ts_counts = H.dedup_per_row(flat, rows, n_rows)
+    sigs = hasher_b.signatures_flat(flat_sh, sh_counts)
+    sims = H.simhash_from_flat(flat_sh, sh_counts)
+
+    off = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(sh_counts, out=off[1:])
+    for i in range(n_rows):
+        assert np.array_equal(shingle_lists[i], flat_sh[off[i] : off[i + 1]])
+    off2 = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(ts_counts, out=off2[1:])
+    for i in range(n_rows):
+        assert np.array_equal(token_sets[i], flat_ts[off2[i] : off2[i + 1]])
+    assert np.array_equal(sigs_ref, sigs)
+    assert np.array_equal(sim_ref, sims)
+
+    # all-empty batch
+    e_sh, e_cnt = H.batch_shingle_sets(
+        np.empty(0, np.uint64), np.zeros(4, np.int64), k
+    )
+    assert e_sh.size == 0 and e_cnt.tolist() == [0, 0, 0, 0]
+    assert H.simhash_from_flat(e_sh, e_cnt).tolist() == [0, 0, 0, 0]
+
+
+def test_signature_stage_arrow_layout_matches_per_row_build():
+    """SignatureStage's zero-copy Arrow construction produces columns
+    equal to the per-row tobytes()/tolist() build."""
+    import pyarrow as pa
+
+    from clonehunter_ray.config import SignatureConfig
+    from clonehunter_ray.stages.signatures import SignatureStage
+
+    texts = [
+        "def f(x):\n    return x + 1",
+        "",
+        None,
+        "a b",
+        "the quick brown fox " * 40,
+        "def g(y):\n    return y + 1",
+    ]
+    batch = pa.table(
+        {
+            "snippet_id": pa.array([f"s{i}" for i in range(len(texts))]),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = SignatureConfig()
+    out = SignatureStage(cfg, emit_token_seq=True)(batch)
+
+    th = H.tokenize_hash_texts(batch["text"])
+    sh = [H.shingle_hashes(t, cfg.shingle_k) for t in th]
+    ts = [H.token_set_hashes(t) for t in th]
+    sigs = H.MinHasher(cfg.num_perm, cfg.seed).signatures_batch(sh)
+    assert out["shingles"].combine_chunks().equals(
+        pa.array([s.tobytes() for s in sh], pa.binary())
+    )
+    assert out["tokens"].combine_chunks().equals(
+        pa.array([t.tobytes() for t in ts], pa.binary())
+    )
+    assert out["token_seq"].combine_chunks().equals(
+        pa.array([t.tobytes() for t in th], pa.binary())
+    )
+    assert out["minhash"].combine_chunks().equals(
+        pa.array(sigs.tolist(), pa.list_(pa.uint64()))
+    )
+    assert out["simhash"].to_pylist() == H.simhash_batch(sh).tolist()
+    assert out["n_shingles"].to_pylist() == [len(s) for s in sh]
+    assert out["n_tokens"].to_pylist() == [len(t) for t in ts]
+
+    # zero-row batch keeps the schema
+    empty = batch.slice(0, 0)
+    out0 = SignatureStage(cfg, emit_token_seq=True)(empty)
+    assert out0.num_rows == 0
+    assert set(out.column_names) == set(out0.column_names)
