@@ -18,6 +18,7 @@ sequential in-memory pipeline, core/pipeline.py:91-255):
       -> groupby(pair_key).map_groups(rollup) # finding aggregation
       [checkpoint: findings]
       -> union-find clustering (driver; hash-min loop at scale)
+      [checkpoint: clusters]                   # labelled findings
 
 Only ids/hashes/shingle arrays cross the shuffles — raw ``content`` /
 ``text`` columns never enter a wide stage (SURVEY.md §7 "wide rows").
@@ -536,11 +537,13 @@ def scan(
     cluster_map: dict[str, int] = {}
     n_clusters = 0
     if config.cluster.enabled:
-        n_edges = n_findings
-        if n_edges <= config.cluster.driver_max_edges:
-            findings, cluster_map = C.add_cluster_ids(findings, config.cluster)
-            n_clusters = len(set(cluster_map.values()))
-        else:
+        use_driver = n_findings <= config.cluster.driver_max_edges
+
+        def _compute_labelled() -> "ray.data.Dataset":
+            if use_driver:
+                labelled, cmap = C.add_cluster_ids(findings, config.cluster)
+                _captured.update(cmap)
+                return labelled
             # scale path: distributed hash-min labels + partitioned
             # join attach — NO driver-side label dict (the labelled
             # node set grows with the corpus). cluster_map stays empty
@@ -549,10 +552,40 @@ def scan(
             labels_ds = C.hashmin_labels(
                 findings.select_columns(["unit_a", "unit_b"])
             )
-            findings = C.attach_cluster_ids_join(
+            return C.attach_cluster_ids_join(
                 findings, labels_ds, config.exec.shuffle_partitions or 16
             )
-            n_clusters = labels_ds.groupby("label").count().count()
+
+        _captured: dict[str, int] = {}
+        if root is None:
+            # in-memory path: label lazily, no extra materialization
+            findings = _compute_labelled()
+        else:
+            # checkpoint the CLUSTER MAP as its own stage (labelled
+            # findings carry cluster_id): a resumed run skips the
+            # union-find / hash-min propagation entirely
+            findings = ckpt.checkpoint_or_compute(
+                _compute_labelled, root, "clusters", fp, ckpt_stats
+            )
+        if use_driver:
+            if not _captured:
+                # resumed from the clusters checkpoint: rebuild the
+                # driver-path unit->cluster map from the labelled
+                # table (bounded by driver_max_edges rows)
+                for r in findings.select_columns(
+                    ["unit_a", "unit_b", "cluster_id"]
+                ).take_all():
+                    _captured[r["unit_a"]] = r["cluster_id"]
+                    _captured[r["unit_b"]] = r["cluster_id"]
+            cluster_map = _captured
+            n_clusters = len(set(cluster_map.values()))
+        else:
+            n_clusters = (
+                findings.select_columns(["cluster_id"])
+                .groupby("cluster_id")
+                .count()
+                .count()
+            )
         if config.cluster.min_size > 1:
             findings = C.filter_min_cluster_size(
                 findings, config.cluster.min_size

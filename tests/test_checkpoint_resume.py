@@ -28,7 +28,7 @@ def test_scan_writes_stage_checkpoints_with_lineage(ray_session, tmp_path):
     res, cfg = _scan(files, root)
     n = res.findings.count()
     assert n > 0
-    for stage in ("signatures", "pairs", "findings"):
+    for stage in ("signatures", "pairs", "findings", "clusters"):
         d = os.path.join(root, stage)
         assert os.path.exists(os.path.join(d, "_SUCCESS")), stage
         lineage = json.load(open(os.path.join(d, "_lineage.json")))
@@ -59,6 +59,35 @@ def test_resume_skips_completed_upstream(ray_session, tmp_path):
     # ... and the resumed run reproduces the findings exactly
     assert list(first["pair_key"]) == list(second["pair_key"])
     assert list(first["score"]) == list(second["score"])
+
+
+def test_clusters_checkpoint_resume_rebuilds_map(ray_session, tmp_path):
+    """A full rerun over an intact checkpoint tree hits every stage —
+    including the new clusters stage — and the driver-path
+    unit->cluster map is rebuilt from the checkpointed table."""
+    files, _ = generate_corpus(60, 7)
+    root = str(tmp_path / "ck")
+    res1, cfg = _scan(files, root)
+    assert res1.stats["checkpoint"]["clusters"] == "miss"
+    map1 = dict(res1.cluster_map)
+    assert map1  # driver path at this scale
+
+    findings_lineage = os.path.join(root, "findings", "_lineage.json")
+    mtime_before = os.path.getmtime(findings_lineage)
+
+    res2, _ = _scan(files, root)
+    assert res2.stats["checkpoint"]["clusters"] == "hit"
+    assert os.path.getmtime(findings_lineage) == mtime_before
+    assert dict(res2.cluster_map) == map1
+    assert res2.stats["counts"]["clusters"] == res1.stats["counts"]["clusters"]
+
+    # lose ONLY the clusters stage: upstream findings reused, labels
+    # recomputed, same assignment
+    shutil.rmtree(os.path.join(root, "clusters"))
+    res3, _ = _scan(files, root)
+    assert res3.stats["checkpoint"]["clusters"] == "miss"
+    assert res3.stats["checkpoint"]["findings"] == "hit"
+    assert dict(res3.cluster_map) == map1
 
 
 def test_config_change_invalidates_checkpoint(ray_session, tmp_path):
