@@ -230,7 +230,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": lambda sf: similarity.semdedup_embeddings(
             _emb(sf), k=8, iters=6, threshold=0.4
         ),
+        "quality_classifier_scores": _quality_classifier,
     }
+
+
+def _quality_classifier(sf_dir: str):
+    """Rows-only: CCNet/GPT-3-style classifier quality filter. Weak
+    labels (lang == 'en' stands in for the 'reference corpus'), then
+    distributed full-batch logistic regression over hashed
+    unigram+bigram bag-of-words (weights broadcast per epoch, map-side
+    gradient partials), then ONE streaming scoring pass appending the
+    probability (pipelines/classifier.py; pinned by
+    tests/test_classifier.py against a single-process reference)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.pipelines import classifier as C
+    from clonehunter_ray.util import read_parquet_clean
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.equal(batch["lang"], "en"), pa.int64())
+        return batch.append_column("label", lab)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet").map_batches(
+        add_label, batch_format="pyarrow"
+    )
+    model = C.train_quality_classifier(docs, dim=2**14, epochs=15)
+    scored = C.score_with_classifier(docs, model)
+    return scored.select_columns(["doc_id", "lang", "label", "quality_prob"])
 
 
 def _passage_dup_stats(sf_dir: str):

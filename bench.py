@@ -241,6 +241,13 @@ def run_bench() -> dict:
     timed("dsir_logweights_documents", Q.dsir_logweights_documents)
     timed("global_shuffle_documents", Q.global_shuffle_documents)
 
+    def _quality_classifier(sf_dir):
+        import __ray_entry__ as E
+
+        return E.queries()["quality_classifier_scores"](sf_dir)
+
+    timed("quality_classifier_scores", _quality_classifier)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),
