@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_cosine": lambda sf: similarity.ivf_knn_cosine(
             _emb(sf), query_ids=[0, 1, 2, 3, 4], k=10
         ),
+        "pq_knn_cosine": lambda sf: similarity.pq_knn_cosine(
+            _emb(sf), query_ids=[0, 1, 2, 3, 4], k=10
+        ),
         "embedding_near_dup_pairs": lambda sf: similarity.embedding_near_dup_pairs(
             _emb(sf), threshold=0.4, n_bits=4
         ),

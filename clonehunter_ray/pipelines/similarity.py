@@ -668,3 +668,258 @@ def semdedup_embeddings(
         .groupby("cluster")
         .map_groups(prune, batch_format="pandas")
     )
+
+
+# -- product quantization (IVF-PQ) ------------------------------------------
+
+
+def _train_pq_codebooks(
+    sample_matn: np.ndarray, m_sub: int, n_codes: int, seed: int,
+    iters: int = 15,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks ``(m_sub, n_codes, sub_dim)``
+    trained driver-side on the bounded sample (standard PQ training:
+    the codebook is tiny — 8x16x8 doubles here — and training data
+    needs only ~1e3-1e4 vectors regardless of corpus size)."""
+    n, d = sample_matn.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    sub = d // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_sub, n_codes, sub), dtype=np.float64)
+    for m in range(m_sub):
+        X = sample_matn[:, m * sub : (m + 1) * sub]
+        cents = X[rng.choice(n, n_codes, replace=n < n_codes)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = X[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def _pq_encode_mat(matn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m_sub) uint8 codes, vectorized per subspace."""
+    m_sub, n_codes, sub = books.shape
+    codes = np.empty((len(matn), m_sub), dtype=np.uint8)
+    for m in range(m_sub):
+        X = matn[:, m * sub : (m + 1) * sub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+        d2 = (books[m] ** 2).sum(axis=1)[None, :] - 2.0 * (X @ books[m].T)
+        codes[:, m] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    emb_ds: "ray.data.Dataset",
+    books_ref,
+    cents_ref=None,
+) -> "ray.data.Dataset":
+    """Compress the corpus to PQ codes: one streaming pass emitting
+    (vec_id, cell, codes) — ``m_sub`` BYTES per vector instead of
+    ``dim`` floats (64x smaller at dim=64/m_sub=8/float64). This is
+    the 100 TB memory story: the search pass scans only this table;
+    raw vectors are touched again only for the top-R exact rerank.
+
+    ``books_ref``/``cents_ref`` are ``ray.put`` handles (codebooks and
+    optional IVF coarse centroids) read zero-copy per task.
+    """
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        cents = ray.get(cents_ref) if cents_ref is not None else None
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int32()),
+                    "codes": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        ids, matn = _normalized_f64(batch)
+        cells = (
+            np.argmax(matn @ cents.T, axis=1).astype(np.int32)
+            if cents is not None
+            else np.zeros(len(ids), dtype=np.int32)
+        )
+        codes = _pq_encode_mat(matn, books)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cells, pa.int32()),
+                "codes": pa.array(
+                    [row.tolist() for row in codes], pa.list_(pa.uint8())
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_knn_cosine(
+    emb_ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 12,
+    m_sub: int = 16,
+    n_codes: int = 32,
+    rerank: int = 100,
+    seed: int = 29,
+    train_sample: int = 2048,
+):
+    """IVF-PQ approximate top-k (Jegou et al. 2011, the FAISS IVFPQ
+    shape): coarse quantizer + per-subspace codebooks trained
+    driver-side on a bounded sample, corpus compressed to ``m_sub``
+    bytes/vector (``pq_encode``), queries scored against ONLY the
+    ``nprobe`` probed cells via asymmetric-distance lookup tables
+    (LUT[m, code] = q_m . c_{m,code}; a scan touches uint8 codes, no
+    floats), then the top-``rerank`` ADC candidates per query rescored
+    EXACTLY against raw vectors (a second, tiny, id-filtered pass).
+    Returns (query_id, vec_id, rank) like the other ANN variants.
+    """
+    wanted = np.asarray(sorted(query_ids), dtype=np.int64)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, wanted), pa.bool_()))
+
+    queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    q_ids = queries["vec_id"].to_numpy().astype(np.int64)
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_mat = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+
+    # bounded-sample training (coarse cells + PQ codebooks)
+    sample = emb_ds.limit(train_sample).to_pandas()
+    s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    s_mat = s_mat / np.maximum(
+        np.linalg.norm(s_mat, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(s_mat))
+    cents = s_mat[rng.choice(len(s_mat), n_cells, replace=False)].copy()
+    for _ in range(10):  # spherical k-means, as in ivf_knn_cosine
+        assign = np.argmax(s_mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = s_mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    books = _train_pq_codebooks(s_mat, m_sub, n_codes, seed)
+
+    books_ref = ray.put(books)
+    cents_ref = ray.put(cents)
+    codes_ds = pq_encode(emb_ds, books_ref, cents_ref)
+
+    # per-query ADC lookup tables + probe sets
+    nprobe = min(nprobe, n_cells)
+    q_cells = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    sub = q_mat.shape[1] // m_sub
+    luts = np.empty((len(q_ids), m_sub, n_codes), dtype=np.float64)
+    for m in range(m_sub):
+        luts[:, m, :] = q_mat[:, m * sub : (m + 1) * sub] @ books[m].T
+    q_ref = ray.put((q_ids, q_cells, luts))
+
+    def adc_scan(batch: pa.Table) -> pa.Table:
+        ids_, qcells, lut = ray.get(q_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "approx": pa.array([], pa.float64()),
+                }
+            )
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        codes_col = batch["codes"].combine_chunks()
+        codes = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, -1
+        )
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_)):
+            rows = np.flatnonzero(np.isin(cells, qcells[qi]))
+            if not len(rows):
+                continue
+            c = codes[rows]
+            score = np.zeros(len(rows), dtype=np.float64)
+            for m in range(c.shape[1]):
+                score += lut[qi, m, c[:, m]]
+            out_q.extend([int(ids_[qi])] * len(rows))
+            out_v.extend(vec_ids[rows].tolist())
+            out_s.extend(score.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "approx": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = codes_ds.map_batches(adc_scan, batch_format="pyarrow")
+
+    def approx_topr(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["approx", "vec_id"], ascending=[False, True]
+        ).head(rerank)
+
+    cand = (
+        partials.groupby("query_id")
+        .map_groups(approx_topr, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # exact rerank: ONE id-filtered pass over raw vectors (candidate
+    # set is <= |Q| * rerank rows — tiny), scored driver-side
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    cid_ref = ray.put(cand_ids)
+
+    def _pick_cand(batch: pa.Table) -> pa.Table:
+        cids = ray.get(cid_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, cids), pa.bool_()))
+
+    raw = emb_ds.map_batches(_pick_cand, batch_format="pyarrow").to_pandas()
+    r_ids = raw["vec_id"].to_numpy().astype(np.int64)
+    r_mat = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    r_mat = r_mat / np.maximum(
+        np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-12
+    )
+    pos = {int(v): i for i, v in enumerate(r_ids)}
+    qpos = {int(v): i for i, v in enumerate(q_ids)}
+    exact = np.einsum(
+        "ij,ij->i",
+        q_mat[[qpos[int(q)] for q in cand["query_id"]]],
+        r_mat[[pos[int(v)] for v in cand["vec_id"]]],
+    )
+    cand = cand.assign(cos=exact)
+    out = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.int64(qid),
+                    "vec_id": g["vec_id"].to_numpy(np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return ray.data.from_pandas(pd.concat(out, ignore_index=True))

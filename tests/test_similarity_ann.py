@@ -255,3 +255,101 @@ def test_semdedup_kept_set_is_mutually_dissimilar(ray_session):
         np.fill_diagonal(gram, 0.0)
         # no two kept members of a cluster are semantic duplicates
         assert gram.max() < 0.95 + 1e-9
+
+
+# -- IVF-PQ ------------------------------------------------------------------
+
+
+def test_pq_encode_codes_are_bytes_and_deterministic(ray_session):
+    import ray
+
+    from clonehunter_ray.pipelines.similarity import (
+        _pq_encode_mat,
+        _train_pq_codebooks,
+        pq_encode,
+    )
+
+    rows = _clustered_embeddings(n=120, dim=16)
+    ds = ray.data.from_items(rows)
+    mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    books = _train_pq_codebooks(matn, m_sub=4, n_codes=8, seed=5)
+    enc = (
+        pq_encode(ds, ray.put(books))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(enc) == 120
+    codes = np.stack(enc["codes"].to_numpy())
+    assert codes.shape == (120, 4)  # m_sub BYTES per vector
+    assert codes.dtype == np.uint8 or codes.max() < 8
+    # distributed encode == local encode (same codebooks)
+    local = _pq_encode_mat(matn, books)
+    assert (codes == local).all()
+    # per-subspace code is the true nearest centroid (spot check row 0)
+    sub = 4
+    for m in range(4):
+        d2 = ((matn[0, m * sub:(m + 1) * sub] - books[m]) ** 2).sum(axis=1)
+        assert codes[0, m] == d2.argmin()
+
+
+def test_pq_adc_score_matches_lut_math():
+    from clonehunter_ray.pipelines.similarity import (
+        _pq_encode_mat,
+        _train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(0)
+    mat = rng.normal(size=(50, 8))
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    books = _train_pq_codebooks(matn, m_sub=2, n_codes=4, seed=1)
+    codes = _pq_encode_mat(matn, books)
+    q = matn[0]
+    # ADC estimate = sum_m q_m . c_{m, code_m}; must equal the cosine
+    # against the RECONSTRUCTED vector
+    recon = np.concatenate([books[m][codes[7, m]] for m in range(2)])
+    lut_score = sum(
+        float(q[m * 4:(m + 1) * 4] @ books[m][codes[7, m]]) for m in range(2)
+    )
+    assert abs(lut_score - float(q @ recon)) < 1e-12
+
+
+def test_pq_knn_recall_on_clustered_data(ray_session):
+    from clonehunter_ray.pipelines.similarity import pq_knn_cosine
+
+    rows = _clustered_embeddings(n=300, dim=16)
+    ds = ray.data.from_items(rows)
+    qids = [0, 1, 2, 3, 4]
+    truth = _brute_topk_ids(rows, qids, 10)
+    got = pq_knn_cosine(
+        ds, qids, k=10, n_cells=8, nprobe=4, m_sub=4, n_codes=16
+    ).to_pandas()
+    recalls = []
+    for q in qids:
+        mine = set(got[got.query_id == q]["vec_id"])
+        recalls.append(len(mine & set(truth[q])) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    # ranks are 1..k and the rank-1 hit is the query itself
+    for q in qids:
+        g = got[got.query_id == q].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, 11))
+        assert g.iloc[0]["vec_id"] == q
+
+
+def test_pq_exhaustive_probe_with_exact_rerank_is_lossless(ray_session):
+    """With every cell probed and rerank >= corpus, the exact rerank
+    makes IVF-PQ equal to brute force — quantization only shapes the
+    CANDIDATE set, never the final scores."""
+    from clonehunter_ray.pipelines.similarity import pq_knn_cosine
+
+    rows = _clustered_embeddings(n=150, dim=16)
+    ds = ray.data.from_items(rows)
+    qids = [0, 7, 11]
+    truth = _brute_topk_ids(rows, qids, 5)
+    got = pq_knn_cosine(
+        ds, qids, k=5, n_cells=4, nprobe=4, m_sub=4, n_codes=16, rerank=150
+    ).to_pandas()
+    for q in qids:
+        mine = list(got[got.query_id == q].sort_values("rank")["vec_id"])
+        assert mine == truth[q], q
