@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": Q.redact_pii_documents,
         "export_training_shards": training.export_training_shards,
         "mixture_upsample_documents": training.mixture_upsample_documents,
+        "temperature_sample_by_source": Q.temperature_sample_by_source,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -954,6 +955,32 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+        """,
+        "temperature_sample_by_source": """
+            WITH counts AS (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+            ), w AS (
+                SELECT source, n,
+                       CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                            AS BIGINT) AS wi
+                FROM counts
+            ), tot AS (SELECT SUM(wi) AS s FROM w),
+            quota AS (
+                SELECT source,
+                       LEAST(n, CAST(FLOOR(CAST(200 * wi AS DOUBLE)
+                                           / CAST(s AS DOUBLE)) AS BIGINT))
+                           AS q
+                FROM w, tot
+            ), ranked AS (
+                SELECT d.doc_id, d.source, quota.q,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.source
+                           ORDER BY sha256('17:' || CAST(d.doc_id AS VARCHAR)),
+                                    d.doc_id
+                       ) AS rn
+                FROM documents d JOIN quota USING (source)
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= q
         """,
         "mixture_sample_documents": """
             SELECT doc_id, source, lang, n_chars FROM documents

@@ -3511,3 +3511,106 @@ def dsir_resample_documents(
         .sort(["gkey6", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def temperature_sample_by_source(
+    sf_dir: str, k: int = 200, seed: int = 17
+):
+    """Temperature-flattened mixture sampling (the mT5/multilingual
+    recipe, Xue et al. 2021: sample source s w.p. proportional to
+    n_s^alpha, alpha = 1/T): draw a deterministic total-k sample whose
+    per-source quotas follow n_s^(1/2) (T=2) instead of raw counts, so
+    small sources are upweighted relative to proportional sampling.
+
+    Quota arithmetic is INTEGER-EXACT for oracle parity: the weight is
+    w_s = floor(sqrt(n_s) * 1e6 + 0.5) (sqrt is correctly rounded in
+    both numpy and DuckDB; floor(+0.5) sidesteps banker's-rounding
+    differences), the quota floor((k * w_s) / sum w) divides two
+    exactly-representable integers cast to double — bit-identical in
+    both engines. Selection within a source is the k-smallest
+    sha256(seed:doc_id) rank (same deterministic-uniform recipe as
+    ``sample_k_documents``).
+
+    Ray shape for 100 TB: counts come from per-batch partial
+    value-counts (rows shipped = sources x blocks, never the corpus);
+    selection is a per-batch LOCAL top-quota-per-source combiner
+    followed by a per-source ``map_groups`` final cut — a hot source
+    never ships more than quota rows per block.
+    """
+    import math
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch["source"].value_counts()
+        return pa.table(
+            {
+                "source": vc.field("values"),
+                "cnt": vc.field("counts"),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", sort=True)["cnt"]
+        .sum()
+    )
+    weights = {
+        s: int(math.floor(math.sqrt(float(n)) * 1e6 + 0.5))
+        for s, n in counts.items()
+    }
+    total_w = sum(weights.values())
+    quota = {
+        s: min(
+            int(counts[s]),
+            int(math.floor(float(k * w) / float(total_w))),
+        )
+        for s, w in weights.items()
+    }
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.string()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        rank = np.array(
+            H.sha256_hex_many(f"{seed}:{i}" for i in ids), dtype=object
+        )
+        order = np.lexsort((ids, rank, src))
+        pos = H.run_ranks(src[order])
+        q = np.array([quota.get(s, 0) for s in src[order]], dtype=np.int64)
+        keep = np.sort(order[pos < q])
+        idx = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(idx),
+                "source": batch["source"].take(idx),
+                "rank": pa.array(list(rank[keep]), pa.string()),
+            }
+        )
+
+    def final_top(g: pd.DataFrame) -> pa.Table:
+        q = quota.get(g["source"].iloc[0], 0)
+        g = g.sort_values(["rank", "doc_id"]).head(q)
+        return _pt(
+            g[["doc_id", "source"]],
+            pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string())]
+            ),
+        )
+
+    return (
+        docs.map_batches(local_top, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_top, batch_format="pandas")
+    )
