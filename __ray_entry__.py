@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_training_shards": training.export_training_shards,
         "mixture_upsample_documents": training.mixture_upsample_documents,
         "temperature_sample_by_source": Q.temperature_sample_by_source,
+        "source_overlap_matrix": Q.source_overlap_matrix,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -955,6 +956,42 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+        """,
+        "source_overlap_matrix": """
+            WITH t AS (
+                SELECT source,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT source, unnest(
+                    CASE WHEN len(ts) >= 3 THEN
+                        list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), cnt AS (
+                SELECT source, count(*) AS n FROM g GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       a.n AS grams_a, b.n AS grams_b
+                FROM cnt a JOIN cnt b ON a.source < b.source
+            ), com AS (
+                SELECT x.source AS source_a, y.source AS source_b,
+                       count(*) AS c
+                FROM g x JOIN g y ON x.gram = y.gram
+                     AND x.source < y.source
+                GROUP BY 1, 2
+            )
+            SELECT p.source_a, p.source_b,
+                   CAST(p.grams_a AS BIGINT) AS grams_a,
+                   CAST(p.grams_b AS BIGINT) AS grams_b,
+                   CAST(coalesce(com.c, 0) AS BIGINT) AS grams_common,
+                   CASE WHEN p.grams_a + p.grams_b - coalesce(com.c, 0) > 0
+                        THEN CAST(coalesce(com.c, 0) AS DOUBLE)
+                             / (p.grams_a + p.grams_b - coalesce(com.c, 0))
+                        ELSE 0.0 END AS jaccard
+            FROM pairs p LEFT JOIN com USING (source_a, source_b)
         """,
         "temperature_sample_by_source": """
             WITH counts AS (

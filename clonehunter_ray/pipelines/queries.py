@@ -3614,3 +3614,140 @@ def temperature_sample_by_source(
         .groupby("source")
         .map_groups(final_top, batch_format="pandas")
     )
+
+
+def source_overlap_matrix(sf_dir: str, k: int = 3, num_partitions: int = 16):
+    """Corpus-audit operator: pairwise overlap between sources measured
+    as Jaccard similarity of their DISTINCT token k-gram sets — the
+    standard pre-training audit for "how much does crawl A repeat
+    crawl B" (and the quantitative basis for choosing dedup order).
+
+    Ray shape: (1) a tiny per-batch value-counts pass discovers the
+    source list (rows shipped = sources x blocks); (2) per batch,
+    distinct (gram-hash, source-idx) pairs — ids only, no strings —
+    partitioned by gram hash; (3) inside each gram partition, a
+    VECTORIZED per-gram source-bitmask fold (sort + bitwise_or.reduceat
+    — OR is idempotent, so duplicate (gram, source) rows across batches
+    are harmless), then distinct-mask histogram rows (mask, cnt);
+    (4) the driver aggregates the bounded (<= 2^n_sources x partitions)
+    mask histogram into per-source counts, pairwise intersections, and
+    Jaccards. Requires <= 63 sources (one uint64 mask); beyond that,
+    chunk the source list and run per chunk pair-block.
+
+    Gram identity is the 64-bit positional hash (functions.hashing
+    flat_gram_hashes) — distinct counts match a SQL oracle building
+    gram STRINGS up to negligible collision odds, same contract as
+    frequent_gram_stats_documents.
+    """
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial_sources(batch: pa.Table) -> pa.Table:
+        vc = batch["source"].value_counts()
+        return pa.table({"source": vc.field("values")})
+
+    src_list = sorted(
+        set(
+            docs.map_batches(partial_sources, batch_format="pyarrow")
+            .to_pandas()["source"]
+        )
+    )
+    if len(src_list) > 63:
+        raise ValueError(
+            f"{len(src_list)} sources exceed the single-uint64 bitmask"
+        )
+    src_idx = {s: i for i, s in enumerate(src_list)}
+
+    empty_pairs = pa.schema(
+        [("part", pa.int64()), ("gram", pa.int64()), ("sidx", pa.int64())]
+    )
+
+    def gram_source_pairs(batch: pa.Table) -> pa.Table:
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        if len(grams) == 0:
+            return empty_pairs.empty_table()
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        sidx = np.array([src_idx[s] for s in srcs], dtype=np.int64)[rows]
+        g = grams.view(np.int64)  # bit-reinterpret: Arrow-safe group key
+        key = np.stack([g, sidx])
+        # per-batch distinct (gram, source) — ships each pair once
+        order = np.lexsort(key)
+        gg, ss = g[order], sidx[order]
+        first = np.r_[True, (gg[1:] != gg[:-1]) | (ss[1:] != ss[:-1])]
+        gg, ss = gg[first], ss[first]
+        part = (gg.view(np.uint64) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "gram": pa.array(gg, pa.int64()),
+                "sidx": pa.array(ss, pa.int64()),
+            }
+        )
+
+    mask_schema = pa.schema([("mask", pa.int64()), ("cnt", pa.int64())])
+
+    def fold_masks(part_tbl: pa.Table) -> pa.Table:
+        if part_tbl.num_rows == 0:
+            return mask_schema.empty_table()
+        g = part_tbl["gram"].to_numpy(zero_copy_only=False)
+        s = part_tbl["sidx"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, s = g[order], s[order]
+        bits = (np.uint64(1) << s.astype(np.uint64))
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        masks = np.bitwise_or.reduceat(bits, starts)
+        um, cnt = np.unique(masks, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(um.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(gram_source_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_masks, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_src = len(src_list)
+    per_src = np.zeros(n_src, dtype=np.int64)
+    common = np.zeros((n_src, n_src), dtype=np.int64)
+    for m, c in zip(
+        hist["mask"].to_numpy().view(np.uint64), hist["cnt"].to_numpy()
+    ):
+        members = [i for i in range(n_src) if m >> np.uint64(i) & np.uint64(1)]
+        for i in members:
+            per_src[i] += c
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                common[members[ai], members[bi]] += c
+    rows = []
+    for a in range(n_src):
+        for b in range(a + 1, n_src):
+            union = per_src[a] + per_src[b] - common[a, b]
+            rows.append(
+                {
+                    "source_a": src_list[a],
+                    "source_b": src_list[b],
+                    "grams_a": int(per_src[a]),
+                    "grams_b": int(per_src[b]),
+                    "grams_common": int(common[a, b]),
+                    "jaccard": float(common[a, b]) / union if union else 0.0,
+                }
+            )
+    return _pt(
+        pd.DataFrame(rows),
+        pa.schema(
+            [
+                ("source_a", pa.string()),
+                ("source_b", pa.string()),
+                ("grams_a", pa.int64()),
+                ("grams_b", pa.int64()),
+                ("grams_common", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ),
+    )
