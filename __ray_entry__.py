@@ -236,7 +236,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), k=8, iters=6, threshold=0.4
         ),
         "quality_classifier_scores": _quality_classifier,
+        "segment_near_dup_documents": _segment_near_dup,
     }
+
+
+def _segment_near_dup(sf_dir: str):
+    """Rows-only: FUZZY segment-level near-dedup — near-duplicated
+    paragraphs across documents (segment explode -> the existing
+    MinHash-LSH pair pipeline over packed segment uids; pinned by
+    tests/test_segment.py against an offline all-pairs oracle)."""
+    from clonehunter_ray.pipelines.segment import segment_near_dup_documents
+
+    return segment_near_dup_documents(sf_dir)
 
 
 def _quality_classifier(sf_dir: str):

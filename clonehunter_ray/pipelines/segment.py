@@ -302,3 +302,139 @@ def segment_dedup_documents(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return segment_dedup(docs, seg_tokens, num_partitions)
+
+
+def _explode_segment_texts(
+    batch: pa.Table, seg_tokens: int, min_seg_tokens: int
+) -> pa.Table:
+    """(doc_id, text) -> one (doc_id=packed uid, text=segment string)
+    row per segment of >= min_seg_tokens tokens. Segment strings are
+    rebuilt with Arrow ``binary_join`` over a ListArray sliced at
+    segment boundaries — no per-row Python."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if doc_ids.size and (
+        int(doc_ids.min()) < 0
+        or int(doc_ids.max()) >= (1 << (63 - _SEG_IDX_BITS))
+    ):
+        raise ValueError(
+            "segment_near_dup: doc_id must be in [0, 2^43) for the packed key"
+        )
+    toks = pc.split_pattern(
+        pc.fill_null(pc.cast(batch["text"], pa.string()), ""), " "
+    )
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = len(parent)
+    if n == 0:
+        return out_schema.empty_table()
+    doc_start = np.concatenate(([True], parent[1:] != parent[:-1]))
+    starts_at = np.flatnonzero(doc_start)
+    tok_idx = np.arange(n, dtype=np.int64) - np.repeat(
+        starts_at, np.diff(np.append(starts_at, n))
+    )
+    seg_idx = tok_idx // seg_tokens
+    if seg_idx.size and int(seg_idx.max()) >= (1 << _SEG_IDX_BITS):
+        raise ValueError(
+            f"segment_near_dup: a document has >= 2^{_SEG_IDX_BITS} segments"
+        )
+    seg_start = np.flatnonzero(doc_start | (tok_idx % seg_tokens == 0))
+    seg_len = np.diff(np.append(seg_start, n))
+    offsets = pa.array(np.append(seg_start, n), pa.int32())
+    seg_list = pa.ListArray.from_arrays(
+        offsets, flat.combine_chunks() if hasattr(flat, "combine_chunks") else flat
+    )
+    seg_text = pc.binary_join(seg_list, " ")
+    uid = (
+        doc_ids[parent[seg_start]] * np.int64(1 << _SEG_IDX_BITS)
+        + seg_idx[seg_start]
+    )
+    keep = pa.array(seg_len >= min_seg_tokens, pa.bool_())
+    return pa.table(
+        {
+            "doc_id": pa.array(uid, pa.int64()),
+            "text": seg_text,
+        }
+    ).filter(keep)
+
+
+def segment_near_dup_pairs(
+    docs_ds: "ray.data.Dataset",
+    seg_tokens: int = 30,
+    threshold: float = 0.8,
+    min_seg_tokens: int = 5,
+    cross_doc_only: bool = True,
+    config=None,
+) -> "ray.data.Dataset":
+    """FUZZY segment-level near-dedup — the missing granularity in the
+    dedup family (doc-level near = dedup.minhash_*, segment-level
+    exact = segment_dedup, span-level verbatim = passage.*): detect
+    ~duplicated paragraphs that differ by small edits, across
+    documents.
+
+    Pure composition, no new shuffle machinery: documents explode into
+    fixed-width token segments with a packed uid (doc_id * 2^20 +
+    seg_idx, same contract as segment_dedup), and the existing
+    MinHash-LSH pair pipeline (dedup.minhash_dedup_pairs: ids-only
+    band shuffle, salted hot buckets, exact Jaccard verify) runs over
+    the segment table unchanged. Output: (doc_a, seg_a, doc_b, seg_b,
+    jaccard), cross-document pairs only by default.
+    """
+    from clonehunter_ray.config import SignatureConfig
+    from clonehunter_ray.pipelines.dedup import minhash_dedup_pairs
+
+    config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
+    segments = docs_ds.map_batches(
+        lambda t: _explode_segment_texts(t, seg_tokens, min_seg_tokens),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_dedup_pairs(segments, threshold=threshold, config=config)
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("seg_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("seg_b", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        a = batch["a_id"].to_numpy(zero_copy_only=False)
+        b = batch["b_id"].to_numpy(zero_copy_only=False)
+        mask = np.int64((1 << _SEG_IDX_BITS) - 1)
+        doc_a, seg_a = a >> _SEG_IDX_BITS, a & mask
+        doc_b, seg_b = b >> _SEG_IDX_BITS, b & mask
+        tbl = pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "seg_a": pa.array(seg_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "seg_b": pa.array(seg_b, pa.int64()),
+                "jaccard": batch["jaccard"],
+            }
+        )
+        if cross_doc_only:
+            tbl = tbl.filter(pa.array(doc_a != doc_b, pa.bool_()))
+        return tbl
+
+    return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+def segment_near_dup_documents(sf_dir: str, seg_tokens: int = 30):
+    """Driver-contract wrapper over the documents table."""
+    from clonehunter_ray.util import read_parquet_clean
+
+    return segment_near_dup_pairs(
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        seg_tokens=seg_tokens,
+    )
