@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_upsample_documents": training.mixture_upsample_documents,
         "temperature_sample_by_source": Q.temperature_sample_by_source,
         "source_overlap_matrix": Q.source_overlap_matrix,
+        "token_budget_select": Q.token_budget_select,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -967,6 +968,21 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+        """,
+        "token_budget_select": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                                   '[a-z0-9_]+')) AS BIGINT)
+                           AS n_tokens,
+                       sha256(CAST(doc_id AS VARCHAR)) AS pri
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY pri, doc_id) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tokens FROM c WHERE cum <= 15000
         """,
         "source_overlap_matrix": """
             WITH t AS (

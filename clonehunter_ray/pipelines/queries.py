@@ -3751,3 +3751,111 @@ def source_overlap_matrix(sf_dir: str, k: int = 3, num_partitions: int = 16):
             ]
         ),
     )
+
+
+def token_budget_select(sf_dir: str, budget: int = 15_000):
+    """Deterministic token-budget cut: keep the prefix of documents —
+    in sha256(doc_id) priority order — whose cumulative token count
+    stays <= ``budget`` (the "give me exactly N training tokens,
+    reproducibly" dataset-sizing primitive; a distributed prefix-scan
+    WITHOUT a global sort).
+
+    Ray shape: (1) one pass computing per-batch partial token sums per
+    16-bit priority-prefix BUCKET (rows shipped = nonzero buckets per
+    block, never documents); (2) the driver prefix-sums the <= 65536
+    bucket totals and finds the boundary bucket; (3) one filtered pass
+    keeps every doc in buckets strictly before the boundary, and the
+    boundary bucket's rows (~corpus/65536) collect driver-side for the
+    exact in-bucket cut. Integer token sums end to end — bit-exact vs
+    the SQL windowed-SUM oracle. At 10^12 docs the boundary bucket is
+    ~10^7 rows; recurse on the next 2 priority bytes if that is still
+    too large (documented assumption, not implemented).
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok_pri(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        _, lens = H.tokenize_hash_flat(batch["text"])
+        if len(lens) == 0:
+            lens = np.zeros(len(ids), dtype=np.int64)
+        pri = H.sha256_hex_many(str(i) for i in ids)
+        bucket = np.fromiter(
+            (int(p[:4], 16) for p in pri), dtype=np.int64, count=len(pri)
+        )
+        return batch, ids, lens, pri, bucket
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        _, ids, lens, _, bucket = _tok_pri(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.int64()),
+                }
+            )
+        ub, inv = np.unique(bucket, return_inverse=True)
+        sums = np.bincount(inv, weights=lens).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "tok": pa.array(sums, pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.map_batches(bucket_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", sort=True)["tok"]
+        .sum()
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+    if totals.empty:
+        return ray.data.from_arrow(out_schema.empty_table())
+    cum = totals.cumsum()
+    # boundary = first bucket whose cumulative total exceeds the budget
+    over = cum[cum > budget]
+    if over.empty:
+        boundary = int(totals.index.max()) + 1  # everything fits
+        remaining = 0
+    else:
+        boundary = int(over.index[0])
+        before = int(cum.loc[boundary] - totals.loc[boundary])
+        remaining = budget - before
+
+    def keep_before(batch: pa.Table) -> pa.Table:
+        batch, ids, lens, _, bucket = _tok_pri(batch)
+        sel = bucket < boundary
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_tokens": pa.array(lens[sel], pa.int64()),
+            }
+        )
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        batch, ids, lens, pri, bucket = _tok_pri(batch)
+        sel = bucket == boundary
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_tokens": pa.array(lens[sel], pa.int64()),
+                "pri": pa.array([p for p, s in zip(pri, sel) if s], pa.string()),
+            }
+        )
+
+    selected = docs.map_batches(keep_before, batch_format="pyarrow")
+    if boundary > int(totals.index.max()):
+        return selected
+    edge = (
+        docs.map_batches(boundary_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["pri", "doc_id"])
+    )
+    run = edge["n_tokens"].cumsum()
+    edge_keep = edge[run <= remaining][["doc_id", "n_tokens"]]
+    return selected.union(
+        ray.data.from_arrow(_pt(edge_keep.reset_index(drop=True), out_schema))
+    )

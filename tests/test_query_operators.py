@@ -917,3 +917,46 @@ def test_dsir_resample_seed_changes_draw(ray_session):
         .tolist()
     )
     assert a == again  # deterministic re-run
+
+
+def test_token_budget_select_edges(ray_session, tmp_path):
+    import duckdb as _duck
+
+    import __ray_entry__ as entry
+    from clonehunter_ray.pipelines.queries import token_budget_select
+
+    sf = "/root/testdata/sf0.001"
+    # budget >= corpus total -> every document selected
+    all_rows = token_budget_select(sf, budget=10**9).to_pandas()
+    con = _duck.connect()
+    total = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(all_rows) == total
+    # budget 0 -> nothing
+    assert token_budget_select(sf, budget=0).to_pandas().empty
+    # the selected set is budget-feasible and maximal-prefix: total
+    # tokens <= budget, and adding the next-priority doc would exceed
+    sel = token_budget_select(sf, budget=15_000).to_pandas()
+    assert sel["n_tokens"].sum() <= 15_000
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    nxt = con.execute(
+        """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9_]+')) AS BIGINT)
+                       AS n_tokens,
+                   sha256(CAST(doc_id AS VARCHAR)) AS pri
+            FROM documents
+        )
+        SELECT n_tokens FROM t ORDER BY pri, doc_id
+        LIMIT 1 OFFSET ?
+        """,
+        [len(sel)],
+    ).fetchone()
+    assert nxt is not None
+    assert sel["n_tokens"].sum() + nxt[0] > 15_000
