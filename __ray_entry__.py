@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_by_source": Q.temperature_sample_by_source,
         "source_overlap_matrix": Q.source_overlap_matrix,
         "token_budget_select": Q.token_budget_select,
+        "gram_novelty_documents": Q.gram_novelty_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -968,6 +969,35 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+        """,
+        "gram_novelty_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id, unnest(
+                    CASE WHEN len(ts) >= 3 THEN
+                        list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), fo AS (
+                SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY gram
+            ), nf AS (
+                SELECT doc_id, count(*) AS n_first FROM fo GROUP BY doc_id
+            ), nt AS (
+                SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(nt.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(nf.n_first, 0) AS BIGINT) AS n_first,
+                   CASE WHEN coalesce(nt.n_grams, 0) > 0 THEN
+                       CAST(coalesce(nf.n_first, 0) AS DOUBLE) / nt.n_grams
+                   ELSE 0.0 END AS novelty
+            FROM documents d
+            LEFT JOIN nt USING (doc_id) LEFT JOIN nf USING (doc_id)
         """,
         "token_budget_select": """
             WITH t AS (

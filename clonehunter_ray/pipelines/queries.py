@@ -3859,3 +3859,142 @@ def token_budget_select(sf_dir: str, budget: int = 15_000):
     return selected.union(
         ray.data.from_arrow(_pt(edge_keep.reset_index(drop=True), out_schema))
     )
+
+
+def gram_novelty_documents(sf_dir: str, k: int = 3):
+    """Novelty scoring for curriculum/dedup triage: for each document,
+    the fraction of its DISTINCT token k-grams whose global FIRST
+    occurrence (minimum doc_id) is this document — 1.0 means entirely
+    novel content, ~0.0 means the document restates earlier corpus.
+
+    Ray shape: per-batch distinct (gram-hash, doc_id) pairs (ids only;
+    a doc's grams never straddle batches, so per-doc distinct counts
+    are exact map-side) -> ONE gram-partitioned exchange computing
+    min(doc_id) per gram and folding first-occurrence counts per doc
+    -> a tiny doc-partitioned sum over (doc, n_grams, n_first)
+    partials -> stateless novelty arithmetic. Gram identity is the
+    64-bit positional hash, same oracle contract as
+    frequent_gram_stats_documents.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partial_schema = pa.schema(
+        [
+            ("part", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("n_first", pa.int64()),
+        ]
+    )
+    pair_schema = pa.schema(
+        [("part", pa.int64()), ("gram", pa.int64()), ("doc_id", pa.int64())]
+    )
+    nparts = 16
+
+    def doc_totals(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        n_total = np.zeros(len(ids), dtype=np.int64)
+        if len(grams):
+            key = np.stack([grams.view(np.int64), rows])
+            order = np.lexsort(key)
+            g, r = grams.view(np.int64)[order], rows[order]
+            first = np.r_[True, (g[1:] != g[:-1]) | (r[1:] != r[:-1])]
+            n_total = np.bincount(r[first], minlength=len(ids)).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "part": pa.array(ids % nparts, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_total, pa.int64()),
+                "n_first": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            },
+            schema=partial_schema,
+        )
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        if len(grams) == 0:
+            return pair_schema.empty_table()
+        g = grams.view(np.int64)
+        d = ids[rows]
+        order = np.lexsort(np.stack([g, d]))
+        gg, dd = g[order], d[order]
+        first = np.r_[True, (gg[1:] != gg[:-1]) | (dd[1:] != dd[:-1])]
+        gg, dd = gg[first], dd[first]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (gg.view(np.uint64) % np.uint64(nparts)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "gram": pa.array(gg, pa.int64()),
+                "doc_id": pa.array(dd, pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    def fold_first(part_tbl: pa.Table) -> pa.Table:
+        if part_tbl.num_rows == 0:
+            return partial_schema.empty_table()
+        g = part_tbl["gram"].to_numpy(zero_copy_only=False)
+        d = part_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort(np.stack([d, g]))  # gram primary, doc asc
+        g, d = g[order], d[order]
+        starts = np.r_[True, g[1:] != g[:-1]]
+        first_docs = d[starts]
+        ud, cnt = np.unique(first_docs, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(ud % nparts, pa.int64()),
+                "doc_id": pa.array(ud, pa.int64()),
+                "n_grams": pa.array(np.zeros(len(ud), np.int64), pa.int64()),
+                "n_first": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=partial_schema,
+        )
+
+    firsts = (
+        docs.map_batches(gram_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_first, batch_format="pyarrow")
+    )
+    totals = docs.map_batches(doc_totals, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("n_first", pa.int64()),
+            ("novelty", pa.float64()),
+        ]
+    )
+
+    def finish(part_tbl: pa.Table) -> pa.Table:
+        if part_tbl.num_rows == 0:
+            return out_schema.empty_table()
+        d = part_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        ng = part_tbl["n_grams"].to_numpy(zero_copy_only=False)
+        nf = part_tbl["n_first"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        tg = np.bincount(inv, weights=ng).astype(np.int64)
+        tf = np.bincount(inv, weights=nf).astype(np.int64)
+        nov = np.where(tg > 0, tf / np.maximum(tg, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n_grams": pa.array(tg, pa.int64()),
+                "n_first": pa.array(tf, pa.int64()),
+                "novelty": pa.array(nov, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        totals.union(firsts)
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+    )
