@@ -720,3 +720,49 @@ def jaccard_batch(a_col, b_col) -> np.ndarray:
             (la == 0) | (lb == 0) | (union == 0), 0.0, inter / union
         )
     return jac.astype(np.float64)
+
+
+def lsh_collision_prob(j: float, num_bands: int, band_rows: int) -> float:
+    """P(LSH candidate) for a pair with true Jaccard ``j`` under
+    (bands, rows) banding: 1 - (1 - j^rows)^bands."""
+    return 1.0 - (1.0 - j ** band_rows) ** num_bands
+
+
+def lsh_tune(
+    threshold: float,
+    num_perm: int = 128,
+    min_recall: float = 0.99,
+    fp_margin: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(num_bands, band_rows)`` for a verify threshold.
+
+    Among factorizations bands*rows == num_perm, keep those whose
+    collision probability at ``threshold`` is >= ``min_recall`` (the
+    recall floor at the verification gate), then choose the one with
+    the LOWEST collision probability at ``fp_margin * threshold`` —
+    the fewest below-gate candidates the verifier must reject. This is
+    the quantitative form of the hand-derived SignatureConfig notes
+    (config.py:66-81): deeper rows cut false positives but cost
+    recall, wider bands do the opposite.
+
+    Raises if no factorization reaches the recall floor (raise
+    ``num_perm`` in that case).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    candidates = []
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        recall = lsh_collision_prob(threshold, bands, rows)
+        if recall >= min_recall:
+            fp = lsh_collision_prob(threshold * fp_margin, bands, rows)
+            candidates.append((fp, -rows, bands, rows))
+    if not candidates:
+        raise ValueError(
+            f"no (bands, rows) with bands*rows={num_perm} reaches "
+            f"recall {min_recall} at threshold {threshold}; raise num_perm"
+        )
+    _, _, bands, rows = min(candidates)
+    return bands, rows

@@ -337,3 +337,35 @@ def test_signature_stage_arrow_layout_matches_per_row_build():
     out0 = SignatureStage(cfg, emit_token_seq=True)(empty)
     assert out0.num_rows == 0
     assert set(out.column_names) == set(out0.column_names)
+
+
+def test_lsh_tune_matches_hand_derived_configs():
+    from clonehunter_ray.functions.hashing import (
+        lsh_collision_prob,
+        lsh_tune,
+    )
+
+    # the scan default (16x8 at threshold ~0.857) is recall-feasible
+    assert lsh_collision_prob(0.857, 16, 8) >= 0.99
+    # tuner picks a config meeting the recall floor with minimal FP
+    bands, rows = lsh_tune(0.857, num_perm=128)
+    assert bands * rows == 128
+    assert lsh_collision_prob(0.857, bands, rows) >= 0.99
+    # at a LOW dedup threshold the tuner must go wider/shallower
+    b2, r2 = lsh_tune(0.5, num_perm=128)
+    assert r2 < rows
+    assert lsh_collision_prob(0.5, b2, r2) >= 0.99
+    # FP discipline: the chosen config never collides MORE at half
+    # threshold than the trivial rows=1 config
+    assert lsh_collision_prob(0.857 * 0.5, bands, rows) <= (
+        lsh_collision_prob(0.857 * 0.5, 128, 1)
+    )
+
+
+def test_lsh_tune_raises_when_infeasible():
+    import pytest as _pytest
+
+    from clonehunter_ray.functions.hashing import lsh_tune
+
+    with _pytest.raises(ValueError):
+        lsh_tune(0.99, num_perm=2, min_recall=0.999999)
