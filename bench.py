@@ -247,6 +247,30 @@ def run_bench() -> dict:
         return E.queries()["quality_classifier_scores"](sf_dir)
 
     timed("quality_classifier_scores", _quality_classifier)
+    timed("source_overlap_matrix", Q.source_overlap_matrix)
+    timed("gram_novelty_documents", Q.gram_novelty_documents)
+    timed("token_budget_select", Q.token_budget_select)
+    timed("temperature_sample_by_source", Q.temperature_sample_by_source)
+
+    def _segment_near_dup(sf_dir):
+        from clonehunter_ray.pipelines.segment import (
+            segment_near_dup_documents,
+        )
+
+        return segment_near_dup_documents(sf_dir)
+
+    timed("segment_near_dup_documents", _segment_near_dup)
+
+    def _pq_knn(sf_dir):
+        from clonehunter_ray.pipelines.similarity import pq_knn_cosine
+
+        return pq_knn_cosine(
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
+            query_ids=[0, 1, 2, 3, 4],
+            k=10,
+        )
+
+    timed("pq_knn_cosine", _pq_knn)
 
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
