@@ -83,6 +83,13 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--cluster-min-size", type=int)
         sp.add_argument("--num-cpus", type=int, default=None)
         sp.add_argument(
+            "--ray-address",
+            default=None,
+            help="Ray address: 'local' (default), 'auto' to attach to "
+            "the hosting cluster (ray job submit), or an explicit "
+            "address; $RAY_ADDRESS is honored when unset",
+        )
+        sp.add_argument(
             "--repotype",
             action="append",
             default=None,
@@ -147,6 +154,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="part-file format (jsonl = one JSON object per row)",
     )
     e.add_argument("--num-cpus", type=int, default=None)
+    e.add_argument(
+        "--ray-address",
+        default=None,
+        help="Ray address: 'local' (default), 'auto' to attach to the "
+        "hosting cluster (ray job submit), or an explicit address; "
+        "$RAY_ADDRESS is honored when unset",
+    )
     return p
 
 
@@ -216,7 +230,19 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+        # job-submission contract: under `ray job submit` pass
+        # --ray-address auto (or export RAY_ADDRESS) and the driver
+        # attaches to the hosting cluster instead of starting a local
+        # Ray; num_cpus is only legal when starting locally
+        addr = getattr(args, "ray_address", None) or os.environ.get(
+            "RAY_ADDRESS", "local"
+        )
+        if addr == "local":
+            ray.init(address="local", **kwargs)
+        else:
+            ray.init(
+                address=addr, include_dashboard=False, logging_level="ERROR"
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = bool(

@@ -281,3 +281,26 @@ def test_cli_progress_flag_parses():
     off = p.parse_args(["scan", "x"])
     assert on.progress is True
     assert off.progress is False
+
+
+def test_cli_ray_address_flag_parses():
+    """--ray-address (job-submission contract: `ray job submit --
+    python -m clonehunter_ray.cli scan ... --ray-address auto` attaches
+    the driver to the hosting cluster; default stays local)."""
+    from clonehunter_ray.cli import _build_parser
+
+    p = _build_parser()
+    assert p.parse_args(["scan", "x"]).ray_address is None
+    assert (
+        p.parse_args(["scan", "x", "--ray-address", "auto"]).ray_address
+        == "auto"
+    )
+    assert (
+        p.parse_args(
+            [
+                "export", "--documents-parquet", "d.parquet",
+                "--out-dir", "o", "--ray-address", "ray://h:1",
+            ]
+        ).ray_address
+        == "ray://h:1"
+    )
