@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": Q.source_overlap_matrix,
         "token_budget_select": Q.token_budget_select,
         "gram_novelty_documents": Q.gram_novelty_documents,
+        "gopher_quality_filter_documents": Q.gopher_quality_filter_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -496,6 +497,14 @@ _DSIR_WEIGHTS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # the same stopword union the Ray side reads from
+    # text_analysis._STOPWORDS — built here (not hand-copied) so the
+    # gopher filter's SQL literal cannot drift from the engine's list
+    from clonehunter_ray.pipelines.text_analysis import _STOPWORDS
+
+    _stop_list = "[" + ", ".join(
+        f"'{w}'" for w in sorted(frozenset().union(*_STOPWORDS.values()))
+    ) + "]"
     return {
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -998,6 +1007,54 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS novelty
             FROM documents d
             LEFT JOIN nt USING (doc_id) LEFT JOIN nf USING (doc_id)
+        """,
+        "gopher_quality_filter_documents": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts,
+                       split(coalesce(text, ''), chr(10)) AS ls
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(ts) AS BIGINT) AS n_words,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(list_aggregate(
+                               list_transform(ts, x -> length(x)), 'sum')
+                               AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(len(list_filter(ts,
+                               x -> regexp_matches(x, '[a-z]')))
+                               AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS alpha_word_frac,
+                       CASE WHEN len(ts) > 0 THEN
+                           CAST(length(txt) - length(replace(txt, '#', ''))
+                                + len(regexp_extract_all(txt, '\\.\\.\\.'))
+                               AS DOUBLE) / len(ts)
+                       ELSE 0.0 END AS symbol_ratio,
+                       CAST(len(list_filter(ls,
+                           x -> starts_with(x, '-') OR starts_with(x, '*')))
+                           AS DOUBLE) / len(ls) AS bullet_line_frac,
+                       CAST(len(list_filter(ls, x -> ends_with(x, '...')))
+                           AS DOUBLE) / len(ls) AS ellipsis_line_frac,
+                       CAST(len(list_distinct(list_filter(ts,
+                           x -> list_contains({_stop_list}, x))))
+                           AS BIGINT) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+                   stop_hits
+            FROM s
+            WHERE n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND symbol_ratio <= 0.1
+              AND bullet_line_frac <= 0.9
+              AND ellipsis_line_frac <= 0.3
+              AND alpha_word_frac >= 0.8
+              AND stop_hits >= 2
         """,
         "token_budget_select": """
             WITH t AS (

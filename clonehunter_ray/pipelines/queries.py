@@ -2214,6 +2214,131 @@ def c4_quality_filter_documents(
     )
 
 
+def gopher_quality_batch(
+    batch: pa.Table,
+    word_range: tuple[int, int] = (50, 100_000),
+    mean_len_range: tuple[float, float] = (3.0, 10.0),
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> pa.Table:
+    """Per-batch kernel for the Gopher quality rules (module-level so
+    the adversarial-text parity tests can drive it without a Ray
+    session, like ``quality_scores_batch``). See
+    ``gopher_quality_filter_documents`` for semantics."""
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.pipelines.text_analysis import _STOPWORDS
+
+    stops = pa.array(sorted(frozenset().union(*_STOPWORDS.values())))
+    n_rows = batch.num_rows
+    txt = pc.fill_null(batch["text"], "")
+    flat, parent = H.flat_tokens(txt)
+    n = np.bincount(parent, minlength=n_rows).astype(np.int64)
+
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_lens = np.bincount(parent, weights=tok_lens, minlength=n_rows)
+    alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = np.bincount(parent, weights=alpha, minlength=n_rows)
+
+    # distinct stopword hits: one membership probe on the batch
+    # DICTIONARY (vocab-sized), fanned back out over the distinct
+    # (doc, token) pairs — never a per-token set lookup
+    if len(flat):
+        rows, tok_ids, _tf, vocab = H.doc_token_pairs(flat, parent)
+        member = pc.is_in(vocab, value_set=stops).to_numpy(
+            zero_copy_only=False
+        )
+        stop_hits = np.bincount(
+            rows, weights=member[tok_ids], minlength=n_rows
+        ).astype(np.int64)
+    else:
+        stop_hits = np.zeros(n_rows, dtype=np.int64)
+
+    # symbol counts over the RAW text (Gopher counts '#' and '...'
+    # pre-tokenization); count_substring is non-overlapping
+    # left-to-right, same as DuckDB's regexp_extract_all
+    n_hash = pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+    n_ell = pc.count_substring(txt, "...").to_numpy(zero_copy_only=False)
+
+    lines = pc.split_pattern(txt, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    flat_lines = pc.list_flatten(lines)
+    lparent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    bullet = pc.or_(
+        pc.starts_with(flat_lines, "-"), pc.starts_with(flat_lines, "*")
+    ).to_numpy(zero_copy_only=False)
+    ell_end = pc.ends_with(flat_lines, "...").to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(lparent, weights=bullet, minlength=n_rows)
+    n_ell_lines = np.bincount(lparent, weights=ell_end, minlength=n_rows)
+
+    nd = np.maximum(n, 1).astype(np.float64)
+    mean_len = np.where(n > 0, sum_lens / nd, 0.0)
+    alpha_frac = np.where(n > 0, n_alpha / nd, 0.0)
+    symbol_ratio = np.where(n > 0, (n_hash + n_ell) / nd, 0.0)
+    # split() never yields an empty list, so n_lines >= 1 always
+    bullet_frac = n_bullet / n_lines
+    ellipsis_frac = n_ell_lines / n_lines
+
+    keep = (
+        (n >= word_range[0])
+        & (n <= word_range[1])
+        & (mean_len >= mean_len_range[0])
+        & (mean_len <= mean_len_range[1])
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    # unrounded exact-integer-ratio doubles (IEEE division of the
+    # same ints is bit-identical in DuckDB) — c4 filter convention
+    out = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n, pa.int64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+            "alpha_word_frac": pa.array(alpha_frac, pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+            "bullet_line_frac": pa.array(bullet_frac, pa.float64()),
+            "ellipsis_line_frac": pa.array(ellipsis_frac, pa.float64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+        }
+    )
+    return out.filter(pa.array(keep, pa.bool_()))
+
+
+def gopher_quality_filter_documents(sf_dir: str, **rules):
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    appendix A1.1), re-expressed over this corpus's token alphabet:
+    word-count band, mean-word-length band, symbol-to-word ratio
+    ('#' and '...'), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and the required-stopword rule — Gopher
+    demands >= 2 of 8 English stop words; this corpus is multilingual,
+    so the rule counts DISTINCT hits against the engine's per-language
+    stopword union (same list as ``doc_quality_scores``).
+
+    Complements ``c4_quality_filter_documents`` (which keeps the
+    C4-side signals: distinct-token ratio). One stateless vectorized
+    pass, no shuffle: tokens via the shared ``flat_tokens`` kernel,
+    per-doc reductions via ``np.bincount``, line stats via the Arrow
+    split/list_parent_indices chain, distinct-stopword hits via the
+    shared ``doc_token_pairs`` dictionary reduction. Emits every
+    signal alongside the kept docs so the filter is auditable.
+    """
+
+    def fil(batch: pa.Table) -> pa.Table:
+        return gopher_quality_batch(batch, **rules)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fil, batch_format="pyarrow"
+    )
+
+
 def customers_without_orders_bloom(sf_dir: str, n_bits: int = 1 << 20):
     """The same exact anti-join as ``customers_without_orders``, via
     the Bloom-join scale shape (Bratbergsengen 1984): the build side

@@ -88,3 +88,69 @@ def test_language_id_edge_cases_vs_oracle():
     assert mine.pred_lang[4] == "de"
     assert mine.pred_lang[7] == "zh"
     assert mine.pred_lang[8] == "unknown"
+
+
+def _gopher_frames(t: pa.Table):
+    from clonehunter_ray.pipelines.queries import gopher_quality_batch
+
+    mine = (
+        gopher_quality_batch(t)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle = _oracle(t, "gopher_quality_filter_documents")
+    return mine, oracle
+
+
+def test_gopher_filter_bit_exact_vs_oracle():
+    t = _docs_table()
+    mine, oracle = _gopher_frames(t)
+    assert sorted(mine.columns) == sorted(oracle.columns)
+    assert len(mine) == len(oracle) > 0
+    for c in mine.columns:
+        # bit-exact: integer counts and exact-int-ratio IEEE doubles
+        assert (mine[c].values == oracle[c].values).all(), c
+
+
+def test_gopher_filter_rule_boundaries_vs_oracle():
+    """Every Gopher rule at its exact threshold, plus the degenerate
+    inputs: each boundary doc passes on BOTH sides, each just-over doc
+    drops on both — pinning the keep logic, not just the signals."""
+    line_ok = "- the and data info word"  # bullet line, 5 words, 2 stops
+    texts = [
+        None,                                  # 0: dropped (no words)
+        "",                                    # 1: dropped
+        "the and " * 25,                       # 2: n=50, mean=3.0 — both boundaries pass
+        "the and " * 24 + "the",               # 3: n=49 — word-count drop
+        "\n".join([line_ok] * 9 + ["the and data info word"]),  # 4: bullet 9/10 = 0.9 pass
+        "\n".join([line_ok] * 10),             # 5: bullet 10/10 — drop
+        "\n".join(
+            ["the and data info word..."] * 3
+            + ["the and data info word"] * 7
+        ),                                     # 6: ellipsis 3/10 = 0.3 pass
+        "\n".join(
+            ["the and data info word..."] * 4
+            + ["the and data info word"] * 6
+        ),                                     # 7: ellipsis 4/10 — drop
+        "# " * 5 + "the and " * 25,            # 8: symbol 5/50 = 0.1 pass
+        "# " * 6 + "the and " * 25,            # 9: symbol 6/50 = 0.12 — drop
+        ".... " + "the and " * 25,             # 10: overlapping dots count once
+        ("123 456 " * 25) + "the and",         # 11: alpha 2/52 — drop
+        "1234 5678 " * 5 + "the and " * 20,    # 12: alpha 40/50 = 0.8 pass
+        "für the and " * 25,                   # 13: non-ASCII splits; parity only
+        "the " * 50,                           # 14: 1 distinct stopword — drop
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    mine, oracle = _gopher_frames(t)
+    assert list(mine.doc_id) == list(oracle.doc_id)
+    kept = set(mine.doc_id)
+    assert {2, 4, 6, 8, 10, 12}.issubset(kept)
+    assert kept.isdisjoint({0, 1, 3, 5, 7, 9, 11, 14})
+    for c in mine.columns:
+        assert (mine[c].values == oracle[c].values).all(), c
