@@ -83,6 +83,7 @@ def _scan_documents(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from clonehunter_ray.pipelines import (
+        bpe,
         curation,
         dedup,
         queries as Q,
@@ -218,6 +219,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "fingerprint_documents": lambda sf: text_analysis.fingerprint_documents(
             _docs(sf)
+        ),
+        "bpe_train_merges": lambda sf: bpe.bpe_train_merges(
+            _docs(sf), n_merges=50
+        ),
+        "bpe_encode_documents": lambda sf: bpe.bpe_encode_documents(
+            _docs(sf), n_merges=50
         ),
         "pack_sequences_documents": training.pack_sequences_documents,
         "approx_distinct_users_hll": Q.approx_distinct_users_hll,

@@ -161,6 +161,7 @@ def run_bench() -> dict:
         )
 
     timed("doc_quality_scores", _all_docs_quality)
+    timed("gopher_quality_filter_documents", Q.gopher_quality_filter_documents)
     timed("shipping_priority_revenue", Q.shipping_priority_revenue)
     timed("events_sessionization", Q.events_sessionization)
     timed("doc_repetition_signals", Q.doc_repetition_signals)
@@ -237,6 +238,17 @@ def run_bench() -> dict:
         )
 
     timed("semdedup_embeddings", _semdedup)
+    def _bpe_encode(sf_dir):
+        from clonehunter_ray.pipelines import bpe
+
+        return bpe.bpe_encode_documents(
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            n_merges=50,
+        )
+
+    timed("bpe_encode_documents", _bpe_encode)
     timed("bigram_logprob_documents", Q.bigram_logprob_documents)
     timed("dsir_logweights_documents", Q.dsir_logweights_documents)
     timed("global_shuffle_documents", Q.global_shuffle_documents)
