@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": Q.token_budget_select,
         "gram_novelty_documents": Q.gram_novelty_documents,
         "gopher_quality_filter_documents": Q.gopher_quality_filter_documents,
+        "perplexity_bucket_documents": Q.perplexity_bucket_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -467,6 +468,35 @@ def _scan_code_substring(sf_dir: str):
 
 # DSIR importance-weight query, shared by the logweights entry and the
 # Gumbel top-k resample entry (which wraps it as a CTE)
+_BIGRAM_LL_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                FROM documents
+            ), big AS (
+                SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
+            ), counts AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS k
+                FROM big GROUP BY ALL
+            ), ctot AS (
+                SELECT w1, w2, SUM(k) AS c_big FROM counts GROUP BY ALL
+            ), w1tot AS (
+                SELECT w1, SUM(k) AS c_w1 FROM counts GROUP BY w1
+            ), vocab AS (
+                SELECT COUNT(DISTINCT w1) AS v FROM counts
+            )
+            SELECT c.doc_id,
+                   CAST(SUM(c.k) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(c.k * LN((t.c_big + 1.0) / (w.c_w1 + vocab.v)))
+                         / SUM(c.k), 6) AS avg_ll6
+            FROM counts c
+            JOIN ctot t USING (w1, w2)
+            JOIN w1tot w USING (w1)
+            CROSS JOIN vocab
+            GROUP BY c.doc_id
+"""
+
 _DSIR_WEIGHTS_SQL = """
     WITH toks AS (
         SELECT doc_id, lang = 'en' AS tgt,
@@ -1647,33 +1677,37 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS pos
             FROM s
         """,
-        "bigram_logprob_documents": """
-            WITH toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
-                FROM documents
-            ), big AS (
-                SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-                FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
-            ), counts AS (
-                SELECT doc_id, w1, w2, COUNT(*) AS k
-                FROM big GROUP BY ALL
-            ), ctot AS (
-                SELECT w1, w2, SUM(k) AS c_big FROM counts GROUP BY ALL
-            ), w1tot AS (
-                SELECT w1, SUM(k) AS c_w1 FROM counts GROUP BY w1
-            ), vocab AS (
-                SELECT COUNT(DISTINCT w1) AS v FROM counts
+        "bigram_logprob_documents": _BIGRAM_LL_SQL,
+        "perplexity_bucket_documents": f"""
+            WITH scores AS ({_BIGRAM_LL_SQL}),
+            s AS (
+                SELECT sc.doc_id, coalesce(d.lang, '') AS lang, sc.avg_ll6
+                FROM scores sc JOIN documents d USING (doc_id)
+            ), samp AS (
+                SELECT lang, avg_ll6 FROM s
+                WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2', '3')
+            ), ranked AS (
+                SELECT lang, avg_ll6,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY avg_ll6) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM samp
+            ), cuts AS (
+                SELECT lang,
+                       max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                           THEN avg_ll6 END) AS t_low,
+                       max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                           THEN avg_ll6 END) AS t_high,
+                       max(n) AS n
+                FROM ranked GROUP BY lang
             )
-            SELECT c.doc_id,
-                   CAST(SUM(c.k) AS BIGINT) AS n_bigrams,
-                   ROUND(SUM(c.k * LN((t.c_big + 1.0) / (w.c_w1 + vocab.v)))
-                         / SUM(c.k), 6) AS avg_ll6
-            FROM counts c
-            JOIN ctot t USING (w1, w2)
-            JOIN w1tot w USING (w1)
-            CROSS JOIN vocab
-            GROUP BY c.doc_id
+            SELECT s.doc_id, s.lang, s.avg_ll6,
+                   CASE WHEN c.lang IS NULL OR c.n < 3 THEN 'middle'
+                        WHEN s.avg_ll6 > c.t_high THEN 'head'
+                        WHEN s.avg_ll6 > c.t_low THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s LEFT JOIN cuts c USING (lang)
         """,
         "dsir_logweights_documents": _DSIR_WEIGHTS_SQL,
         "dsir_resample_documents": f"""

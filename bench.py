@@ -250,6 +250,7 @@ def run_bench() -> dict:
 
     timed("bpe_encode_documents", _bpe_encode)
     timed("bigram_logprob_documents", Q.bigram_logprob_documents)
+    timed("perplexity_bucket_documents", Q.perplexity_bucket_documents)
     timed("dsir_logweights_documents", Q.dsir_logweights_documents)
     timed("global_shuffle_documents", Q.global_shuffle_documents)
 

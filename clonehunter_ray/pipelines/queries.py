@@ -3371,6 +3371,143 @@ def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
     return scored.map_batches(finish, batch_format="pyarrow", batch_size=4096)
 
 
+def perplexity_bucket_documents(
+    sf_dir: str,
+    sample_hex: str = "0123",
+    num_partitions: int = 32,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    split each language's documents into head / middle / tail thirds
+    by LM score. CCNet learns tercile cutoffs on a held-out sample and
+    applies them as FIXED thresholds; same two-phase shape here:
+
+    1. score every doc with the corpus bigram LM
+       (``bigram_logprob_documents`` — avg bigram log-prob per
+       bigram, rounded to 6 decimals, already bit-exact vs DuckDB, so
+       every threshold comparison below lands identically);
+    2. cutoffs from a deterministic doc-id-hash sample
+       (sha256(doc_id) first hex digit in ``sample_hex`` — ~25% at
+       the default, no RNG state: every re-run and resume sees the
+       same sample): per-language k-th order statistics
+       (k = ceil(n/3), ceil(2n/3)) inside ``groupby(lang).map_groups``
+       — the SAMPLE per language must fit one task (shrink
+       ``sample_hex`` at scale; a 100 TB run samples ~0.1%), and the
+       cutoff table is language-count-sized, broadcast via ray.put;
+    3. one stateless assign pass over the scored corpus — vectorized
+       ``index_in`` against the broadcast cutoff arrays, no shuffle.
+
+    head = avg_ll6 > t_high; middle = (t_low, t_high]; tail =
+    <= t_low. Languages whose sample has < 3 docs have no meaningful
+    terciles and land in 'middle'. Docs with < 2 tokens have no LM
+    score and are absent (inner join), matching the oracle. Returns
+    (doc_id, lang, avg_ll6, bucket).
+    """
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.util import safe_join
+
+    scores = bigram_logprob_documents(sf_dir, num_partitions=num_partitions)
+
+    def lang_norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": pc.fill_null(pc.cast(t["lang"], pa.string()), ""),
+            }
+        )
+
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lang_norm, batch_format="pyarrow"
+    )
+    scored = safe_join(
+        scores.select_columns(["doc_id", "avg_ll6"]),
+        langs,
+        "inner",
+        num_partitions,
+        on=("doc_id",),
+    )
+
+    def sample_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = pa.array(
+            [H.sha256_hex(str(i))[0] in sample_hex for i in ids], pa.bool_()
+        )
+        return batch.select(["lang", "avg_ll6"]).filter(keep)
+
+    _cut_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("t_low", pa.float64()),
+            ("t_high", pa.float64()),
+            ("n_sample", pa.int64()),
+        ]
+    )
+
+    def cutoffs(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["avg_ll6"].to_numpy(dtype=np.float64))
+        n = len(vals)
+        if n < 3:
+            row = {"t_low": np.nan, "t_high": np.nan}
+        else:
+            row = {
+                "t_low": vals[int(np.ceil(n / 3.0)) - 1],
+                "t_high": vals[int(np.ceil(2.0 * n / 3.0)) - 1],
+            }
+        return pd.DataFrame(
+            {
+                "lang": [str(g["lang"].iloc[0])],
+                "t_low": [row["t_low"]],
+                "t_high": [row["t_high"]],
+                "n_sample": [n],
+            }
+        )
+
+    cut_parts = _collect_tables(
+        scored.map_batches(sample_only, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(
+            lambda g: _pt(cutoffs(g), schema=_cut_schema),
+            batch_format="pandas",
+        )
+    )
+    if cut_parts:
+        ct = pa.concat_tables(cut_parts).combine_chunks()
+        cm_langs = ct["lang"]
+        t_low = ct["t_low"].to_numpy(zero_copy_only=False)
+        t_high = ct["t_high"].to_numpy(zero_copy_only=False)
+        n_s = ct["n_sample"].to_numpy(zero_copy_only=False)
+    else:
+        cm_langs = pa.array([], pa.string())
+        t_low = t_high = np.array([], dtype=np.float64)
+        n_s = np.array([], dtype=np.int64)
+    cuts_ref = ray.put((cm_langs, t_low, t_high, n_s))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        langs_v, lo, hi, ns = ray.get(cuts_ref)
+        v = batch["avg_ll6"].to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(
+            pc.index_in(batch["lang"], value_set=langs_v), -1
+        ).to_numpy(zero_copy_only=False)
+        # pad slot -1 with no-tercile sentinels so gather is branch-free
+        lo_p = np.concatenate((lo, [np.nan]))
+        hi_p = np.concatenate((hi, [np.nan]))
+        ns_p = np.concatenate((ns, [0]))
+        valid = ns_p[idx] >= 3
+        head = valid & (v > hi_p[idx])
+        tail = valid & ~head & (v <= lo_p[idx])
+        bucket = np.where(head, "head", np.where(tail, "tail", "middle"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "avg_ll6": batch["avg_ll6"],
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
 def dsir_logweights_documents(
     sf_dir: str,
     target_lang: str = "en",
