@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty_documents": Q.gram_novelty_documents,
         "gopher_quality_filter_documents": Q.gopher_quality_filter_documents,
         "perplexity_bucket_documents": Q.perplexity_bucket_documents,
+        "unimax_sample_documents": Q.unimax_sample_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1169,6 +1170,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN quota USING (source)
             )
             SELECT doc_id, source FROM ranked WHERE rn <= q
+        """,
+        "unimax_sample_documents": """
+            WITH counts AS (
+                SELECT coalesce(lang, '') AS lang, COUNT(*) AS n
+                FROM documents GROUP BY 1
+            ), caps AS (
+                SELECT lang, n, n * 2 AS c FROM counts
+            ), w AS (
+                SELECT lang, n, c,
+                       row_number() OVER (ORDER BY c, lang) AS idx,
+                       count(*) OVER () AS k,
+                       coalesce(sum(c) OVER (
+                           ORDER BY c, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS prev_cum
+                FROM caps
+            ), sh AS (
+                SELECT lang, n, c, idx,
+                       (600 - prev_cum) / CAST(k - idx + 1 AS DOUBLE)
+                           AS share
+                FROM w
+            ), lvl AS (
+                SELECT share AS level FROM sh
+                WHERE c >= share ORDER BY idx LIMIT 1
+            ), quota AS (
+                SELECT lang, n,
+                       CAST(CASE WHEN (SELECT count(*) FROM lvl) = 0
+                            THEN c
+                            ELSE LEAST(c, CAST(FLOOR(
+                                (SELECT level FROM lvl)) AS BIGINT))
+                            END AS BIGINT) AS q
+                FROM sh
+            ), ranked AS (
+                SELECT d.doc_id, q.lang, q.q, q.n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.lang
+                           ORDER BY sha256(
+                               '11:' || CAST(d.doc_id AS VARCHAR)),
+                               d.doc_id
+                       ) AS rn
+                FROM documents d
+                JOIN quota q ON coalesce(d.lang, '') = q.lang
+            ), uses AS (
+                SELECT doc_id, lang,
+                       q // n + CASE WHEN rn <= q % n THEN 1 ELSE 0 END
+                           AS n_uses
+                FROM ranked
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(range(n_uses)) AS BIGINT) AS epoch
+            FROM uses
         """,
         "mixture_sample_documents": """
             SELECT doc_id, source, lang, n_chars FROM documents

@@ -3878,6 +3878,180 @@ def temperature_sample_by_source(
     )
 
 
+def unimax_waterfill(
+    lang_counts: dict[str, int], budget: int, max_epochs: int
+) -> dict[str, int]:
+    """Closed-form UniMax budget allocation: quota_l = min(n_l * E,
+    floor(level)) where the fill level is fixed by the FIRST language
+    (capacities ascending, tie lang) whose capacity meets its equal
+    share of the remaining budget — shares rise monotonically before
+    the crossover, so "first" is well-defined. Exact-int inputs, one
+    IEEE double division — bit-identical to the SQL oracle's
+    window-function form. No crossover (budget covers all capacities)
+    means every quota is its capacity."""
+    import math
+
+    caps = sorted(
+        (int(n) * max_epochs, str(lang)) for lang, n in lang_counts.items()
+    )
+    k = len(caps)
+    level = None
+    cum = 0
+    for i, (c, _lang) in enumerate(caps, 1):
+        share = float(budget - cum) / float(k - i + 1)
+        if c >= share:
+            level = share
+            break
+        cum += c
+    lvl_floor = None if level is None else int(math.floor(level))
+    return {
+        lang: (c if lvl_floor is None else min(c, lvl_floor))
+        for c, lang in caps
+    }
+
+
+def unimax_sample_documents(
+    sf_dir: str, budget: int = 600, max_epochs: int = 2, seed: int = 11
+):
+    """UniMax language-balanced sampling (Chung et al. 2023,
+    arXiv:2304.09151): allocate a total training budget across
+    languages by waterfilling, capping every language at
+    ``max_epochs`` passes over its corpus — high-resource languages
+    stop growing at the fill level and no language repeats more than
+    E epochs. Budget unit here is DOCUMENTS (compose with per-doc
+    token counts for the paper's token budget; the allocation math is
+    identical).
+
+    Closed-form waterfill, identical arithmetic in the DuckDB oracle:
+    languages sorted by capacity c_l = n_l * E ascending (tie: lang);
+    the FIRST index i with c_i >= (B - cum_{i-1}) / (k - i + 1) fixes
+    the level (shares rise monotonically before the crossover, so
+    "first" is well-defined); quota_l = min(c_l, floor(level)). All
+    inputs exact ints, the level one IEEE double division —
+    bit-identical cross-engine. Selection: every doc repeats
+    quota // n full epochs; the partial epoch takes the quota % n
+    smallest sha256(seed:doc_id) ranks (house deterministic-uniform,
+    no RNG state). Output (doc_id, lang, epoch), one row per USE.
+
+    Ray shape at 100 TB: per-lang counts from per-batch partial
+    value-counts (rows = langs x blocks, never the corpus); the
+    waterfill runs on the language-count-sized table driver-side;
+    full epochs are one stateless np.repeat pass; the partial epoch
+    reuses the local top-quota combiner + per-lang map_groups cut, so
+    a language never ships more than its remainder per block.
+    """
+    import pyarrow.compute as pc
+
+    def lang_norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": pc.fill_null(pc.cast(t["lang"], pa.string()), ""),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lang_norm, batch_format="pyarrow"
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch["lang"].value_counts()
+        return pa.table(
+            {"lang": vc.field("values"), "cnt": vc.field("counts")}
+        )
+
+    counts = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", sort=True)["cnt"]
+        .sum()
+    )
+    quotas = unimax_waterfill(
+        {str(lang): int(n) for lang, n in counts.items()},
+        budget,
+        max_epochs,
+    )
+    langs_list = sorted(quotas)
+    full_list = [quotas[lang] // int(counts[lang]) for lang in langs_list]
+    rem_list = [quotas[lang] % int(counts[lang]) for lang in langs_list]
+    langs_arr = pa.array(langs_list, pa.string())
+    full_arr = np.array(full_list + [0], dtype=np.int64)
+    rem = dict(zip(langs_list, rem_list))
+    full_of = dict(zip(langs_list, full_list))
+
+    _out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("epoch", pa.int64()),
+        ]
+    )
+
+    def full_epochs(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        idx = pc.fill_null(
+            pc.index_in(batch["lang"], value_set=langs_arr), len(langs_arr)
+        ).to_numpy(zero_copy_only=False)
+        f = full_arr[idx]
+        tot = int(f.sum())
+        if tot == 0:
+            return _out_schema.empty_table()
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), f)
+        starts = np.cumsum(f) - f
+        epoch = np.arange(tot, dtype=np.int64) - np.repeat(starts, f)
+        take = pa.array(rows, pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(take).cast(pa.int64()),
+                "lang": batch["lang"].take(take),
+                "epoch": pa.array(epoch, pa.int64()),
+            },
+            schema=_out_schema,
+        )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lg = batch["lang"].to_numpy(zero_copy_only=False)
+        rank = np.array(
+            H.sha256_hex_many(f"{seed}:{i}" for i in ids), dtype=object
+        )
+        order = np.lexsort((ids, rank, lg))
+        pos = H.run_ranks(lg[order])
+        q = np.array([rem.get(l, 0) for l in lg[order]], dtype=np.int64)
+        keep = np.sort(order[pos < q])
+        idx = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(idx),
+                "lang": batch["lang"].take(idx),
+                "rank": pa.array(list(rank[keep]), pa.string()),
+            }
+        )
+
+    def final_top(g: pd.DataFrame) -> pa.Table:
+        lang = str(g["lang"].iloc[0])
+        q = rem.get(lang, 0)
+        g = g.sort_values(["rank", "doc_id"]).head(q)
+        out = g[["doc_id", "lang"]].copy()
+        out["epoch"] = np.int64(full_of.get(lang, 0))
+        return _pt(out, _out_schema)
+
+    full_side = docs.map_batches(full_epochs, batch_format="pyarrow")
+    if not any(rem_list):
+        # quotas are exact multiples of every corpus (or zero): no
+        # partial epoch exists, and skipping the branch keeps the
+        # groupby's zero-column empty partitions out of the union
+        return full_side
+    from clonehunter_ray.util import scrub_empty_blocks
+
+    partial = scrub_empty_blocks(
+        scrub_empty_blocks(docs.map_batches(local_top, batch_format="pyarrow"))
+        .groupby("lang")
+        .map_groups(final_top, batch_format="pandas")
+    )
+    return full_side.union(partial)
+
+
 def source_overlap_matrix(sf_dir: str, k: int = 3, num_partitions: int = 16):
     """Corpus-audit operator: pairwise overlap between sources measured
     as Jaccard similarity of their DISTINCT token k-gram sets — the

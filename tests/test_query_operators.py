@@ -960,3 +960,55 @@ def test_token_budget_select_edges(ray_session, tmp_path):
     ).fetchone()
     assert nxt is not None
     assert sel["n_tokens"].sum() + nxt[0] > 15_000
+
+
+# ---- UniMax waterfill (pure driver-side allocation math) --------------
+
+
+def test_unimax_waterfill_hand_computed():
+    from clonehunter_ray.pipelines.queries import unimax_waterfill
+
+    # crossover at the last language: 10 + 20 fully granted, the
+    # big language takes the remaining 30
+    assert unimax_waterfill({"a": 10, "b": 20, "c": 100}, 60, 1) == {
+        "a": 10, "b": 20, "c": 30,
+    }
+    # crossover in the middle: level = (100 - 10) / 2 = 45
+    assert unimax_waterfill({"a": 10, "b": 50, "c": 60}, 100, 1) == {
+        "a": 10, "b": 45, "c": 45,
+    }
+    # budget covers every capacity -> quotas == capacities
+    assert unimax_waterfill({"a": 5, "b": 7}, 1000, 2) == {"a": 10, "b": 14}
+    # zero budget -> zero quotas
+    assert unimax_waterfill({"a": 5, "b": 7}, 0, 2) == {"a": 0, "b": 0}
+    # single language
+    assert unimax_waterfill({"a": 40}, 60, 2) == {"a": 60}
+    assert unimax_waterfill({"a": 40}, 100, 2) == {"a": 80}
+
+
+def test_unimax_waterfill_invariants():
+    from clonehunter_ray.pipelines.queries import unimax_waterfill
+
+    cases = [
+        ({"a": 3, "b": 3, "c": 3}, 7, 1),
+        ({"a": 1, "b": 100}, 50, 2),
+        ({"a": 17, "b": 23, "c": 5, "d": 90}, 113, 3),
+        ({"a": 2, "b": 2, "c": 2, "d": 2, "e": 2}, 9, 1),
+        ({"x": 1000}, 1, 5),
+    ]
+    for counts, budget, epochs in cases:
+        q = unimax_waterfill(counts, budget, epochs)
+        caps = {l: n * epochs for l, n in counts.items()}
+        # never exceed a language's capacity
+        assert all(q[l] <= caps[l] for l in counts)
+        total_cap = sum(caps.values())
+        if total_cap <= budget:
+            assert q == caps
+        else:
+            # floors can strand at most one unit per uncapped language
+            assert sum(q.values()) <= budget
+            assert budget - sum(q.values()) < len(counts)
+            # uniform fill: every language below its capacity sits at
+            # the same level
+            levels = {q[l] for l in counts if q[l] < caps[l]}
+            assert len(levels) <= 1
