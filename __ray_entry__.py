@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": lambda sf: text_analysis.fingerprint_documents(
             _docs(sf)
         ),
+        "gopher_repetition_filter_documents": (
+            Q.gopher_repetition_filter_documents
+        ),
         "bpe_train_merges": lambda sf: bpe.bpe_train_merges(
             _docs(sf), n_merges=50
         ),

@@ -162,6 +162,10 @@ def run_bench() -> dict:
 
     timed("doc_quality_scores", _all_docs_quality)
     timed("gopher_quality_filter_documents", Q.gopher_quality_filter_documents)
+    timed(
+        "gopher_repetition_filter_documents",
+        Q.gopher_repetition_filter_documents,
+    )
     timed("shipping_priority_revenue", Q.shipping_priority_revenue)
     timed("events_sessionization", Q.events_sessionization)
     timed("doc_repetition_signals", Q.doc_repetition_signals)

@@ -2312,6 +2312,185 @@ def gopher_quality_batch(
     return out.filter(pa.array(keep, pa.bool_()))
 
 
+#: Gopher Table A1 repetition thresholds (Rae et al. 2021): a doc is
+#: dropped when ANY fraction exceeds its bound.
+GOPHER_REPETITION_RULES: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_batch(
+    batch: pa.Table, rules: dict[str, float] | None = None
+) -> pa.Table:
+    """Per-batch kernel for the Gopher REPETITION rules (Rae et al.
+    2021 Table A1 — the other half of the quality rule set; see
+    ``gopher_quality_filter_documents`` for the quality half). The
+    exact accounting, chosen once and pinned by the independent
+    reference in tests/test_gopher_repetition.py:
+
+    - dup_line_frac / dup_para_frac: occurrences of a line (split
+      '\\n') / paragraph (split '\\n\\n') BEYOND the first identical
+      occurrence within the doc, over the part count;
+    - dup_*_char_frac: the characters of those beyond-first parts,
+      over ``len(text)``;
+    - top_{2,3,4}gram_char_frac: occurrences x character-weight of the
+      most frequent n-gram (ties: the larger character product), over
+      the doc's total TOKEN characters;
+    - dup_{5..10}gram_char_frac: characters of token positions covered
+      by ANY n-gram occurring more than once (overlaps counted once),
+      over total token characters.
+
+    One vectorized pass: Arrow split/dictionary kernels for the parts,
+    the shared shingle mix for gram hashes, lexsort run-length for
+    counts, and an add.at/cumsum interval union for coverage — no
+    Python over rows, tokens, or grams.
+    """
+    import pyarrow.compute as pc
+
+    rules = dict(GOPHER_REPETITION_RULES if rules is None else rules)
+    n_rows = batch.num_rows
+    txt = pc.fill_null(batch["text"], "")
+    txt_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+
+    flat, parent = H.flat_tokens(txt)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    tot_tok = np.bincount(parent, weights=tok_lens, minlength=n_rows)
+    tot_safe = np.maximum(tot_tok, 1.0)
+
+    # token hashes aligned with tok_lens/parent (unique-amortized)
+    if len(flat):
+        f_np = flat.to_numpy(zero_copy_only=False).astype(object)
+        uniq, inv = np.unique(f_np, return_inverse=True)
+        th = np.fromiter(
+            (H.hash_token_u64(t) for t in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )[inv]
+    else:
+        th = np.empty(0, dtype=np.uint64)
+    prefix = np.concatenate(([0.0], np.cumsum(tok_lens)))
+
+    sig = {"doc_id": batch["doc_id"]}
+
+    def part_fracs(sep: str, prefix_name: str) -> None:
+        parts = pc.split_pattern(txt, sep)
+        flat_p = pc.list_flatten(parts)
+        if isinstance(flat_p, pa.ChunkedArray):
+            flat_p = flat_p.combine_chunks()
+        pparent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False
+        )
+        plens = pc.utf8_length(flat_p).to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat_p)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = pparent.astype(np.int64) * max(len(d.dictionary), 1) + idx
+        order = np.argsort(key, kind="stable")
+        dup_occ = H.run_ranks(key[order]) > 0
+        rows_d = pparent[order][dup_occ]
+        n_parts = np.bincount(pparent, minlength=n_rows).astype(np.float64)
+        dup_cnt = np.bincount(rows_d, minlength=n_rows)
+        dup_chr = np.bincount(
+            rows_d, weights=plens[order][dup_occ], minlength=n_rows
+        )
+        sig[f"dup_{prefix_name}_frac"] = dup_cnt / np.maximum(n_parts, 1.0)
+        sig[f"dup_{prefix_name}_char_frac"] = dup_chr / np.maximum(
+            txt_chars, 1.0
+        )
+
+    part_fracs("\n", "line")
+    part_fracs("\n\n", "para")
+
+    def gram_runs(n: int):
+        """(per-run row, count, first-pos arrays, per-instance sorted
+        pos/row arrays + run ids) for n-grams that stay inside a row."""
+        m = len(th) - n + 1
+        if m <= 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z, z
+        gh = H.shingle_hashes_seq(th, n)
+        mask = parent[:m] == parent[n - 1 :]
+        g = gh[:m][mask]
+        gpos = np.flatnonzero(mask)
+        grow = parent[:m][mask]
+        order = np.lexsort((g, grow))
+        gs, rs, ps = g[order], grow[order], gpos[order]
+        new = np.concatenate(
+            ([True], (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [len(gs)])))
+        return rs[starts], counts.astype(np.int64), ps[starts], ps, np.repeat(
+            np.arange(len(starts), dtype=np.int64), counts
+        )
+
+    for n in (2, 3, 4):
+        run_row, run_cnt, run_pos, _ps, _rid = gram_runs(n)
+        frac = np.zeros(n_rows, dtype=np.float64)
+        if len(run_row):
+            w = prefix[run_pos + n] - prefix[run_pos]
+            order2 = np.lexsort((w, run_cnt, run_row))
+            rr = run_row[order2]
+            last = np.concatenate((rr[1:] != rr[:-1], [True]))
+            top_rows = rr[last]
+            prod = (run_cnt[order2] * w[order2])[last]
+            frac[top_rows] = prod / tot_safe[top_rows]
+        sig[f"top_{n}gram_char_frac"] = frac
+
+    for n in (5, 6, 7, 8, 9, 10):
+        run_row, run_cnt, _run_pos, ps_sorted, rid = gram_runs(n)
+        frac = np.zeros(n_rows, dtype=np.float64)
+        if len(run_row):
+            dup_inst = run_cnt[rid] >= 2
+            if dup_inst.any():
+                delta = np.zeros(len(th) + n + 1, dtype=np.int64)
+                np.add.at(delta, ps_sorted[dup_inst], 1)
+                np.add.at(delta, ps_sorted[dup_inst] + n, -1)
+                cov = np.cumsum(delta)[: len(th)] > 0
+                marked = np.bincount(
+                    parent[cov], weights=tok_lens[cov], minlength=n_rows
+                )
+                frac = marked / tot_safe
+        sig[f"dup_{n}gram_char_frac"] = frac
+
+    keep = np.ones(n_rows, dtype=bool)
+    for name, bound in rules.items():
+        keep &= sig[name] <= bound
+    cols = {"doc_id": batch["doc_id"]}
+    for name in GOPHER_REPETITION_RULES:
+        cols[name] = pa.array(sig[name], pa.float64())
+    return pa.table(cols).filter(pa.array(keep, pa.bool_()))
+
+
+def gopher_repetition_filter_documents(
+    sf_dir: str, rules: dict[str, float] | None = None
+):
+    """The Gopher repetition rule set as a corpus filter — one
+    stateless vectorized ``map_batches`` pass, no shuffle; see
+    ``gopher_repetition_batch`` for the exact accounting. Emits every
+    signal with the kept docs so the filter is auditable. Rows-only
+    (interval-union coverage is not SQL-expressible at reasonable
+    cost); pinned by an independent per-doc Python reference."""
+
+    def fil(batch: pa.Table) -> pa.Table:
+        return gopher_repetition_batch(batch, rules)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fil, batch_format="pyarrow"
+    )
+
+
 def gopher_quality_filter_documents(sf_dir: str, **rules):
     """The full Gopher document-quality rule set (Rae et al. 2021,
     appendix A1.1), re-expressed over this corpus's token alphabet:
