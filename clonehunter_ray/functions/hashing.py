@@ -144,6 +144,24 @@ def run_ranks(sorted_keys: np.ndarray) -> np.ndarray:
     return np.arange(n, dtype=np.int64) - starts[run_id]
 
 
+def hash_token_stream(flat) -> np.ndarray:
+    """uint64 token hash per element of a FLAT Arrow string array,
+    unique-amortized: one ``np.unique`` over the batch's tokens, one
+    Python ``hash_token_u64`` per DISTINCT token, fanned back out via
+    the inverse index. Positionally aligned with ``flat_tokens``'
+    (flat, parent) output — the one kernel behind the bigram-LM and
+    repetition-filter gram pipelines, so the token-hash recipe cannot
+    drift between them."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    f_np = flat.to_numpy(zero_copy_only=False).astype(object)
+    uniq, inv = np.unique(f_np, return_inverse=True)
+    uh = np.fromiter(
+        (hash_token_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return uh[inv]
+
+
 def tokenize_hash_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     """texts -> ``(flat uint64 token hashes in document order,
     per-row token counts int64)`` — the flat form of

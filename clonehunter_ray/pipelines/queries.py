@@ -2331,6 +2331,22 @@ GOPHER_REPETITION_RULES: dict[str, float] = {
 }
 
 
+def _check_repetition_rules(
+    rules: dict[str, float] | None,
+) -> dict[str, float]:
+    """Reject rule names outside the signal set — a typo'd key must
+    fail loudly (and on the driver, via the filter wrapper's eager
+    call) instead of as an opaque KeyError inside a Ray task."""
+    rules = dict(GOPHER_REPETITION_RULES if rules is None else rules)
+    unknown = set(rules) - set(GOPHER_REPETITION_RULES)
+    if unknown:
+        raise ValueError(
+            f"unknown gopher repetition rule(s): {sorted(unknown)}; "
+            f"valid: {sorted(GOPHER_REPETITION_RULES)}"
+        )
+    return rules
+
+
 def gopher_repetition_batch(
     batch: pa.Table, rules: dict[str, float] | None = None
 ) -> pa.Table:
@@ -2359,7 +2375,7 @@ def gopher_repetition_batch(
     """
     import pyarrow.compute as pc
 
-    rules = dict(GOPHER_REPETITION_RULES if rules is None else rules)
+    rules = _check_repetition_rules(rules)
     n_rows = batch.num_rows
     txt = pc.fill_null(batch["text"], "")
     txt_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
@@ -2370,16 +2386,7 @@ def gopher_repetition_batch(
     tot_safe = np.maximum(tot_tok, 1.0)
 
     # token hashes aligned with tok_lens/parent (unique-amortized)
-    if len(flat):
-        f_np = flat.to_numpy(zero_copy_only=False).astype(object)
-        uniq, inv = np.unique(f_np, return_inverse=True)
-        th = np.fromiter(
-            (H.hash_token_u64(t) for t in uniq),
-            dtype=np.uint64,
-            count=len(uniq),
-        )[inv]
-    else:
-        th = np.empty(0, dtype=np.uint64)
+    th = H.hash_token_stream(flat)
     prefix = np.concatenate(([0.0], np.cumsum(tok_lens)))
 
     sig = {"doc_id": batch["doc_id"]}
@@ -2482,6 +2489,7 @@ def gopher_repetition_filter_documents(
     signal with the kept docs so the filter is auditable. Rows-only
     (interval-union coverage is not SQL-expressible at reasonable
     cost); pinned by an independent per-doc Python reference."""
+    rules = _check_repetition_rules(rules)  # eager: fail on the driver
 
     def fil(batch: pa.Table) -> pa.Table:
         return gopher_repetition_batch(batch, rules)
@@ -3429,14 +3437,7 @@ def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
         # token hashes amortized over the batch's unique tokens; the
         # 2-shingle mix over the flat stream gives every adjacent-pair
         # hash, masked down to within-document pairs
-        f_np = flat.to_numpy(zero_copy_only=False).astype(object)
-        uniq, inv = np.unique(f_np, return_inverse=True)
-        uh = np.fromiter(
-            (H.hash_token_u64(t) for t in uniq),
-            dtype=np.uint64,
-            count=len(uniq),
-        )
-        th = uh[inv]
+        th = H.hash_token_stream(flat)
         bigh = H.shingle_hashes_seq(th, 2)[same]
         w1h = th[:-1][same]
         docs_ = ids[parent[:-1][same]]
@@ -3550,6 +3551,20 @@ def bigram_logprob_documents(sf_dir: str, num_partitions: int = 32):
     return scored.map_batches(finish, batch_format="pyarrow", batch_size=4096)
 
 
+def _lang_norm_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, lang) with lang null-coalesced to '' — MUST stay in
+    lockstep with the oracles' ``coalesce(lang, '')`` (shared by the
+    perplexity-bucket and UniMax operators)."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "lang": pc.fill_null(pc.cast(t["lang"], pa.string()), ""),
+        }
+    )
+
+
 def perplexity_bucket_documents(
     sf_dir: str,
     sample_hex: str = "0123",
@@ -3583,28 +3598,26 @@ def perplexity_bucket_documents(
     """
     import pyarrow.compute as pc
 
-    from clonehunter_ray.util import safe_join
+    from clonehunter_ray.util import safe_join, scrub_empty_blocks
 
     scores = bigram_logprob_documents(sf_dir, num_partitions=num_partitions)
 
-    def lang_norm(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lang": pc.fill_null(pc.cast(t["lang"], pa.string()), ""),
-            }
-        )
-
     langs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
-        lang_norm, batch_format="pyarrow"
+        _lang_norm_batch, batch_format="pyarrow"
     )
-    scored = safe_join(
-        scores.select_columns(["doc_id", "avg_ll6"]),
-        langs,
-        "inner",
-        num_partitions,
-        on=("doc_id",),
-    )
+    # materialize: (doc_id, avg_ll6, lang) rows are tiny next to the
+    # corpus, and BOTH the cutoff pass and the final assign pass
+    # consume this table — without the pin, lazy re-execution would
+    # run the bigram-LM shuffles and the join twice
+    scored = scrub_empty_blocks(
+        safe_join(
+            scores.select_columns(["doc_id", "avg_ll6"]),
+            langs,
+            "inner",
+            num_partitions,
+            on=("doc_id",),
+        )
+    ).materialize()
 
     def sample_only(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -3642,11 +3655,15 @@ def perplexity_bucket_documents(
         )
 
     cut_parts = _collect_tables(
-        scored.map_batches(sample_only, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(
-            lambda g: _pt(cutoffs(g), schema=_cut_schema),
-            batch_format="pandas",
+        scrub_empty_blocks(
+            scrub_empty_blocks(
+                scored.map_batches(sample_only, batch_format="pyarrow")
+            )
+            .groupby("lang")
+            .map_groups(
+                lambda g: _pt(cutoffs(g), schema=_cut_schema),
+                batch_format="pandas",
+            )
         )
     )
     if cut_parts:
@@ -3954,6 +3971,77 @@ def dsir_resample_documents(
     )
 
 
+def quota_rank_sample(
+    docs: "ray.data.Dataset", key_col: str, quota: dict[str, int], seed: int
+) -> "ray.data.Dataset":
+    """Deterministic per-key quota sampling, shared by the
+    temperature-mixture and UniMax operators: select each key's
+    ``quota[key]`` smallest sha256(seed:doc_id) ranks (tie: doc_id).
+
+    Ray shape: keys with quota 0 are dropped BEFORE hashing (their
+    rows can never be selected), then a LOCAL top-quota combiner per
+    batch (a key never ships more than quota rows per block), an
+    empty-block scrub, and a per-key ``map_groups`` final cut.
+    Returns (doc_id, <key_col>) rows.
+    """
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.util import scrub_empty_blocks
+
+    active = pa.array(
+        sorted(k for k, q in quota.items() if q > 0), pa.string()
+    )
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            key_col: pa.array([], pa.string()),
+            "rank": pa.array([], pa.string()),
+        }
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
+        if batch.num_rows:
+            batch = batch.filter(
+                pc.is_in(batch[key_col], value_set=active)
+            )
+        if batch.num_rows == 0:
+            return _empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        rank = np.array(
+            H.sha256_hex_many(f"{seed}:{i}" for i in ids), dtype=object
+        )
+        order = np.lexsort((ids, rank, keys))
+        pos = H.run_ranks(keys[order])
+        q = np.array([quota.get(s, 0) for s in keys[order]], dtype=np.int64)
+        keep = np.sort(order[pos < q])
+        idx = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(idx),
+                key_col: batch[key_col].take(idx),
+                "rank": pa.array(list(rank[keep]), pa.string()),
+            }
+        )
+
+    def final_top(g: pd.DataFrame) -> pa.Table:
+        q = quota.get(str(g[key_col].iloc[0]), 0)
+        g = g.sort_values(["rank", "doc_id"]).head(q)
+        return _pt(
+            g[["doc_id", key_col]],
+            pa.schema([("doc_id", pa.int64()), (key_col, pa.string())]),
+        )
+
+    return (
+        scrub_empty_blocks(
+            docs.map_batches(local_top, batch_format="pyarrow")
+        )
+        .groupby(key_col)
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
 def temperature_sample_by_source(
     sf_dir: str, k: int = 200, seed: int = 17
 ):
@@ -4010,51 +4098,7 @@ def temperature_sample_by_source(
         for s, w in weights.items()
     }
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        batch = batch.filter(pc.is_valid(batch["doc_id"]))
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "source": pa.array([], pa.string()),
-                    "rank": pa.array([], pa.string()),
-                }
-            )
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        rank = np.array(
-            H.sha256_hex_many(f"{seed}:{i}" for i in ids), dtype=object
-        )
-        order = np.lexsort((ids, rank, src))
-        pos = H.run_ranks(src[order])
-        q = np.array([quota.get(s, 0) for s in src[order]], dtype=np.int64)
-        keep = np.sort(order[pos < q])
-        idx = pa.array(keep, pa.int64())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].take(idx),
-                "source": batch["source"].take(idx),
-                "rank": pa.array(list(rank[keep]), pa.string()),
-            }
-        )
-
-    def final_top(g: pd.DataFrame) -> pa.Table:
-        q = quota.get(g["source"].iloc[0], 0)
-        g = g.sort_values(["rank", "doc_id"]).head(q)
-        return _pt(
-            g[["doc_id", "source"]],
-            pa.schema(
-                [("doc_id", pa.int64()), ("source", pa.string())]
-            ),
-        )
-
-    return (
-        docs.map_batches(local_top, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(final_top, batch_format="pandas")
-    )
+    return quota_rank_sample(docs, "source", quota, seed)
 
 
 def unimax_waterfill(
@@ -4121,16 +4165,8 @@ def unimax_sample_documents(
     """
     import pyarrow.compute as pc
 
-    def lang_norm(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lang": pc.fill_null(pc.cast(t["lang"], pa.string()), ""),
-            }
-        )
-
     docs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
-        lang_norm, batch_format="pyarrow"
+        _lang_norm_batch, batch_format="pyarrow"
     )
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -4156,7 +4192,6 @@ def unimax_sample_documents(
     langs_arr = pa.array(langs_list, pa.string())
     full_arr = np.array(full_list + [0], dtype=np.int64)
     rem = dict(zip(langs_list, rem_list))
-    full_of = dict(zip(langs_list, full_list))
 
     _out_schema = pa.schema(
         [
@@ -4188,33 +4223,6 @@ def unimax_sample_documents(
             schema=_out_schema,
         )
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        lg = batch["lang"].to_numpy(zero_copy_only=False)
-        rank = np.array(
-            H.sha256_hex_many(f"{seed}:{i}" for i in ids), dtype=object
-        )
-        order = np.lexsort((ids, rank, lg))
-        pos = H.run_ranks(lg[order])
-        q = np.array([rem.get(l, 0) for l in lg[order]], dtype=np.int64)
-        keep = np.sort(order[pos < q])
-        idx = pa.array(keep, pa.int64())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].take(idx),
-                "lang": batch["lang"].take(idx),
-                "rank": pa.array(list(rank[keep]), pa.string()),
-            }
-        )
-
-    def final_top(g: pd.DataFrame) -> pa.Table:
-        lang = str(g["lang"].iloc[0])
-        q = rem.get(lang, 0)
-        g = g.sort_values(["rank", "doc_id"]).head(q)
-        out = g[["doc_id", "lang"]].copy()
-        out["epoch"] = np.int64(full_of.get(lang, 0))
-        return _pt(out, _out_schema)
-
     full_side = docs.map_batches(full_epochs, batch_format="pyarrow")
     if not any(rem_list):
         # quotas are exact multiples of every corpus (or zero): no
@@ -4223,11 +4231,22 @@ def unimax_sample_documents(
         return full_side
     from clonehunter_ray.util import scrub_empty_blocks
 
+    def add_epoch(t: pa.Table) -> pa.Table:
+        idx = pc.fill_null(
+            pc.index_in(t["lang"], value_set=langs_arr), len(langs_arr)
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "epoch": pa.array(full_arr[idx], pa.int64()),
+            },
+            schema=_out_schema,
+        )
+
     partial = scrub_empty_blocks(
-        scrub_empty_blocks(docs.map_batches(local_top, batch_format="pyarrow"))
-        .groupby("lang")
-        .map_groups(final_top, batch_format="pandas")
-    )
+        quota_rank_sample(docs, "lang", rem, seed)
+    ).map_batches(add_epoch, batch_format="pyarrow")
     return full_side.union(partial)
 
 
