@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter_documents": Q.gopher_quality_filter_documents,
         "perplexity_bucket_documents": Q.perplexity_bucket_documents,
         "unimax_sample_documents": Q.unimax_sample_documents,
+        "contamination_by_source": Q.contamination_by_source,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1173,6 +1174,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN quota USING (source)
             )
             SELECT doc_id, source FROM ranked WHERE rn <= q
+        """,
+        "contamination_by_source": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(ts) >= 4 THEN
+                        list_transform(range(1, len(ts) - 2),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' ||
+                                 ts[i+2] || ' ' || ts[i+3])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0
+            ), hits AS (
+                SELECT DISTINCT g.doc_id
+                FROM g JOIN bench USING (gram)
+                WHERE g.doc_id % 13 <> 0
+            ), train AS (
+                SELECT doc_id, source FROM documents
+                WHERE doc_id % 13 <> 0
+            )
+            SELECT tr.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+                   CAST(count(h.doc_id) AS DOUBLE) / count(*)
+                       AS contamination_rate
+            FROM train tr LEFT JOIN hits h USING (doc_id)
+            GROUP BY tr.source
         """,
         "unimax_sample_documents": """
             WITH counts AS (

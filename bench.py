@@ -269,6 +269,7 @@ def run_bench() -> dict:
     timed("token_budget_select", Q.token_budget_select)
     timed("temperature_sample_by_source", Q.temperature_sample_by_source)
     timed("unimax_sample_documents", Q.unimax_sample_documents)
+    timed("contamination_by_source", Q.contamination_by_source)
 
     def _segment_near_dup(sf_dir):
         from clonehunter_ray.pipelines.segment import (

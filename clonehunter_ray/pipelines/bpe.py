@@ -233,12 +233,19 @@ def bpe_encode_documents(
     merges: pa.Table | None = None,
     n_merges: int = 50,
     max_words: int = 30_000,
-    concurrency: int = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Train (unless ``merges`` is given) then encode the corpus,
     emitting per-document BPE token counts — the number a sequence-
     packing or token-budget stage actually needs. The merge table
-    ships to the actor pool once via the object store."""
+    ships to the actor pool once via the object store. Default pool:
+    autoscaling (1, cluster CPUs - reserve) — encoding is the
+    corpus-scale stage, but a small run shouldn't pay 30 actor
+    startups."""
+    if concurrency is None:
+        from clonehunter_ray.util import auto_actor_count
+
+        concurrency = (1, auto_actor_count())
     if merges is None:
         merges = bpe_train_merges(
             docs_ds, n_merges=n_merges, max_words=max_words

@@ -586,6 +586,86 @@ def decontaminate_documents(sf_dir: str, k: int = 4, bench_mod: int = 13):
     )
 
 
+def contamination_by_source(sf_dir: str, k: int = 4, bench_mod: int = 13):
+    """Per-source contamination audit — the report a data team reads
+    BEFORE deciding which crawls need scrubbing: for each source, the
+    count and fraction of its training docs sharing >= 1 token k-gram
+    with the held-out benchmark slice (same slice and gram recipe as
+    ``decontaminate_documents``, so the two oracles stay coupled).
+
+    Ray shape: the benchmark gram set broadcasts once (eval sets are
+    small by design); ONE streaming pass emits per-batch (source,
+    n_docs, n_contaminated) partials — rows shipped = sources x
+    blocks, never the corpus — and a tiny groupby-sum finishes.
+    Fractions are exact-int-ratio doubles (oracle bit-exact).
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % bench_mod == 0, pa.bool_()))
+
+    bench_set = _collect_gram_set(
+        docs.map_batches(_bench_only, batch_format="pyarrow"), k
+    )
+    set_ref = ray.put(bench_set)
+
+    _partial_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_contaminated", pa.int64()),
+        ]
+    )
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % bench_mod != 0, pa.bool_()))
+        if batch.num_rows == 0:
+            return _partial_schema.empty_table()
+        gs = ray.get(set_ref)
+        th = H.tokenize_hash_texts(batch["text"])
+        grams, rows = H.flat_gram_hashes(th, k)
+        _, n_hit = _count_gram_hits(grams, rows, gs, batch.num_rows)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n_docs = np.bincount(inv, minlength=len(uniq))
+        n_cont = np.bincount(
+            inv, weights=(n_hit > 0), minlength=len(uniq)
+        )
+        return pa.table(
+            {
+                "source": pa.array(list(uniq), pa.string()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_contaminated": pa.array(
+                    n_cont.astype(np.int64), pa.int64()
+                ),
+            },
+            schema=_partial_schema,
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["sum(n_docs)"].to_numpy(zero_copy_only=False)
+        nc = t["sum(n_contaminated)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_contaminated": pa.array(nc, pa.int64()),
+                "contamination_rate": pa.array(
+                    nc / np.maximum(nd, 1), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(flag_partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "n_contaminated"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def frequent_gram_stats_documents(sf_dir: str, k: int = 3, min_df: int = 5):
     """Boilerplate detection: for each document, the fraction of its
     token 3-gram instances whose gram occurs in >= ``min_df`` distinct
