@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_documents": lambda sf: bpe.bpe_encode_documents(
             _docs(sf), n_merges=50
         ),
+        "bpe_fertility_by_lang": lambda sf: bpe.bpe_fertility_by_lang(
+            _docs(sf), n_merges=50
+        ),
         "pack_sequences_documents": training.pack_sequences_documents,
         "approx_distinct_users_hll": Q.approx_distinct_users_hll,
         "approx_length_quantiles": Q.approx_length_quantiles,

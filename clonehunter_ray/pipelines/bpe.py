@@ -218,7 +218,7 @@ class BpeEncodeStage:
             n_bpe = np.zeros(n_rows, dtype=np.int64)
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(n_words > 0, n_bpe / np.maximum(n_words, 1), 0.0)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_words": pa.array(n_words, pa.int64()),
@@ -226,6 +226,12 @@ class BpeEncodeStage:
                 "bpe_per_word": pa.array(ratio, pa.float64()),
             }
         )
+        # grouping keys ride along when the input carries them (the
+        # fertility audit groups by lang without a join)
+        for key in ("lang", "source"):
+            if key in batch.column_names:
+                out = out.append_column(key, batch[key])
+        return out
 
 
 def bpe_encode_documents(
@@ -263,4 +269,56 @@ def bpe_encode_documents(
         fn_constructor_kwargs={"merges_ref": ref},
         concurrency=concurrency,
         batch_format="pyarrow",
+    )
+
+
+def bpe_fertility_by_lang(
+    docs_ds: "ray.data.Dataset",
+    merges: pa.Table | None = None,
+    n_merges: int = 50,
+    max_words: int = 30_000,
+) -> "ray.data.Dataset":
+    """Tokenizer-fairness audit: per-language FERTILITY (BPE tokens
+    per word, micro-averaged over the language's corpus) of a trained
+    BPE — the standard cross-lingual tokenizer metric. Languages whose
+    fertility sits far above the corpus mean are under-served by the
+    learned vocabulary; this is the signal a UniMax-style budget or a
+    vocabulary-size decision consumes.
+
+    Shape: the encode actor pool streams once (lang rides along, no
+    join); the aggregate is a language-count-sized groupby-sum.
+    Fertility is an exact-integer-ratio double.
+    """
+    import pyarrow.compute as pc
+
+    enc = bpe_encode_documents(
+        docs_ds, merges=merges, n_merges=n_merges, max_words=max_words
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t["sum(n_words)"].to_numpy(zero_copy_only=False)
+        nb = t["sum(n_bpe_tokens)"].to_numpy(zero_copy_only=False)
+        nd = t["count()"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pa.array(nd.astype(np.int64), pa.int64()),
+                "n_words": pa.array(nw.astype(np.int64), pa.int64()),
+                "n_bpe_tokens": pa.array(nb.astype(np.int64), pa.int64()),
+                "fertility": pa.array(
+                    nb / np.maximum(nw, 1), pa.float64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        enc.groupby("lang")
+        .aggregate(
+            Count(),
+            Sum("n_words"),
+            Sum("n_bpe_tokens"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
     )

@@ -217,3 +217,47 @@ def test_encode_edge_cases(ray_session):
     # "the" -> ["th", "e", "</w>"] = 3 tokens each
     assert list(got.n_bpe_tokens) == [0, 0, 0, 9]
     assert list(got.bpe_per_word) == [0.0, 0.0, 0.0, 3.0]
+
+
+def test_fertility_by_lang_matches_reference(ray_session):
+    import re
+
+    import ray.data
+
+    path = f"{SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    t = pq.read_table(path, columns=["doc_id", "lang", "text"])
+    merges = bpe.bpe_train_merges(ray.data.from_arrow(t), n_merges=30)
+    got = (
+        bpe.bpe_fertility_by_lang(ray.data.from_arrow(t), merges=merges)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    ranks = {
+        (l, r): k
+        for k, l, r in zip(
+            merges["rank"].to_pylist(),
+            merges["left"].to_pylist(),
+            merges["right"].to_pylist(),
+        )
+    }
+    # independent per-lang aggregation with the reference encoder
+    agg: dict[str, list[int]] = {}
+    for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        words = re.findall(r"[a-z0-9_]+", (txt or "").lower())
+        nb = sum(len(ref_encode(w, ranks)) for w in words)
+        cur = agg.setdefault(str(lang), [0, 0, 0])
+        cur[0] += 1
+        cur[1] += len(words)
+        cur[2] += nb
+    assert sorted(got.lang) == sorted(agg)
+    for _, row in got.iterrows():
+        nd, nw, nb = agg[row.lang]
+        assert row.n_docs == nd and row.n_words == nw
+        assert row.n_bpe_tokens == nb
+        assert row.fertility == nb / max(nw, 1)
+    # a trained BPE must compress: fertility strictly below the
+    # untrained chars+eow baseline and >= 1 token per word
+    assert (got.fertility >= 1.0).all()
