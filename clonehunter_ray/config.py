@@ -198,6 +198,14 @@ class ExecConfig:
     # comfortably within a 128 GB node; measured: the join path was 7x
     # slower than broadcast at 423k snippets.
     broadcast_signatures_limit: int = 2_000_000
+    # scale-path (join) only: when the deduped pair table has <= this
+    # many rows, its distinct snippet-id set is broadcast once and the
+    # signature side is FILTERED to paired ids before the four hash
+    # joins (measured 400k files: 157k pairs vs 2.83M signatures — the
+    # unpruned joins shipped 89% dead payload). Above the limit the
+    # id set stops being broadcastable and the joins run unpruned.
+    # 20M pairs ~= 2.5 GB of 64-byte ids in plasma.
+    pair_id_prune_limit: int = 20_000_000
     # Without a checkpoint dir the scan STREAMS verified pairs straight
     # into the findings shuffle (no barrier). Set True when the caller
     # will consume ScanResult.pairs separately (e.g. CLI --save-tables):
