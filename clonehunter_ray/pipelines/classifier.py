@@ -248,8 +248,9 @@ def train_quality_classifier(
     losses: list[float] = []
     step = lr
     epoch = 0
-    while epoch < epochs:
-        w_ref = ray.put(wb)
+
+    def _epoch_pass(weights: np.ndarray) -> np.ndarray:
+        w_ref = ray.put(weights)
         partials = feats.map_batches(
             _grad_batch,
             fn_kwargs={"w_ref": w_ref, "dim": dim},
@@ -261,6 +262,10 @@ def train_quality_classifier(
         for b in partials.iter_batches(batch_format="pyarrow"):
             if b.num_rows:
                 acc += _sum_partials(b)["partial"][0].as_py()
+        return acc
+
+    while epoch < epochs:
+        acc = _epoch_pass(wb)
         n = max(acc[dim + 2], 1.0)
         loss = float(acc[dim + 1] / n)
         if losses and loss > losses[-1] and prev_wb is not None and step > lr / 64:
@@ -275,6 +280,20 @@ def train_quality_classifier(
         wb[:dim] -= step * (acc[:dim] / n + l2 * wb[:dim])
         wb[dim] -= step * (acc[dim] / n)
         epoch += 1
+
+    # the loop only loss-checks a step at the NEXT epoch's evaluation,
+    # so the final update exits unchecked — with an aggressive lr the
+    # returned model could be an unvalidated overshoot. One extra loss
+    # pass keeps whichever of (final wb, last accepted weights) is
+    # actually better.
+    if prev_wb is not None and not np.array_equal(wb, prev_wb):
+        acc = _epoch_pass(wb)
+        final_loss = float(acc[dim + 1] / max(acc[dim + 2], 1.0))
+        if losses and final_loss > losses[-1]:
+            wb = prev_wb
+        # losses keeps its per-epoch-start contract (one entry per
+        # accepted epoch evaluation) — the extra pass only decides
+        # which weights to return
     return ClassifierModel(
         weights=wb[:dim].copy(), bias=float(wb[dim]), dim=dim,
         bigrams=bigrams, norm=norm, losses=losses,
@@ -309,10 +328,16 @@ def score_with_classifier(
     *,
     text_col: str = "text",
     out_col: str = "quality_prob",
-    concurrency: int = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Append the classifier probability — ONE streaming pass; this is
-    the corpus-scale side of the pattern."""
+    the corpus-scale side of the pattern, so the pool autoscales to
+    the cluster by default (a fixed constant would cap the whole
+    stage; dedup.py documents the same rule)."""
+    if concurrency is None:
+        from clonehunter_ray.util import auto_actor_count
+
+        concurrency = (2, auto_actor_count())
     wb = np.empty(model.dim + 1, dtype=np.float64)
     wb[:-1] = model.weights
     wb[-1] = model.bias

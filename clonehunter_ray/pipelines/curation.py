@@ -63,11 +63,14 @@ def _sha_lanes(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
         return _SHA_ROWS_SCHEMA.empty_table()
     texts = batch["text"].to_pylist()
+    # flag byte keeps the NULL group distinct from '' — SQL's
+    # GROUP BY text groups NULLs together but apart from empty
+    # strings, and hashing both to sha256('') would merge them
     digests = np.frombuffer(
         b"".join(
-            hashlib.sha256(("" if t is None else t).encode("utf-8")).digest()[
-                :16
-            ]
+            hashlib.sha256(
+                b"\x00" if t is None else b"\x01" + t.encode("utf-8")
+            ).digest()[:16]
             for t in texts
         ),
         dtype="<i8",
@@ -112,6 +115,7 @@ def curate_documents(
     min_distinct_ratio: float = 0.35,
     mean_len_range: tuple[float, float] = (3.0, 8.0),
     num_partitions: int = 64,
+    loser_broadcast_limit: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """Curate ``docs_ds`` (doc_id, text, lang, source) against the
     held-out ``bench_ds`` (doc_id, text). See module docstring."""
@@ -128,34 +132,77 @@ def curate_documents(
 
     nparts = safe_join_partitions(num_partitions)
 
+    from clonehunter_ray.util import scrub_empty_blocks
+
     # --- exact dedup: ids-only flag shuffle, losers-only collect ---
-    losers = (
-        docs_ds.select_columns(["doc_id", "text"])
-        .map_batches(_sha_lanes, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column(
-                "part",
-                pa.array(
-                    t["h1"].to_numpy(zero_copy_only=False) % nparts,
-                    pa.int64(),
+    # scrubs on both sides of the exchange: the sort emits zero-column
+    # blocks for empty partitions and a materialize PRESERVES them
+    losers = scrub_empty_blocks(
+        scrub_empty_blocks(
+            docs_ds.select_columns(["doc_id", "text"])
+            .map_batches(_sha_lanes, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.append_column(
+                    "part",
+                    pa.array(
+                        t["h1"].to_numpy(zero_copy_only=False) % nparts,
+                        pa.int64(),
+                    ),
                 ),
-            ),
-            batch_format="pyarrow",
+                batch_format="pyarrow",
+            )
         )
         .groupby("part")
         .map_groups(_losers_partition, batch_format="pyarrow")
     )
-    def _drop_losers(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_null(batch["dup"]))
+    # the loser set is bounded by the dup rate and ids-only; when it
+    # broadcasts (the overwhelmingly common case) the corpus streams
+    # through a stateless searchsorted drop and TEXT NEVER ENTERS A
+    # SHUFFLE. The left-outer anti-join (which hash-partitions the
+    # full corpus text by doc_id) remains only as the fallback for an
+    # adversarial mostly-duplicates corpus.
+    losers = losers.materialize()
+    if losers.count() <= loser_broadcast_limit:
+        parts = [
+            t for t in ray.get(losers.to_arrow_refs()) if t.num_rows
+        ]
+        loser_ids = (
+            np.sort(
+                np.concatenate(
+                    [
+                        p["d_id"].to_numpy(zero_copy_only=False)
+                        for p in parts
+                    ]
+                )
+            )
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        loser_ref = ray.put(loser_ids)
 
-    alive = left_attach_or_nulls(
-        docs_ds,
-        losers,
-        nparts,
-        on=("doc_id",),
-        right_on=("d_id",),
-        right_schema=_LOSER_SCHEMA,
-    ).map_batches(_drop_losers, batch_format="pyarrow")
+        def _drop_bcast(batch: pa.Table) -> pa.Table:
+            lid = ray.get(loser_ref)
+            if lid.size == 0:
+                return batch
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(lid, ids)
+            pos_c = np.minimum(pos, lid.size - 1)
+            hit = (pos < lid.size) & (lid[pos_c] == ids)
+            return batch.filter(pa.array(~hit, pa.bool_()))
+
+        alive = docs_ds.map_batches(_drop_bcast, batch_format="pyarrow")
+    else:
+        def _drop_losers(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_null(batch["dup"]))
+
+        alive = left_attach_or_nulls(
+            docs_ds,
+            losers,
+            nparts,
+            on=("doc_id",),
+            right_on=("d_id",),
+            right_schema=_LOSER_SCHEMA,
+        ).map_batches(_drop_losers, batch_format="pyarrow")
 
     # --- benchmark gram set: small by definition, broadcast once ---
     bench_set = _collect_gram_set(bench_ds, gram_k)
@@ -182,7 +229,12 @@ def curate_documents(
             dratio = np.where(n > 0, distinct / np.maximum(n, 1), 0.0)
 
         gs = ray.get(set_ref)
-        th = H.tokenize_hash_texts(batch["text"])
+        # reuse the tokenization above: hash the SAME flat stream and
+        # re-split per row — the second lower/regex-split pass the old
+        # tokenize_hash_texts call paid is gone (this stage's claim of
+        # "tokenize once per doc" is now literally true)
+        th_flat = H.hash_token_stream(flat)
+        th = np.split(th_flat, np.cumsum(n)[:-1]) if n_rows else []
         grams, rows2 = H.flat_gram_hashes(th, gram_k)
         _, n_hit = _count_gram_hits(grams, rows2, gs, n_rows)
 

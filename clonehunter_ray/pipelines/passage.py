@@ -181,7 +181,6 @@ def passage_dup_span_pairs(
         _dedupe_int_pairs_partition,
         _emit_doc_pairs_partition,
     )
-    from clonehunter_ray.util import auto_actor_count
 
     if gram_len is None:
         gram_len = max(2, (min_len + 1) // 2)
@@ -254,9 +253,16 @@ def _attach_and_verify(
     """Shared verification tail: attach both sides' token blobs to the
     deduped (a_id, b_id, capped) candidate pairs — plasma broadcast
     below ``broadcast_limit`` docs, two partitioned hash joins above —
-    then run the exact matching-statistics span kernel per pair."""
+    then run the exact matching-statistics span kernel per pair.
+
+    The broadcast payload here is the corpus' token blobs (unbounded
+    per doc), NOT fixed-size sketches, so the doc-count gate alone is
+    the wrong unit: a BYTE gate (4 GiB default) backstops it — a
+    corpus under the doc limit but over the byte limit takes the join
+    path instead of building one plasma object the store can't hold."""
     n_docs = sig.count()
-    if n_docs <= broadcast_limit:
+    sig_bytes = sig.size_bytes() or 0
+    if n_docs <= broadcast_limit and sig_bytes <= (4 << 30):
         from clonehunter_ray.stages.candidates import (
             get_broadcast_payload,
             make_broadcast_handle,
@@ -359,6 +365,25 @@ _SUMMARY_SCHEMA = pa.schema(
 )
 
 
+def _merge_spans_doc(g: pa.Table) -> pa.Table:
+    """One doc's span rows -> merged maximal intervals (shared by the
+    self-dedup and decontamination span groupbys)."""
+    s, e = merge_intervals(
+        g["b_start"].to_numpy(zero_copy_only=False),
+        g["b_end"].to_numpy(zero_copy_only=False),
+    )
+    did = g["b_id"][0].as_py()
+    return pa.table(
+        {
+            "doc_id": pa.array(np.full(len(s), did), pa.int64()),
+            "span_start": pa.array(s, pa.int64()),
+            "span_end": pa.array(e, pa.int64()),
+            "span_tokens": pa.array(e - s, pa.int64()),
+        },
+        schema=_SPAN_SCHEMA,
+    )
+
+
 def passage_dedup_spans(
     docs_ds: "ray.data.Dataset", min_len: int = 25, **kwargs
 ) -> "ray.data.Dataset":
@@ -368,23 +393,7 @@ def passage_dedup_spans(
     One groupby(doc_id) over span rows — ints only."""
     pairs = passage_dup_span_pairs(docs_ds, min_len=min_len, **kwargs)
 
-    def merge_doc(g: pa.Table) -> pa.Table:
-        s, e = merge_intervals(
-            g["b_start"].to_numpy(zero_copy_only=False),
-            g["b_end"].to_numpy(zero_copy_only=False),
-        )
-        did = g["b_id"][0].as_py()
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(len(s), did), pa.int64()),
-                "span_start": pa.array(s, pa.int64()),
-                "span_end": pa.array(e, pa.int64()),
-                "span_tokens": pa.array(e - s, pa.int64()),
-            },
-            schema=_SPAN_SCHEMA,
-        )
-
-    return pairs.groupby("b_id").map_groups(merge_doc, batch_format="pyarrow")
+    return pairs.groupby("b_id").map_groups(_merge_spans_doc, batch_format="pyarrow")
 
 
 def passage_dedup_documents(
@@ -429,8 +438,12 @@ def passage_dedup_documents(
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
+                # count-only: token COUNTS need the Arrow split
+                # chain, not the per-unique blake2b hashing pass
                 "n_tokens_all": pa.array(
-                    [len(x) for x in H.tokenize_hash_texts(t["text"])],
+                    np.bincount(
+                        H.flat_tokens(t["text"])[1], minlength=t.num_rows
+                    ).astype(np.int64),
                     pa.int64(),
                 ),
             }
@@ -631,10 +644,9 @@ def passage_dup_stats_documents(
     # docs with zero grams (< gram_len tokens) never enter gd; re-add
     # them as zero-stat rows straight from the batch (no row filter)
     def short_doc_zero_rows(batch: pa.Table) -> pa.Table:
-        lens = np.array(
-            [len(x) for x in H.tokenize_hash_texts(batch["text"])],
-            dtype=np.int64,
-        )
+        lens = np.bincount(
+            H.flat_tokens(batch["text"])[1], minlength=batch.num_rows
+        ).astype(np.int64)
         ids = (
             batch["doc_id"]
             .to_numpy(zero_copy_only=False)
@@ -680,16 +692,22 @@ def passage_dup_stats_documents(
 
 
 def _emit_cross_side_pairs_partition(
-    partition: pa.Table, max_bucket_pairs: int = 1024
+    partition: pa.Table,
+    max_bucket_pairs: int = 1024,
+    hub_fanout: int = 8,
 ) -> pa.Table:
     """One gram-hash partition of (band_key, doc_id, side) rows ->
     cross-side candidate pairs (a_id = benchmark doc, b_id = train
     doc). Buckets whose bench x train product exceeds the cap connect
-    every train doc to the MIN bench id only (flaggedness is
-    preserved — the selected gram is identical content in all of them
-    — and ``capped`` rides to the output). Only buckets containing
-    BOTH sides are walked, so the Python loop touches contaminated
-    grams only."""
+    every train doc to the ``hub_fanout`` SMALLEST bench ids (not just
+    the minimum: two bench docs can share the selected gram yet carry
+    different-length spans, so a single hub under-verified — the
+    fanout covers the common few-bench-dups case exactly while
+    bounding capped output at hub_fanout x train). ``capped`` rides to
+    the output on every hub pair; a capped PAIR that verifies to no
+    >= min_len span emits no row, so the accounting is per surviving
+    pair, not per bucket. Only buckets containing BOTH sides are
+    walked, so the Python loop touches contaminated grams only."""
     from clonehunter_ray.pipelines.dedup import _INT_PAIRS_SCHEMA
 
     if partition.num_rows == 0:
@@ -724,9 +742,10 @@ def _emit_cross_side_pairs_partition(
             b_parts.append(np.tile(train, bench.size))
             c_parts.append(np.zeros(bench.size * train.size, dtype=bool))
         else:
-            a_parts.append(np.full(train.size, bench[0], dtype=np.int64))
-            b_parts.append(train)
-            c_parts.append(np.ones(train.size, dtype=bool))
+            hubs = bench[: min(nb, hub_fanout)]  # ids ascend in-bucket
+            a_parts.append(np.repeat(hubs, train.size))
+            b_parts.append(np.tile(train, hubs.size))
+            c_parts.append(np.ones(hubs.size * train.size, dtype=bool))
     if not a_parts:
         return _INT_PAIRS_SCHEMA.empty_table()
     return pa.table(
@@ -852,20 +871,4 @@ def passage_decontaminate_spans(
         sig, deduped, min_len, broadcast_limit, num_partitions
     )
 
-    def merge_doc(g: pa.Table) -> pa.Table:
-        s, e = merge_intervals(
-            g["b_start"].to_numpy(zero_copy_only=False),
-            g["b_end"].to_numpy(zero_copy_only=False),
-        )
-        did = g["b_id"][0].as_py()
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(len(s), did), pa.int64()),
-                "span_start": pa.array(s, pa.int64()),
-                "span_end": pa.array(e, pa.int64()),
-                "span_tokens": pa.array(e - s, pa.int64()),
-            },
-            schema=_SPAN_SCHEMA,
-        )
-
-    return pairs.groupby("b_id").map_groups(merge_doc, batch_format="pyarrow")
+    return pairs.groupby("b_id").map_groups(_merge_spans_doc, batch_format="pyarrow")
