@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_bucket_documents": Q.perplexity_bucket_documents,
         "unimax_sample_documents": Q.unimax_sample_documents,
         "contamination_by_source": Q.contamination_by_source,
+        "length_outlier_filter_documents": Q.length_outlier_filter_documents,
+        "token_kl_by_source": Q.token_kl_by_source,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1209,6 +1211,42 @@ def oracle_sql() -> dict[str, str]:
                        AS contamination_rate
             FROM train tr LEFT JOIN hits h USING (doc_id)
             GROUP BY tr.source
+        """,
+        "length_outlier_filter_documents": """
+            WITH s AS (
+                SELECT median(n_chars) AS m, mad(n_chars) AS d
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   abs(n_chars - s.m) AS abs_dev
+            FROM documents, s
+            WHERE abs(n_chars - s.m) > 2.0 * s.d
+        """,
+        "token_kl_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT source, tok, CAST(count(*) AS DOUBLE) AS n
+                FROM toks GROUP BY 1, 2
+            ), s AS (
+                SELECT source, sum(n) AS ns FROM c GROUP BY 1
+            ), g AS (
+                SELECT tok, sum(n) AS ng FROM c GROUP BY 1
+            ), t AS (
+                SELECT sum(n) AS nt FROM c
+            )
+            SELECT c.source,
+                   CAST(s.ns AS BIGINT) AS n_tokens,
+                   round(sum((c.n / s.ns)
+                             * ln((c.n / s.ns) / (g.ng / t.nt))), 6) AS kl
+            FROM c
+            JOIN s USING (source)
+            JOIN g USING (tok)
+            CROSS JOIN t
+            GROUP BY c.source, s.ns
         """,
         "unimax_sample_documents": """
             WITH counts AS (

@@ -4712,3 +4712,209 @@ def gram_novelty_documents(sf_dir: str, k: int = 3):
         .groupby("part")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def _weighted_quantile_cont(
+    vals: np.ndarray, cnts: np.ndarray, q: float
+) -> float:
+    """quantile_cont over a (value, count) histogram — DuckDB
+    median()/mad() interpolation semantics (position (n-1)*q, linear
+    between the bracketing order statistics)."""
+    order = np.argsort(vals)
+    vals = vals[order]
+    cnts = cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    pos = (n - 1) * q
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    lo_v = float(vals[np.searchsorted(cum, lo + 1)])
+    hi_v = float(vals[np.searchsorted(cum, hi + 1)])
+    frac = pos - lo
+    return lo_v * (1.0 - frac) + hi_v * frac
+
+
+def length_outlier_filter_documents(sf_dir: str, c: float = 2.0):
+    """Robust length-outlier detection (median/MAD): report documents
+    whose n_chars deviates from the corpus median by more than ``c``
+    median-absolute-deviations — the standard robust alternative to
+    mean/stddev screens for heavy-tailed web-corpus length
+    distributions (a mean/stddev cut is itself dragged by the
+    outliers it is trying to remove).
+
+    Ray shape, two passes: (1) the same bounded (value, count)
+    histogram combiner as ``doc_length_quantiles`` — the shuffle moves
+    one row per DISTINCT length, independent of corpus size — then
+    median and MAD both derive driver-side from that tiny summary via
+    weighted quantile_cont (DuckDB median()/mad() semantics, verified
+    bit-equal); (2) one stateless map_batches filter with the two
+    scalars closed over (two floats ship in the task closure — no
+    broadcast object needed). Integer lengths and .0/.5 medians make
+    every deviation exact in float64, so the ``>`` threshold
+    comparison is deterministic across engines.
+    """
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v, cnt = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "n_chars": pa.array(v.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("abs_dev", pa.float64()),
+        ]
+    )
+    agg = (
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("n_chars")
+        .sum("cnt")
+        .to_pandas()
+    )
+    if agg.empty:
+        return out_schema.empty_table()
+    vals = agg["n_chars"].to_numpy().astype(np.float64)
+    cnts = agg["sum(cnt)"].to_numpy().astype(np.int64)
+    med = _weighted_quantile_cont(vals, cnts, 0.5)
+    dev_vals = np.abs(vals - med)
+    uv, inv = np.unique(dev_vals, return_inverse=True)
+    uc = np.bincount(inv, weights=cnts).astype(np.int64)
+    thr = c * _weighted_quantile_cont(uv, uc, 0.5)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        dev = np.abs(n - med)
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "abs_dev": pa.array(dev, pa.float64()),
+            },
+            schema=out_schema,
+        )
+        return t.filter(pa.array(dev > thr, pa.bool_()))
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def token_kl_by_source(sf_dir: str):
+    """Data-mixture audit: per-source KL divergence between each
+    source's token unigram distribution and the corpus-wide
+    distribution — the standard 'how far does this slice sit from the
+    mixture' diagnostic used when rebalancing pretraining mixes
+    (DSIR's importance weights are the per-DOCUMENT cousin; this is
+    the per-SOURCE rollup planners actually look at).
+
+    Ray shape: one tokenize pass emits per-batch (source, tok, cnt)
+    partials via the canonical ``flat_tokens`` kernel, materialized
+    once (vocab x sources x batches rows — bounded by vocabulary, not
+    corpus) and consumed twice; per-source token totals reduce through
+    a tiny groupby('source') whose handful of scalars ship in task
+    closures; each groupby('tok') group holds ONE token's counts
+    across all sources (<= n_sources rows) and emits that token's
+    per-source KL term; a final groupby('source') sums vocab-sized
+    term partials. Nothing corpus-sized crosses an exchange after the
+    first combiner. KL terms round to 6 dp on both engines, absorbing
+    summation-order float drift.
+    """
+    parts_schema = pa.schema(
+        [("source", pa.string()), ("tok", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = H.flat_tokens(batch["text"], with_parent=True)
+        if len(flat) == 0:
+            return parts_schema.empty_table()
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": src[parent],
+                "tok": flat.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["source", "tok"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return _pt(g, parts_schema)
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    # consumed twice (source totals + per-token groups): materialize the
+    # vocab-bounded partials so the corpus is tokenized exactly once
+    parts = docs.map_batches(partial, batch_format="pyarrow").materialize()
+    totals = parts.groupby("source").sum("cnt").to_pandas()
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("kl", pa.float64()),
+        ]
+    )
+    if totals.empty:
+        return out_schema.empty_table()
+    ns = {
+        s: float(n) for s, n in zip(totals["source"], totals["sum(cnt)"])
+    }
+    n_total = float(sum(ns.values()))
+    term_schema = pa.schema(
+        [("source", pa.string()), ("kl_part", pa.float64())]
+    )
+
+    def per_tok(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return term_schema.empty_table()
+        src = group["source"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        us, inv = np.unique(src, return_inverse=True)
+        sc = np.bincount(inv, weights=cnt)
+        p_t = sc.sum() / n_total
+        p_s = sc / np.array([ns[s] for s in us])
+        terms = p_s * np.log(p_s / p_t)
+        return pa.table(
+            {
+                "source": pa.array(us, pa.string()),
+                "kl_part": pa.array(terms, pa.float64()),
+            },
+            schema=term_schema,
+        )
+
+    agg = (
+        parts.groupby("tok")
+        .map_groups(per_tok, batch_format="pyarrow")
+        .groupby("source")
+        .sum("kl_part")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        src = batch["source"].to_pylist()
+        kl = np.round(
+            batch["sum(kl_part)"].to_numpy(zero_copy_only=False), 6
+        )
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "n_tokens": pa.array(
+                    [int(ns[s]) for s in src], pa.int64()
+                ),
+                "kl": pa.array(kl, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
