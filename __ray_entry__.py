@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": lambda sf: similarity.semdedup_embeddings(
             _emb(sf), k=8, iters=6, threshold=0.4
         ),
+        "kmeans_assign_embeddings": lambda sf: (
+            similarity.kmeans_assign_embeddings(_emb(sf), k=8, iters=6)
+        ),
         "quality_classifier_scores": _quality_classifier,
         "segment_near_dup_documents": _segment_near_dup,
     }

@@ -594,6 +594,51 @@ def kmeans_embeddings(
     return centroids
 
 
+def kmeans_assign_embeddings(
+    emb_ds: "ray.data.Dataset", k: int = 8, iters: int = 6, seed: int = 31
+):
+    """First-class k-means clustering result: train spherical k-means
+    with ``kmeans_embeddings`` (the same distributed Lloyd's kernel
+    SemDeDup and IVF build on), then one stateless assign pass emitting
+    (vec_id, cluster, centroid_cos5) per vector — the topic-bucketing /
+    curriculum-binning primitive used when a corpus is sharded by
+    semantic neighborhood before dedup or mixture planning.
+
+    Ray shape: centroids broadcast once via ``ray.put``; assignment is
+    a single map_batches matmul with NO exchange — output order is the
+    input sharding, so at 100 TB the labels can be written alongside
+    the source partitions without a shuffle.
+    """
+    centroids = kmeans_embeddings(emb_ds, k=k, iters=iters, seed=seed)
+    ref = ray.put(centroids)
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("centroid_cos5", pa.float64()),
+        ]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cents = ray.get(ref)
+        ids, matn = _normalized_f64(batch)
+        sims = matn @ cents.T
+        cluster = np.argmax(sims, axis=1)
+        ccos = sims[np.arange(len(ids)), cluster]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cluster.astype(np.int64), pa.int64()),
+                "centroid_cos5": pa.array(np.round(ccos, 5), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def semdedup_embeddings(
     emb_ds: "ray.data.Dataset",
     k: int = 8,

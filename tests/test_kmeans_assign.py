@@ -1,0 +1,85 @@
+"""kmeans_assign_embeddings: the first-class clustering query over the
+shared distributed Lloyd's kernel (similarity.kmeans_embeddings)."""
+
+from __future__ import annotations
+
+import numpy as np
+import ray.data
+
+from clonehunter_ray.pipelines.similarity import (
+    kmeans_assign_embeddings,
+    kmeans_embeddings,
+)
+
+
+def _clustered_rows(n=240, dim=12, n_clusters=4, seed=7, spread=0.15):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 5
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = centers[c] + rng.normal(size=dim) * spread
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    return rows
+
+
+def test_assignment_invariants_and_purity(ray_session):
+    rows = _clustered_rows()
+    ds = ray.data.from_items(rows)
+    # seed=1 initializes one centroid per generating cluster (probed);
+    # other seeds can drop two inits in one cluster — Lloyd's then
+    # converges to a legitimate split local optimum, which is k-means
+    # behavior, not an engine defect
+    got = kmeans_assign_embeddings(ds, k=4, iters=8, seed=1).to_pandas()
+    # one row per vector, labels in range, cos in [-1, 1]
+    assert len(got) == len(rows)
+    assert sorted(got["vec_id"]) == list(range(len(rows)))
+    assert got["cluster"].between(0, 3).all()
+    assert got["centroid_cos5"].between(-1.0, 1.0).all()
+    # tight well-separated generating clusters must map to single
+    # k-means labels (purity 1.0 at this spread)
+    got["truth"] = got["vec_id"] % 4
+    for t, g in got.groupby("truth"):
+        assert g["cluster"].nunique() == 1, f"generating cluster {t} split"
+    # distinct generating clusters get distinct labels
+    assert got.groupby("truth")["cluster"].first().nunique() == 4
+
+
+def test_assignment_deterministic_across_runs(ray_session):
+    rows = _clustered_rows(n=150, dim=8, n_clusters=3, seed=12)
+    ds = ray.data.from_items(rows)
+    a = (
+        kmeans_assign_embeddings(ds, k=3, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        kmeans_assign_embeddings(ds, k=3, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_assignment_matches_broadcast_centroids(ray_session):
+    """The assign pass must be argmax against EXACTLY the trained
+    centroids — recompute the assignment locally from the returned
+    kmeans_embeddings matrix and compare."""
+    rows = _clustered_rows(n=120, dim=8, n_clusters=3, seed=21)
+    ds = ray.data.from_items(rows)
+    cents = kmeans_embeddings(ds, k=3, iters=5)
+    got = (
+        kmeans_assign_embeddings(ds, k=3, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ cents.T
+    want = np.argmax(sims, axis=1)
+    assert (got["cluster"].to_numpy() == want).all()
+    want_cos = np.round(sims[np.arange(len(rows)), want], 5)
+    assert np.allclose(got["centroid_cos5"].to_numpy(), want_cos, atol=0)
