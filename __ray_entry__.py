@@ -261,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "quality_classifier_scores": _quality_classifier,
         "segment_near_dup_documents": _segment_near_dup,
+        "cdc_chunk_dedup_documents": lambda sf: dedup.cdc_chunk_dedup_documents(
+            _docs(sf), min_docs=2
+        ),
     }
 
 

@@ -881,3 +881,85 @@ def minhash_dedup_keep_best(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def cdc_chunk_dedup_documents(
+    docs: "ray.data.Dataset", min_docs: int = 2
+) -> "ray.data.Dataset":
+    """Content-defined-chunking dedup report: chunk every document with
+    a Rabin-style rolling-hash chunker (functions/cdc.py) and report
+    each chunk whose content appears in >= ``min_docs`` DISTINCT
+    documents — the shift-resistant storage-dedup complement to the
+    fixed-token-window ``segment_dedup``: an inserted prefix shifts at
+    most one chunk, so shared suffixes of near-identical web pages
+    still collide.
+
+    Ray shape: one stateless chunk pass emitting per-batch
+    (chunk_hash, chunk_len, partial-distinct-docs, partial-occurrences)
+    partials — each document lives in exactly one input block, so
+    per-batch distinct-doc counts SUM to the true corpus-wide distinct
+    count (same argument as frequent_gram_stats' df partials); one
+    groupby('chunk_hash') exchange over hash-sized rows (payload text
+    never shuffles); a stateless threshold filter finishes. Output:
+    (chunk_hash, chunk_len, n_docs, n_occ).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from clonehunter_ray.functions import cdc
+
+    parts_schema = pa.schema(
+        [
+            ("chunk_hash", pa.string()),
+            ("chunk_len", pa.int64()),
+            ("pd_docs", pa.int64()),
+            ("pd_occ", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ord, _, digests, lengths = cdc.cdc_chunks_batch(texts)
+        if len(digests) == 0:
+            return parts_schema.empty_table()
+        df = pd.DataFrame(
+            {"chunk_hash": digests, "chunk_len": lengths, "doc": doc_ord}
+        )
+        g = (
+            df.groupby(["chunk_hash", "chunk_len"], sort=False)
+            .agg(pd_docs=("doc", "nunique"), pd_occ=("doc", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g, schema=parts_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out_schema = pa.schema(
+        [
+            ("chunk_hash", pa.string()),
+            ("chunk_len", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_occ", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        t = pa.table(
+            {
+                "chunk_hash": batch["chunk_hash"],
+                "chunk_len": batch["max(chunk_len)"].cast(pa.int64()),
+                "n_docs": batch["sum(pd_docs)"].cast(pa.int64()),
+                "n_occ": batch["sum(pd_occ)"].cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+        mask = pa.compute.greater_equal(t["n_docs"], min_docs)
+        return t.filter(mask)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_hash")
+        .aggregate(Sum("pd_docs"), Sum("pd_occ"), Max("chunk_len"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
