@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_by_source": Q.contamination_by_source,
         "length_outlier_filter_documents": Q.length_outlier_filter_documents,
         "token_kl_by_source": Q.token_kl_by_source,
+        "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1217,6 +1218,44 @@ def oracle_sql() -> dict[str, str]:
                        AS contamination_rate
             FROM train tr LEFT JOIN hits h USING (doc_id)
             GROUP BY tr.source
+        """,
+        "dup_cluster_size_histogram": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+                FROM documents WHERE doc_id < 500
+            ), edges AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                WHERE len(a.ts) > 0 AND len(b.ts) > 0
+                  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+            ), sym AS (
+                SELECT a_id AS src, b_id AS dst FROM edges
+                UNION ALL
+                SELECT b_id AS src, a_id AS dst FROM edges
+            ), reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+                WHERE s.dst <> r.src
+            ), lab AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            ), labels AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT)
+                           AS cluster_id
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+                LEFT JOIN lab l USING (doc_id)
+            ), sizes AS (
+                SELECT cluster_id, count(*) AS cluster_size
+                FROM labels GROUP BY cluster_id
+            )
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   count(*) AS n_clusters
+            FROM sizes WHERE cluster_size >= 2
+            GROUP BY cluster_size
         """,
         "length_outlier_filter_documents": """
             WITH s AS (

@@ -280,6 +280,30 @@ def run_bench() -> dict:
 
     timed("segment_near_dup_documents", _segment_near_dup)
 
+    timed("length_outlier_filter_documents", Q.length_outlier_filter_documents)
+    timed("token_kl_by_source", Q.token_kl_by_source)
+
+    def _cdc_dedup(sf_dir):
+        return dedup.cdc_chunk_dedup_documents(
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            min_docs=2,
+        )
+
+    timed("cdc_chunk_dedup_documents", _cdc_dedup)
+
+    def _kmeans_assign(sf_dir):
+        from clonehunter_ray.pipelines.similarity import (
+            kmeans_assign_embeddings,
+        )
+
+        return kmeans_assign_embeddings(
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet"), k=8, iters=6
+        )
+
+    timed("kmeans_assign_embeddings", _kmeans_assign)
+
     def _pq_knn(sf_dir):
         from clonehunter_ray.pipelines.similarity import pq_knn_cosine
 

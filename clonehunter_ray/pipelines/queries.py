@@ -4918,3 +4918,60 @@ def token_kl_by_source(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_cluster_size_histogram(
+    sf_dir: str, threshold: float = 0.6, max_id: int = 500
+):
+    """Dedup impact report: the distribution of near-dup cluster sizes
+    (how many 2-doc, 3-doc, ... N-doc duplicate groups the corpus
+    holds) — the first number a curation run reports, and the input to
+    the 'expected token reduction' estimate before committing to a
+    full dedup pass.
+
+    Ray shape: composes ``duplicate_clusters_documents`` (hash-min
+    connected components) with two count aggregations — both over
+    cluster-id-sized tables, tiny relative to the corpus. Singleton
+    clusters are excluded (size >= 2): the report is about duplicate
+    GROUPS, and at 100 TB the singleton count is corpus-sized noise.
+    """
+    from ray.data.aggregate import Count
+
+    sizes = (
+        duplicate_clusters_documents(sf_dir, threshold, max_id)
+        .groupby("cluster_id")
+        .count()
+    )
+    out_schema = pa.schema(
+        [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+    )
+
+    def to_size(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("cluster_size", pa.int64())]
+            ).empty_table()
+        t = pa.table(
+            {"cluster_size": batch["count()"].cast(pa.int64())}
+        )
+        return t.filter(
+            pa.compute.greater_equal(t["cluster_size"], 2)
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "cluster_size": batch["cluster_size"].cast(pa.int64()),
+                "n_clusters": batch["count()"].cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        sizes.map_batches(to_size, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .count()
+        .map_batches(finish, batch_format="pyarrow")
+    )
