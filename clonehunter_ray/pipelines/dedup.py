@@ -954,7 +954,9 @@ def cdc_chunk_dedup_documents(
             },
             schema=out_schema,
         )
-        mask = pa.compute.greater_equal(t["n_docs"], min_docs)
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(t["n_docs"], min_docs)
         return t.filter(mask)
 
     return (

@@ -4954,9 +4954,9 @@ def dup_cluster_size_histogram(
         t = pa.table(
             {"cluster_size": batch["count()"].cast(pa.int64())}
         )
-        return t.filter(
-            pa.compute.greater_equal(t["cluster_size"], 2)
-        )
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["cluster_size"], 2))
 
     def finish(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
