@@ -4820,8 +4820,13 @@ def token_kl_by_source(sf_dir: str):
 
     Ray shape: one tokenize pass emits per-batch (source, tok, cnt)
     partials via the canonical ``flat_tokens`` kernel, materialized
-    once (vocab x sources x batches rows — bounded by vocabulary, not
-    corpus) and consumed twice; per-source token totals reduce through
+    once and consumed twice. Partial volume is per-batch-DISTINCT
+    rows: upper-bounded by token instances when the vocabulary is
+    hapax-dominated (web-scale worst case) but far below payload
+    bytes, and plasma spills it rather than any driver list; a fixed
+    memory budget instead wants DSIR's hashed-bucket distributions
+    (``dsir_logweights_documents``) — this op is the EXACT variant.
+    Per-source token totals reduce through
     a tiny groupby('source') whose handful of scalars ship in task
     closures; each groupby('tok') group holds ONE token's counts
     across all sources (<= n_sources rows) and emits that token's
