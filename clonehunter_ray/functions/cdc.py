@@ -53,10 +53,11 @@ def _window_hashes(data: np.ndarray, window: int = _WINDOW) -> np.ndarray:
     holds the hash of data[i - window + 1 : i + 1] (trailing window)."""
     if len(data) < window:
         return np.zeros(0, dtype=np.uint64)
+    powers = _POWERS if window == _WINDOW else _window_powers(window)
     win = np.lib.stride_tricks.sliding_window_view(
         data.astype(np.uint64), window
     )
-    return (win * _POWERS).sum(axis=1, dtype=np.uint64)
+    return (win * powers).sum(axis=1, dtype=np.uint64)
 
 
 def cdc_boundaries(

@@ -702,6 +702,22 @@ def frequent_gram_stats_documents(sf_dir: str, k: int = 3, min_df: int = 5):
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def _nchars_hist(batch: pa.Table) -> pa.Table:
+    """Per-batch (n_chars, count) histogram combiner — the shared
+    pre-aggregation behind every length-distribution query: the
+    groupby shuffle then moves one row per DISTINCT length, bounded by
+    the value domain, independent of corpus size."""
+    v, c = np.unique(
+        batch["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
+    )
+    return pa.table(
+        {
+            "n_chars": pa.array(v.astype(np.int64), pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     """Exact distributed quantiles of n_chars WITHOUT a global sort:
     per-batch (value, count) combiner -> tiny groupby('n_chars') sum
@@ -711,21 +727,9 @@ def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     independent of corpus size. Matches DuckDB quantile_disc (value at
     index ceil(q*n)-1 of the sorted column).
     """
-
-    def hist(batch: pa.Table) -> pa.Table:
-        v, c = np.unique(
-            batch["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table(
-            {
-                "n_chars": pa.array(v.astype(np.int64), pa.int64()),
-                "cnt": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
     agg = (
         _read(sf_dir, "documents", ["n_chars"])
-        .map_batches(hist, batch_format="pyarrow")
+        .map_batches(_nchars_hist, batch_format="pyarrow")
         .groupby("n_chars")
         .sum("cnt")
         .to_pandas()
@@ -4754,18 +4758,6 @@ def length_outlier_filter_documents(sf_dir: str, c: float = 2.0):
     comparison is deterministic across engines.
     """
 
-    def hist(batch: pa.Table) -> pa.Table:
-        v, cnt = np.unique(
-            batch["n_chars"].to_numpy(zero_copy_only=False),
-            return_counts=True,
-        )
-        return pa.table(
-            {
-                "n_chars": pa.array(v.astype(np.int64), pa.int64()),
-                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
-
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -4775,7 +4767,7 @@ def length_outlier_filter_documents(sf_dir: str, c: float = 2.0):
     )
     agg = (
         _read(sf_dir, "documents", ["n_chars"])
-        .map_batches(hist, batch_format="pyarrow")
+        .map_batches(_nchars_hist, batch_format="pyarrow")
         .groupby("n_chars")
         .sum("cnt")
         .to_pandas()
@@ -4818,28 +4810,43 @@ def token_kl_by_source(sf_dir: str):
     (DSIR's importance weights are the per-DOCUMENT cousin; this is
     the per-SOURCE rollup planners actually look at).
 
-    Ray shape: one tokenize pass emits per-batch (source, tok, cnt)
-    partials via the canonical ``flat_tokens`` kernel, materialized
-    once and consumed twice. Partial volume is per-batch-DISTINCT
-    rows: upper-bounded by token instances when the vocabulary is
-    hapax-dominated (web-scale worst case) but far below payload
-    bytes, and plasma spills it rather than any driver list; a fixed
-    memory budget instead wants DSIR's hashed-bucket distributions
-    (``dsir_logweights_documents``) — this op is the EXACT variant.
-    Per-source token totals reduce through
-    a tiny groupby('source') whose handful of scalars ship in task
-    closures; each groupby('tok') group holds ONE token's counts
-    across all sources (<= n_sources rows) and emits that token's
-    per-source KL term; a final groupby('source') sums vocab-sized
-    term partials. Nothing corpus-sized crosses an exchange after the
-    first combiner. KL terms round to 6 dp on both engines, absorbing
-    summation-order float drift.
+    Ray shape: one tokenize pass emits per-batch (part, source, tok,
+    cnt) partials via the canonical ``flat_tokens`` kernel (part =
+    token hash % 64), materialized once and consumed twice. Partial
+    volume is per-batch-DISTINCT rows: upper-bounded by token
+    instances when the vocabulary is hapax-dominated (web-scale worst
+    case) but far below payload bytes, and plasma spills it rather
+    than any driver list; a fixed memory budget instead wants DSIR's
+    hashed-bucket distributions (``dsir_logweights_documents``) — this
+    op is the EXACT variant. Per-source token totals reduce through a
+    tiny groupby('source') whose handful of scalars ship in task
+    closures. KL terms reduce through a groupby('part') whose 64
+    hash-partitioned groups each hold complete per-token counts (a
+    token's every partial lands in its hash's partition), so one
+    VECTORIZED pandas pass per partition — not one Python call per
+    token — computes p_t/p_s/terms and emits <= n_sources rows; a
+    final groupby('source') sums 64 partials per source. Nothing
+    corpus-sized crosses an exchange after the first combiner. KL
+    terms round to 6 dp on both engines, absorbing summation-order
+    float drift. NULL sources raise rather than silently diverging
+    from the oracle's NULL-group semantics.
     """
+    nparts = 64
     parts_schema = pa.schema(
-        [("source", pa.string()), ("tok", pa.string()), ("cnt", pa.int64())]
+        [
+            ("part", pa.int64()),
+            ("source", pa.string()),
+            ("tok", pa.string()),
+            ("cnt", pa.int64()),
+        ]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch["source"].null_count:
+            raise ValueError(
+                "token_kl_by_source: NULL source values are not "
+                "supported — fill or drop them upstream"
+            )
         flat, parent = H.flat_tokens(batch["text"], with_parent=True)
         if len(flat) == 0:
             return parts_schema.empty_table()
@@ -4851,17 +4858,26 @@ def token_kl_by_source(sf_dir: str):
             }
         )
         g = (
-            df.groupby(["source", "tok"], sort=False, dropna=False)
+            df.groupby(["source", "tok"], sort=False)
             .size()
             .reset_index(name="cnt")
         )
+        part = (
+            H.hash_token_stream(pa.array(g["tok"], pa.string()))
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        g.insert(0, "part", part)
         return _pt(g, parts_schema)
+
+    from clonehunter_ray.util import scrub_empty_blocks
 
     docs = _read(sf_dir, "documents", ["source", "text"])
     # consumed twice (source totals + per-token groups): materialize the
     # vocab-bounded partials so the corpus is tokenized exactly once
     parts = docs.map_batches(partial, batch_format="pyarrow").materialize()
-    totals = parts.groupby("source").sum("cnt").to_pandas()
+    totals = (
+        scrub_empty_blocks(parts).groupby("source").sum("cnt").to_pandas()
+    )
     out_schema = pa.schema(
         [
             ("source", pa.string()),
@@ -4879,27 +4895,38 @@ def token_kl_by_source(sf_dir: str):
         [("source", pa.string()), ("kl_part", pa.float64())]
     )
 
-    def per_tok(group: pa.Table) -> pa.Table:
+    def per_part(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return term_schema.empty_table()
-        src = group["source"].to_numpy(zero_copy_only=False)
-        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-        us, inv = np.unique(src, return_inverse=True)
-        sc = np.bincount(inv, weights=cnt)
-        p_t = sc.sum() / n_total
-        p_s = sc / np.array([ns[s] for s in us])
-        terms = p_s * np.log(p_s / p_t)
-        return pa.table(
-            {
-                "source": pa.array(us, pa.string()),
-                "kl_part": pa.array(terms, pa.float64()),
-            },
-            schema=term_schema,
+        df = group.select(["source", "tok", "cnt"]).to_pandas()
+        # fold duplicate (tok, source) partials from different batches
+        g = (
+            df.groupby(["tok", "source"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
         )
+        # every partial for a token lands in this partition, so the
+        # per-tok transform sum IS the token's global count
+        tok_tot = g.groupby("tok", sort=False)["cnt"].transform("sum")
+        p_t = tok_tot.to_numpy(dtype=np.float64) / n_total
+        p_s = g["cnt"].to_numpy(dtype=np.float64) / g["source"].map(
+            ns
+        ).to_numpy(dtype=np.float64)
+        terms = p_s * np.log(p_s / p_t)
+        out = (
+            pd.DataFrame({"source": g["source"], "kl_part": terms})
+            .groupby("source", sort=False)["kl_part"]
+            .sum()
+            .reset_index()
+        )
+        return _pt(out, term_schema)
 
     agg = (
-        parts.groupby("tok")
-        .map_groups(per_tok, batch_format="pyarrow")
+        scrub_empty_blocks(
+            scrub_empty_blocks(parts)
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow")
+        )
         .groupby("source")
         .sum("kl_part")
     )
@@ -4922,7 +4949,9 @@ def token_kl_by_source(sf_dir: str):
             schema=out_schema,
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return scrub_empty_blocks(agg).map_batches(
+        finish, batch_format="pyarrow"
+    )
 
 
 def dup_cluster_size_histogram(
@@ -4940,8 +4969,6 @@ def dup_cluster_size_histogram(
     clusters are excluded (size >= 2): the report is about duplicate
     GROUPS, and at 100 TB the singleton count is corpus-sized noise.
     """
-    from ray.data.aggregate import Count
-
     sizes = (
         duplicate_clusters_documents(sf_dir, threshold, max_id)
         .groupby("cluster_id")
