@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outlier_filter_documents": Q.length_outlier_filter_documents,
         "token_kl_by_source": Q.token_kl_by_source,
         "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
+        "weighted_sample_documents": Q.weighted_sample_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1292,6 +1293,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN g USING (tok)
             CROSS JOIN t
             GROUP BY c.source, s.ns
+        """,
+        "weighted_sample_documents": """
+            WITH w AS (
+                SELECT doc_id, lang, n_chars,
+                       round(
+                           ln((CAST(concat('0x',
+                                 substr(sha256(CAST(doc_id AS VARCHAR)),
+                                        1, 13)) AS BIGINT) + 0.5)
+                              / 4503599627370496.0)
+                           / n_chars, 9) AS priority
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars, priority
+            FROM w ORDER BY priority DESC, doc_id LIMIT 100
         """,
         "unimax_sample_documents": """
             WITH counts AS (

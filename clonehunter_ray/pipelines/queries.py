@@ -828,6 +828,69 @@ def sample_k_documents(sf_dir: str, k: int = 100):
     )
 
 
+def weighted_sample_documents(sf_dir: str, k: int = 100):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, 2006): per document, priority =
+    ln(u) / w with u a hash-derived uniform in (0,1) and weight
+    w = n_chars; the k LARGEST priorities are an exact weighted
+    sample without replacement — the primitive behind
+    quality-weighted corpus subsetting ('sample 1B tokens biased
+    toward long/high-score docs') where uniform ``sample_k`` and
+    rate-based ``hash_sample`` both underweight the docs curation
+    actually wants. u derives from sha256(doc_id) — no RNG state, so
+    re-runs, resumes, and any partitioning produce the identical
+    sample, and the identical closed-form runs in the DuckDB oracle.
+
+    Ray shape: per-batch LOCAL top-k by priority (a combiner — at
+    most k rows leave any block regardless of size), then a global
+    sort+limit over the bounded survivor set (<= k x n_blocks rows).
+    The only shuffle moves survivors, never the corpus. Priorities
+    round to 9 dp in BOTH engines so libm ulp drift cannot reorder
+    the rank-k boundary; residual ties break on doc_id. NULL ids and
+    non-positive weights are excluded (weight 0 = never sampled —
+    the E-S limit), matching the oracle's WHERE clause.
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    # 16^13 = 2^52: 13 hex digits are exact in float64
+    denom = float(1 << 52)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch["doc_id"]),
+                pc.greater(pc.fill_null(batch["n_chars"], 0), 0),
+            )
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        u = (
+            np.array(
+                [
+                    int(h[:13], 16)
+                    for h in H.sha256_hex_many([str(i) for i in ids])
+                ],
+                dtype=np.float64,
+            )
+            + 0.5
+        ) / denom
+        key = np.round(np.log(u) / w, 9)
+        keep = np.sort(np.lexsort((ids, -key))[:k])
+        out = batch.take(pa.array(keep, pa.int64()))
+        return out.append_column(
+            "priority", pa.array(key[keep], pa.float64())
+        )
+
+    return (
+        docs.map_batches(local_top, batch_format="pyarrow")
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k ANN baseline: query matrix broadcast
     once via ray.put, per-batch numpy matmul + per-batch top-k, final

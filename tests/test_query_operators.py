@@ -1012,3 +1012,27 @@ def test_unimax_waterfill_invariants():
             # the same level
             levels = {q[l] for l in counts if q[l] < caps[l]}
             assert len(levels) <= 1
+
+
+def test_weighted_sample_biases_toward_weight(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from clonehunter_ray.pipelines import queries as Q
+
+    got = Q.weighted_sample_documents(SF_DIR, k=50).to_pandas()
+    assert len(got) == 50
+    assert got["n_chars"].gt(0).all()
+    # priorities are the E-S keys: sorted descending, 9-dp rounded
+    pri = got["priority"].to_numpy()
+    assert (np.diff(pri) <= 0).all()
+    assert np.allclose(pri, np.round(pri, 9))
+    # length-weighted sampling must overrepresent long documents
+    # relative to the corpus mean (deterministic given the fixture)
+    corpus = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["n_chars"]
+    )["n_chars"].to_numpy(zero_copy_only=False)
+    assert got["n_chars"].mean() > corpus.mean()
+    # determinism: a second run returns the identical sample
+    again = Q.weighted_sample_documents(SF_DIR, k=50).to_pandas()
+    assert got["doc_id"].tolist() == again["doc_id"].tolist()
