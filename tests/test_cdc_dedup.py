@@ -123,3 +123,21 @@ def test_null_and_empty_texts_yield_no_chunks(ray_session):
     # only doc 2 contributes chunks; every chunk has n_docs == 1
     assert (got["n_docs"] == 1).all()
     assert got["n_occ"].sum() > 0
+
+
+def test_window_hashes_respect_window_param():
+    # regression: _window_hashes once applied the DEFAULT window's
+    # coefficient vector to any requested window size
+    rng = np.random.RandomState(11)
+    data = rng.randint(0, 256, size=300).astype(np.uint8)
+    for window in (8, 16, 24):
+        got = cdc._window_hashes(data, window=window)
+        assert len(got) == len(data) - window + 1
+        base = int(cdc._BASE)
+        mask = 0xFFFFFFFFFFFFFFFF
+        for i in (0, 5, len(got) - 1):
+            run = data[i : i + window]
+            ref = 0
+            for b in run:
+                ref = (ref * base + int(b)) & mask
+            assert int(got[i]) == ref, (window, i)
