@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_kl_by_source": Q.token_kl_by_source,
         "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
         "weighted_sample_documents": Q.weighted_sample_documents,
+        "lexical_diversity_by_source": Q.lexical_diversity_by_source,
+        "pmi_top_bigrams": Q.pmi_top_bigrams,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1293,6 +1295,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN g USING (tok)
             CROSS JOIN t
             GROUP BY c.source, s.ns
+        """,
+        "pmi_top_bigrams": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS ts
+                FROM documents
+            ), b AS (
+                SELECT unnest(list_transform(range(1, len(ts)),
+                                             i -> ts[i])) AS w1,
+                       unnest(list_transform(range(1, len(ts)),
+                                             i -> ts[i+1])) AS w2
+                FROM t WHERE len(ts) >= 2
+            ), u AS (
+                SELECT unnest(ts) AS w FROM t
+            ), uc AS (
+                SELECT w, CAST(count(*) AS DOUBLE) AS c
+                FROM u GROUP BY 1
+            ), bc AS (
+                SELECT w1, w2, count(*) AS n12 FROM b GROUP BY 1, 2
+            ), tot AS (
+                SELECT (SELECT CAST(count(*) AS DOUBLE) FROM u) AS n1,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM b) AS n2
+            )
+            SELECT bc.w1, bc.w2, bc.n12,
+                   round(ln((bc.n12 / tot.n2)
+                            / ((u1.c / tot.n1) * (u2.c / tot.n1))),
+                         6) AS pmi
+            FROM bc
+            CROSS JOIN tot
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            WHERE bc.n12 >= 5
+            ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50
+        """,
+        "lexical_diversity_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT source, tok, count(*) AS n
+                FROM toks GROUP BY 1, 2
+            )
+            SELECT source,
+                   count(*) AS n_distinct,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr
+            FROM c GROUP BY source
         """,
         "weighted_sample_documents": """
             WITH w AS (

@@ -283,6 +283,8 @@ def run_bench() -> dict:
     timed("length_outlier_filter_documents", Q.length_outlier_filter_documents)
     timed("token_kl_by_source", Q.token_kl_by_source)
     timed("weighted_sample_documents", Q.weighted_sample_documents)
+    timed("lexical_diversity_by_source", Q.lexical_diversity_by_source)
+    timed("pmi_top_bigrams", Q.pmi_top_bigrams)
 
     def _cdc_dedup(sf_dir):
         return dedup.cdc_chunk_dedup_documents(

@@ -4865,6 +4865,52 @@ def length_outlier_filter_documents(sf_dir: str, c: float = 2.0):
     )
 
 
+_STP_SCHEMA = pa.schema(
+    [
+        ("part", pa.int64()),
+        ("source", pa.string()),
+        ("tok", pa.string()),
+        ("cnt", pa.int64()),
+    ]
+)
+
+
+def _source_token_partial(batch: pa.Table, nparts: int) -> pa.Table:
+    """Shared per-batch (part, source, tok, cnt) combiner behind the
+    source-level token audits (``token_kl_by_source``,
+    ``lexical_diversity_by_source``): canonical ``flat_tokens``
+    stream, per-batch (source, tok) fold, part = token hash % nparts
+    so every partial for a token lands in one partition group. NULL
+    sources raise (fail loudly rather than silently diverging from
+    the oracle's NULL-group semantics)."""
+    if batch["source"].null_count:
+        raise ValueError(
+            "source-token audit: NULL source values are not "
+            "supported — fill or drop them upstream"
+        )
+    flat, parent = H.flat_tokens(batch["text"], with_parent=True)
+    if len(flat) == 0:
+        return _STP_SCHEMA.empty_table()
+    src = batch["source"].to_numpy(zero_copy_only=False)
+    df = pd.DataFrame(
+        {
+            "source": src[parent],
+            "tok": flat.to_numpy(zero_copy_only=False),
+        }
+    )
+    g = (
+        df.groupby(["source", "tok"], sort=False)
+        .size()
+        .reset_index(name="cnt")
+    )
+    part = (
+        H.hash_token_stream(pa.array(g["tok"], pa.string()))
+        % np.uint64(nparts)
+    ).astype(np.int64)
+    g.insert(0, "part", part)
+    return _pt(g, _STP_SCHEMA)
+
+
 def token_kl_by_source(sf_dir: str):
     """Data-mixture audit: per-source KL divergence between each
     source's token unigram distribution and the corpus-wide
@@ -4895,42 +4941,10 @@ def token_kl_by_source(sf_dir: str):
     from the oracle's NULL-group semantics.
     """
     nparts = 64
-    parts_schema = pa.schema(
-        [
-            ("part", pa.int64()),
-            ("source", pa.string()),
-            ("tok", pa.string()),
-            ("cnt", pa.int64()),
-        ]
-    )
+    parts_schema = _STP_SCHEMA
 
     def partial(batch: pa.Table) -> pa.Table:
-        if batch["source"].null_count:
-            raise ValueError(
-                "token_kl_by_source: NULL source values are not "
-                "supported — fill or drop them upstream"
-            )
-        flat, parent = H.flat_tokens(batch["text"], with_parent=True)
-        if len(flat) == 0:
-            return parts_schema.empty_table()
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {
-                "source": src[parent],
-                "tok": flat.to_numpy(zero_copy_only=False),
-            }
-        )
-        g = (
-            df.groupby(["source", "tok"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        part = (
-            H.hash_token_stream(pa.array(g["tok"], pa.string()))
-            % np.uint64(nparts)
-        ).astype(np.int64)
-        g.insert(0, "part", part)
-        return _pt(g, parts_schema)
+        return _source_token_partial(batch, nparts)
 
     from clonehunter_ray.util import scrub_empty_blocks
 
@@ -5015,6 +5029,310 @@ def token_kl_by_source(sf_dir: str):
     return scrub_empty_blocks(agg).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def lexical_diversity_by_source(sf_dir: str):
+    """Lexical-diversity audit: per-source type-token ratio (distinct
+    tokens / total tokens) — the quick Heaps-law sanity check run
+    before mixing: a source whose TTR sits far below its peers is
+    templated/boilerplate text (machine-generated listings, log dumps)
+    that repetition and quality filters should see before it floods
+    the mix.
+
+    Ray shape: the shared (part, source, tok, cnt) hash-partitioned
+    combiner (``_source_token_partial``; part = token hash % 64), so
+    every partial for a token lands in one partition group; each of
+    the 64 groups folds duplicate (tok, source) partials and emits
+    per-source (n_distinct, n_tokens) scalars — <= n_sources rows per
+    group; a final groupby('source') sums 64 partials per source.
+    Counts are exact integers, so only the ratio needs the house 6-dp
+    rounding. Nothing corpus-sized crosses an exchange after the
+    first combiner; an approximate fixed-memory variant would swap
+    the distinct fold for the HLL sketch (``approx_distinct``
+    family) — this op is the EXACT variant.
+    """
+    nparts = 64
+    from clonehunter_ray.util import scrub_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    parts = docs.map_batches(
+        lambda b: _source_token_partial(b, nparts),
+        batch_format="pyarrow",
+    )
+    stat_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_distinct", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return stat_schema.empty_table()
+        df = group.select(["source", "tok", "cnt"]).to_pandas()
+        # fold duplicate (tok, source) partials: each surviving row is
+        # one DISTINCT (tok, source) — size counts types, sum counts
+        # tokens
+        g = (
+            df.groupby(["tok", "source"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out = (
+            g.groupby("source", sort=False)["cnt"]
+            .agg(n_distinct="size", n_tokens="sum")
+            .reset_index()
+        )
+        return _pt(out, stat_schema)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_distinct", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("ttr", pa.float64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        nd = batch["sum(n_distinct)"].to_numpy(zero_copy_only=False)
+        nt = batch["sum(n_tokens)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_distinct": pa.array(nd, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "ttr": pa.array(
+                    np.round(nd / nt.astype(np.float64), 6), pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    agg = (
+        scrub_empty_blocks(
+            scrub_empty_blocks(parts)
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow")
+        )
+        .groupby("source")
+        .sum(["n_distinct", "n_tokens"])
+    )
+    return scrub_empty_blocks(agg).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+def pmi_top_bigrams(
+    sf_dir: str,
+    k: int = 50,
+    min_count: int = 5,
+    vocab_broadcast_limit: int = 2_000_000,
+):
+    """Collocation mining: the top-k within-document adjacent token
+    pairs by pointwise mutual information — pmi = ln((c12/N2) /
+    ((c1/N1) * (c2/N1))) with c12 the corpus bigram count, c1/c2 the
+    unigram counts, N1/N2 the unigram/bigram totals, candidates
+    restricted to c12 >= min_count (raw PMI is maximized by hapax
+    pairs; the count floor is the standard Church-Hanks guard). The
+    result is the corpus's multi-word-expression list — what a
+    tokenizer-vocabulary or stopword-phrase audit reads first.
+
+    Ray shape: ONE tokenize pass emits per-batch-folded unigram AND
+    bigram (kind, w1, w2, cnt) partials, materialized once (vocab- not
+    corpus-bounded) and consumed by two tiny aggregate trees. Bigram
+    counts reduce through groupby(w1, w2); the min_count filter prunes
+    the hapax tail FIRST, so everything downstream is
+    candidate-bounded. Unigram counts reduce through groupby(w1);
+    below ``vocab_broadcast_limit`` the sorted (word, count) arrays
+    broadcast once via ray.put and candidates score in one stateless
+    pass; above it nothing vocab-sized leaves the cluster — candidates
+    hash-partition-join the unigram table on w1 then w2 (the
+    ``_tfidf_topk_join`` pattern), same arithmetic on both paths.
+    Final top-k: per-batch local top-k combiner, global sort+limit
+    over the <= k x n_blocks survivor set. PMI rounds to 6 dp on both
+    engines.
+    """
+    import pyarrow.compute as pc
+
+    from clonehunter_ray.util import safe_join, scrub_empty_blocks
+
+    part_schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = H.flat_tokens(batch["text"], with_parent=True)
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        w = flat.to_numpy(zero_copy_only=False)
+        uw, ucnt = np.unique(w, return_counts=True)
+        frames = [
+            pd.DataFrame(
+                {
+                    "kind": "u",
+                    "w1": uw,
+                    "w2": "",
+                    "cnt": ucnt.astype(np.int64),
+                }
+            )
+        ]
+        same = parent[1:] == parent[:-1]
+        if same.any():
+            g = (
+                pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+                .groupby(["w1", "w2"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            g.insert(0, "kind", "b")
+            frames.append(g)
+        return _pt(pd.concat(frames, ignore_index=True), part_schema)
+
+    docs = _read(sf_dir, "documents", ["text"])
+    parts = docs.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def _total(kind: str) -> float:
+        got = (
+            parts.filter(expr=f"kind == '{kind}'").sum("cnt")
+        )
+        return float(got or 0)
+
+    n1 = _total("u")
+    n2 = _total("b")
+    out_schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("n12", pa.int64()),
+            ("pmi", pa.float64()),
+        ]
+    )
+    if n2 == 0:
+        return out_schema.empty_table()
+
+    cand_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("n12", pa.int64())]
+    )
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["sum(cnt)"], min_count)
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "n12": t["sum(cnt)"].cast(pa.int64()),
+            },
+            schema=cand_schema,
+        )
+
+    cand = (
+        scrub_empty_blocks(parts.filter(expr="kind == 'b'"))
+        .groupby(["w1", "w2"])
+        .sum("cnt")
+    )
+    cand = scrub_empty_blocks(cand).map_batches(
+        keep_frequent, batch_format="pyarrow"
+    )
+    uni = (
+        scrub_empty_blocks(parts.filter(expr="kind == 'u'"))
+        .groupby("w1")
+        .sum("cnt")
+    ).materialize()
+
+    def _pmi(n12, c1, c2):
+        return np.round(
+            np.log((n12 / n2) / ((c1 / n1) * (c2 / n1))), 6
+        )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        w1 = np.asarray(batch["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(batch["w2"].to_pylist(), dtype=object)
+        n12 = batch["n12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = _pmi(n12, c1, c2)
+        keep = np.sort(np.lexsort((w2, w1, -s))[:k])
+        return pa.table(
+            {
+                "w1": pa.array(list(w1[keep]), pa.string()),
+                "w2": pa.array(list(w2[keep]), pa.string()),
+                "n12": pa.array(n12[keep].astype(np.int64), pa.int64()),
+                "pmi": pa.array(s[keep], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    if uni.count() > vocab_broadcast_limit:
+        # corpus-scale path: the vocabulary never leaves the cluster —
+        # two partitioned hash joins attach c1 then c2 to the
+        # candidate-bounded bigram table
+        c1_tbl = scrub_empty_blocks(uni).map_batches(
+            lambda t: pa.table(
+                {"w1": t["w1"], "c1": t["sum(cnt)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        c2_tbl = scrub_empty_blocks(uni).map_batches(
+            lambda t: pa.table(
+                {"w2": t["w1"], "c2": t["sum(cnt)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        scored = safe_join(
+            safe_join(cand, c1_tbl, "inner", 16, on=("w1",)),
+            c2_tbl,
+            "inner",
+            16,
+            on=("w2",),
+        )
+        scored = scrub_empty_blocks(scored).map_batches(
+            local_top, batch_format="pyarrow"
+        )
+    else:
+        blocks = [
+            t
+            for t in ray.get(uni.to_arrow_refs())
+            if t.num_rows
+        ]
+        if not blocks:
+            return out_schema.empty_table()
+        uni_all = pa.concat_tables(blocks).combine_chunks()
+        words = np.asarray(uni_all["w1"].to_pylist(), dtype=object)
+        counts = uni_all["sum(cnt)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.argsort(words)
+        uni_ref = ray.put((words[order], counts[order]))
+
+        def attach_counts(batch: pa.Table) -> pa.Table:
+            vocab, cv = ray.get(uni_ref)
+            w1 = np.asarray(batch["w1"].to_pylist(), dtype=object)
+            w2 = np.asarray(batch["w2"].to_pylist(), dtype=object)
+            c1 = cv[np.searchsorted(vocab, w1)]
+            c2 = cv[np.searchsorted(vocab, w2)]
+            return batch.append_column(
+                "c1", pa.array(c1.astype(np.int64), pa.int64())
+            ).append_column(
+                "c2", pa.array(c2.astype(np.int64), pa.int64())
+            )
+
+        scored = cand.map_batches(
+            attach_counts, batch_format="pyarrow"
+        ).map_batches(local_top, batch_format="pyarrow")
+
+    return scored.sort(
+        ["pmi", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
 
 
 def dup_cluster_size_histogram(

@@ -122,3 +122,17 @@ def test_frequent_gram_stats_vs_oracle(ray_session, con):
         "frequent_gram_stats_documents",
         exact_cols=("frequent_frac",),
     )
+
+
+def test_pmi_join_path_matches_broadcast(ray_session):
+    import pandas as pd
+
+    from clonehunter_ray.pipelines import queries as Q
+
+    b = Q.pmi_top_bigrams(SF_DIR).to_pandas()
+    # vocab_broadcast_limit=0 forces the partitioned-join path
+    j = Q.pmi_top_bigrams(SF_DIR, vocab_broadcast_limit=0).to_pandas()
+    key = ["w1", "w2"]
+    b = b.sort_values(key).reset_index(drop=True)
+    j = j.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j, check_like=True)
