@@ -4941,10 +4941,7 @@ def token_kl_by_source(sf_dir: str):
     from the oracle's NULL-group semantics.
     """
     nparts = 64
-    parts_schema = _STP_SCHEMA
-
-    def partial(batch: pa.Table) -> pa.Table:
-        return _source_token_partial(batch, nparts)
+    partial = lambda b: _source_token_partial(b, nparts)  # noqa: E731
 
     from clonehunter_ray.util import scrub_empty_blocks
 
@@ -5200,14 +5197,13 @@ def pmi_top_bigrams(
     docs = _read(sf_dir, "documents", ["text"])
     parts = docs.map_batches(partial, batch_format="pyarrow").materialize()
 
-    def _total(kind: str) -> float:
-        got = (
-            parts.filter(expr=f"kind == '{kind}'").sum("cnt")
-        )
-        return float(got or 0)
-
-    n1 = _total("u")
-    n2 = _total("b")
+    # one pass over the partials yields both corpus totals
+    tot = (
+        scrub_empty_blocks(parts).groupby("kind").sum("cnt").to_pandas()
+    )
+    tmap = dict(zip(tot["kind"], tot["sum(cnt)"]))
+    n1 = float(tmap.get("u", 0))
+    n2 = float(tmap.get("b", 0))
     out_schema = pa.schema(
         [
             ("w1", pa.string()),
@@ -5240,9 +5236,17 @@ def pmi_top_bigrams(
         .groupby(["w1", "w2"])
         .sum("cnt")
     )
-    cand = scrub_empty_blocks(cand).map_batches(
-        keep_frequent, batch_format="pyarrow"
+    # candidate-bounded: materialize once so the count gate below does
+    # not re-run the aggregation, and a globally-empty candidate set
+    # returns the empty result instead of feeding a zero-column block
+    # into the join path (util.safe_join's documented failure mode)
+    cand = (
+        scrub_empty_blocks(cand)
+        .map_batches(keep_frequent, batch_format="pyarrow")
+        .materialize()
     )
+    if cand.count() == 0:
+        return out_schema.empty_table()
     uni = (
         scrub_empty_blocks(parts.filter(expr="kind == 'u'"))
         .groupby("w1")

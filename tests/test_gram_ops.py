@@ -136,3 +136,17 @@ def test_pmi_join_path_matches_broadcast(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     j = j.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(b, j, check_like=True)
+
+
+def test_pmi_empty_candidates_both_paths(ray_session):
+    from clonehunter_ray.pipelines import queries as Q
+
+    # an unsatisfiable min_count must return the empty result on BOTH
+    # dispatch paths (the join path once fed a zero-column block into
+    # safe_join and crashed with ArrowInvalid)
+    for limit in (2_000_000, 0):
+        r = Q.pmi_top_bigrams(
+            SF_DIR, min_count=10**9, vocab_broadcast_limit=limit
+        )
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        assert len(df) == 0
