@@ -263,6 +263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_embeddings": lambda sf: (
             similarity.kmeans_assign_embeddings(_emb(sf), k=8, iters=6)
         ),
+        "prototype_prune_embeddings": lambda sf: (
+            similarity.prototype_prune_embeddings(
+                _emb(sf), k=8, iters=6, prune_frac=0.25
+            )
+        ),
         "quality_classifier_scores": _quality_classifier,
         "segment_near_dup_documents": _segment_near_dup,
         "cdc_chunk_dedup_documents": lambda sf: dedup.cdc_chunk_dedup_documents(

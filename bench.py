@@ -307,6 +307,20 @@ def run_bench() -> dict:
 
     timed("kmeans_assign_embeddings", _kmeans_assign)
 
+    def _prototype_prune(sf_dir):
+        from clonehunter_ray.pipelines.similarity import (
+            prototype_prune_embeddings,
+        )
+
+        return prototype_prune_embeddings(
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
+            k=8,
+            iters=6,
+            prune_frac=0.25,
+        )
+
+    timed("prototype_prune_embeddings", _prototype_prune)
+
     def _pq_knn(sf_dir):
         from clonehunter_ray.pipelines.similarity import pq_knn_cosine
 

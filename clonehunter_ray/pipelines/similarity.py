@@ -968,3 +968,109 @@ def pq_knn_cosine(
             )
         )
     return ray.data.from_pandas(pd.concat(out, ignore_index=True))
+
+
+def prototype_prune_embeddings(
+    emb_ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 6,
+    prune_frac: float = 0.25,
+    seed: int = 31,
+):
+    """D4-style prototype pruning (SSL-prototypes, Sorscher et al.
+    2022 arXiv:2206.14486; composed with SemDeDup in D4, Tirumala et
+    al. 2023 arXiv:2308.12284): within each spherical-k-means cluster,
+    drop the most PROTOTYPICAL ``prune_frac`` of vectors — the ones
+    closest to their centroid. Near-centroid examples are the
+    semantically redundant "easy" mass whose removal costs the least
+    model quality per token; SemDeDup removes pairwise near-copies,
+    this removes cluster-core density, and D4 runs both. Returns one
+    row per vector: (vec_id, cluster, centroid_cos5, keep).
+
+    Ray shape: assignment reuses ``kmeans_assign_embeddings``
+    (broadcast centroids, stateless matmul, NO exchange), materialized
+    once because it is consumed twice — id-sized rows, not payloads.
+    The per-cluster cutoff comes from a bounded (cluster, cos5, cnt)
+    histogram combiner: the 5-dp rounding of ``centroid_cos5`` bounds
+    the value domain, so the aggregation moves <= k x 200_001 rows
+    regardless of corpus size, and the driver's quantile walk
+    (quantile_disc at 1 - prune_frac, per cluster) touches only that
+    summary. One final stateless flag pass carries the k cutoffs in
+    the task closure; ties AT the cutoff are kept, so the kept
+    fraction is >= 1 - prune_frac and the rule is deterministic with
+    no RNG state.
+    """
+    assigned = kmeans_assign_embeddings(
+        emb_ds, k=k, iters=iters, seed=seed
+    ).materialize()
+
+    hist_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("centroid_cos5", pa.float64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return hist_schema.empty_table()
+        df = (
+            batch.select(["cluster", "centroid_cos5"])
+            .to_pandas()
+            .groupby(["cluster", "centroid_cos5"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(df, schema=hist_schema)
+
+    agg = (
+        assigned.map_batches(hist, batch_format="pyarrow")
+        .groupby(["cluster", "centroid_cos5"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    cutoffs: dict[int, float] = {}
+    for c, g in agg.groupby("cluster"):
+        g = g.sort_values("centroid_cos5")
+        counts = g["sum(cnt)"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        # quantile_disc(1 - prune_frac): the value at sorted index
+        # ceil(q * n) - 1 — everything strictly above it is pruned
+        idx = max(0, int(np.ceil((1.0 - prune_frac) * n)) - 1)
+        pos = int(np.searchsorted(cum, idx + 1))
+        cutoffs[int(c)] = float(g["centroid_cos5"].to_numpy()[pos])
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("centroid_cos5", pa.float64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    # dense cluster ids 0..k-1 -> vectorized cutoff lookup; clusters
+    # absent from the summary (empty) keep everything via +inf
+    cut_arr = np.full(max(cutoffs, default=0) + 1, np.inf)
+    for c, v in cutoffs.items():
+        cut_arr[c] = v
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        cos = batch["centroid_cos5"].to_numpy(zero_copy_only=False)
+        cut = cut_arr[cl]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": batch["cluster"],
+                "centroid_cos5": batch["centroid_cos5"],
+                "keep": pa.array(cos <= cut, pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return assigned.map_batches(flag, batch_format="pyarrow")

@@ -83,3 +83,40 @@ def test_assignment_matches_broadcast_centroids(ray_session):
     assert (got["cluster"].to_numpy() == want).all()
     want_cos = np.round(sims[np.arange(len(rows)), want], 5)
     assert np.allclose(got["centroid_cos5"].to_numpy(), want_cos, atol=0)
+
+
+def test_prototype_prune_matches_offline_quantile(ray_session):
+    from clonehunter_ray.pipelines.similarity import (
+        prototype_prune_embeddings,
+    )
+
+    rows = _clustered_rows(n=300)
+    ds = ray.data.from_items(rows)
+    frac = 0.25
+    got = prototype_prune_embeddings(
+        ds, k=4, iters=8, prune_frac=frac, seed=1
+    ).to_pandas()
+    assigned = kmeans_assign_embeddings(ds, k=4, iters=8, seed=1).to_pandas()
+    assert len(got) == len(rows)
+    # same assignment as the shared kernel
+    merged = got.merge(assigned, on="vec_id", suffixes=("", "_ref"))
+    assert (merged["cluster"] == merged["cluster_ref"]).all()
+    # offline per-cluster quantile_disc reference for the keep flag
+    for c, g in merged.groupby("cluster"):
+        cos = np.sort(g["centroid_cos5"].to_numpy())
+        n = len(cos)
+        cut = cos[max(0, int(np.ceil((1.0 - frac) * n)) - 1)]
+        expect = g["centroid_cos5"] <= cut
+        assert (g["keep"] == expect).all()
+        # kept fraction >= 1 - frac (ties at the cutoff are kept),
+        # and something was actually pruned in a 75-member cluster
+        kept = g["keep"].mean()
+        assert kept >= 1.0 - frac
+        assert kept < 1.0
+    # determinism
+    again = prototype_prune_embeddings(
+        ds, k=4, iters=8, prune_frac=frac, seed=1
+    ).to_pandas()
+    assert got.sort_values("vec_id")["keep"].tolist() == again.sort_values(
+        "vec_id"
+    )["keep"].tolist()
