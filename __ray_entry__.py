@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _emb(sf), k=8, iters=6, prune_frac=0.25
             )
         ),
+        "d4_prune_embeddings": lambda sf: (
+            similarity.d4_prune_embeddings(
+                _emb(sf), k=8, iters=6, threshold=0.4, prune_frac=0.25
+            )
+        ),
         "quality_classifier_scores": _quality_classifier,
         "segment_near_dup_documents": _segment_near_dup,
         "cdc_chunk_dedup_documents": lambda sf: dedup.cdc_chunk_dedup_documents(

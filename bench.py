@@ -321,6 +321,19 @@ def run_bench() -> dict:
 
     timed("prototype_prune_embeddings", _prototype_prune)
 
+    def _d4_prune(sf_dir):
+        from clonehunter_ray.pipelines.similarity import d4_prune_embeddings
+
+        return d4_prune_embeddings(
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
+            k=8,
+            iters=6,
+            threshold=0.4,
+            prune_frac=0.25,
+        )
+
+    timed("d4_prune_embeddings", _d4_prune)
+
     def _pq_knn(sf_dir):
         from clonehunter_ray.pipelines.similarity import pq_knn_cosine
 

@@ -1074,3 +1074,123 @@ def prototype_prune_embeddings(
         )
 
     return assigned.map_batches(flag, batch_format="pyarrow")
+
+
+def d4_prune_embeddings(
+    emb_ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 6,
+    threshold: float = 0.6,
+    prune_frac: float = 0.25,
+    seed: int = 31,
+):
+    """The full D4 pipeline (Tirumala et al. 2023 arXiv:2308.12284):
+    SemDeDup first (remove pairwise semantic near-copies), then
+    SSL-prototype pruning over the SURVIVORS — re-clustered, as the
+    paper does, so prototype density is measured on the deduped
+    distribution rather than inflated by the copies SemDeDup just
+    removed. Returns one row per INPUT vector:
+    (vec_id, stage, keep) with stage = 'semdedup' (dropped by the
+    dedup pass), 'prototype' (survived dedup, pruned as cluster-core),
+    or 'kept'.
+
+    Ray shape: the two stages are the existing operators unchanged;
+    the only NEW exchange is one hash join shipping survivor
+    embeddings into the re-cluster pass (unavoidable — D4's re-cluster
+    step reads the payload; at 100 TB this is the id-pruned read a
+    second pass over partitioned parquet would also pay). The final
+    combine is a UNION of disjoint row sets (dropped ∪ survivors) —
+    no join, no shuffle.
+    """
+    from clonehunter_ray.util import safe_join, scrub_empty_blocks
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("stage", pa.string()),
+            ("keep", pa.bool_()),
+        ]
+    )
+    sem = semdedup_embeddings(
+        emb_ds, k=k, iters=iters, threshold=threshold, seed=seed
+    ).materialize()
+
+    def dropped_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.invert(batch["keep"]))
+        n = t.num_rows
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "stage": pa.array(["semdedup"] * n, pa.string()),
+                "keep": pa.array(np.zeros(n, dtype=bool), pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    def kept_ids(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["keep"])
+        return pa.table({"vec_id": t["vec_id"].cast(pa.int64())})
+
+    # Acero hash joins reject list<double> non-key fields: ship the
+    # embedding through the join as a float64 blob and decode after
+    def to_blob(batch: pa.Table) -> pa.Table:
+        vecs = batch["embedding"].to_pylist()
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "emb_blob": pa.array(
+                    [
+                        np.asarray(v, dtype=np.float64).tobytes()
+                        for v in vecs
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def from_blob(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.array(
+                    [
+                        np.frombuffer(b, dtype=np.float64)
+                        for b in batch["emb_blob"].to_pylist()
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    survivors = safe_join(
+        emb_ds.map_batches(to_blob, batch_format="pyarrow"),
+        sem.map_batches(kept_ids, batch_format="pyarrow"),
+        "inner",
+        16,
+        on=("vec_id",),
+    )
+    proto = prototype_prune_embeddings(
+        scrub_empty_blocks(survivors).map_batches(
+            from_blob, batch_format="pyarrow"
+        ),
+        k=k,
+        iters=iters,
+        prune_frac=prune_frac,
+        seed=seed,
+    )
+
+    def proto_rows(batch: pa.Table) -> pa.Table:
+        keep = batch["keep"].to_numpy(zero_copy_only=False)
+        stage = np.where(keep, "kept", "prototype")
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "stage": pa.array(list(stage), pa.string()),
+                "keep": batch["keep"],
+            },
+            schema=out_schema,
+        )
+
+    return sem.map_batches(dropped_rows, batch_format="pyarrow").union(
+        proto.map_batches(proto_rows, batch_format="pyarrow")
+    )

@@ -120,3 +120,45 @@ def test_prototype_prune_matches_offline_quantile(ray_session):
     assert got.sort_values("vec_id")["keep"].tolist() == again.sort_values(
         "vec_id"
     )["keep"].tolist()
+
+
+def test_d4_composition(ray_session):
+    from clonehunter_ray.pipelines.similarity import (
+        d4_prune_embeddings,
+        prototype_prune_embeddings,
+        semdedup_embeddings,
+    )
+
+    rows = _clustered_rows(n=240)
+    # add exact duplicates so semdedup has work to do
+    dups = [
+        {"vec_id": 1000 + i, "embedding": rows[i]["embedding"]}
+        for i in range(20)
+    ]
+    ds = ray.data.from_items(rows + dups)
+    got = d4_prune_embeddings(
+        ds, k=4, iters=8, threshold=0.95, prune_frac=0.25, seed=1
+    ).to_pandas()
+    # one row per input vector, stages partition the id space
+    assert len(got) == len(rows) + len(dups)
+    assert set(got["stage"]) <= {"semdedup", "prototype", "kept"}
+    assert (got["keep"] == (got["stage"] == "kept")).all()
+    # composition parity: semdedup drops match the standalone stage...
+    sem = semdedup_embeddings(
+        ds, k=4, iters=8, threshold=0.95, seed=1
+    ).to_pandas()
+    sem_dropped = set(sem.loc[~sem["keep"], "vec_id"])
+    assert set(got.loc[got["stage"] == "semdedup", "vec_id"]) == sem_dropped
+    # ...and the prototype stage equals standalone pruning over the
+    # survivor subset
+    surv_ids = set(sem.loc[sem["keep"], "vec_id"])
+    surv_ds = ray.data.from_items(
+        [r for r in rows + dups if r["vec_id"] in surv_ids]
+    )
+    proto = prototype_prune_embeddings(
+        surv_ds, k=4, iters=8, prune_frac=0.25, seed=1
+    ).to_pandas()
+    proto_dropped = set(proto.loc[~proto["keep"], "vec_id"])
+    assert (
+        set(got.loc[got["stage"] == "prototype", "vec_id"]) == proto_dropped
+    )
