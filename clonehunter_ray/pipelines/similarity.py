@@ -1025,7 +1025,12 @@ def prototype_prune_embeddings(
         return pa.Table.from_pandas(df, schema=hist_schema)
 
     agg = (
-        assigned.map_batches(hist, batch_format="pyarrow")
+        # numeric batch_size: the batcher coalesces away zero-column
+        # empty blocks before the groupby's key extraction (see
+        # util.scrub_empty_blocks)
+        assigned.map_batches(
+            hist, batch_format="pyarrow", batch_size=4096
+        )
         .groupby(["cluster", "centroid_cos5"])
         .sum("cnt")
         .to_pandas()
@@ -1116,7 +1121,9 @@ def d4_prune_embeddings(
     ).materialize()
 
     def dropped_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pa.compute.invert(batch["keep"]))
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.invert(batch["keep"]))
         n = t.num_rows
         return pa.table(
             {
@@ -1169,10 +1176,13 @@ def d4_prune_embeddings(
         16,
         on=("vec_id",),
     )
+    # materialize the decoded survivors: kmeans re-executes its input
+    # Dataset once per pass (init + iters + assign), and without the
+    # barrier the blob encode + hash join would re-run ~(iters+2)x
     proto = prototype_prune_embeddings(
-        scrub_empty_blocks(survivors).map_batches(
-            from_blob, batch_format="pyarrow"
-        ),
+        scrub_empty_blocks(survivors)
+        .map_batches(from_blob, batch_format="pyarrow")
+        .materialize(),
         k=k,
         iters=iters,
         prune_frac=prune_frac,
