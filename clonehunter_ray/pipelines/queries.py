@@ -27,6 +27,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from clonehunter_ray.functions import hashing as H
+from clonehunter_ray.functions import veccodec as _V
 
 
 def _pt(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
@@ -904,11 +905,8 @@ def knn_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     def score(batch: pa.Table) -> pa.Table:
         ids, qn = ray.get(q_ref)
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (mat / norms) @ qn.T  # (batch, n_queries)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vec_ids, matn = _V.normalized_matrix(batch)
+        sims = matn @ qn.T  # (batch, n_queries)
         out_q, out_v, out_s = [], [], []
         kk = min(k, len(vec_ids))
         for qi in range(sims.shape[1]):

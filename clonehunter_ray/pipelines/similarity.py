@@ -18,6 +18,7 @@ import ray
 import ray.data
 
 from clonehunter_ray.functions import hashing as H
+from clonehunter_ray.functions import veccodec as V
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
@@ -65,12 +66,8 @@ def lsh_knn_cosine(
 
     def score(batch: pa.Table) -> pa.Table:
         q_ids, qm, probe_map, pl = ray.get(ref)
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        matn = mat / norms
+        vec_ids, matn = V.normalized_matrix(batch)
         buckets = _bucket_of(matn, pl)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
         for bkt in np.unique(buckets):
             qis = probe_map.get(int(bkt))
@@ -160,12 +157,8 @@ def ivf_knn_cosine(
 
     def score(batch: pa.Table) -> pa.Table:
         ids_, qm, cents, c2q = ray.get(ref)
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        matn = mat / norms
+        vec_ids, matn = V.normalized_matrix(batch)
         cells = np.argmax(matn @ cents.T, axis=1)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
         for c in np.unique(cells):
             qis = c2q.get(int(c))
@@ -220,14 +213,11 @@ def embedding_near_dup_pairs(
     )
 
     def normalize(batch: pa.Table) -> pa.Table:
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        matn = mat / norms
+        _, matn = V.normalized_matrix(batch)
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
-                "vecn": pa.array([r.tobytes() for r in matn], pa.binary()),
+                "vecn": V.matrix_blob_array(matn),
             }
         )
 
@@ -244,12 +234,10 @@ def embedding_near_dup_pairs(
                     "vec_id": pa.array([], pa.int64()),
                 }
             )
-        matn = np.stack(
-            [np.frombuffer(v, dtype=np.float64) for v in batch["vecn"].to_pylist()]
-        )
+        matn = V.blob_matrix(batch["vecn"])
         planes = _hyperplanes(matn.shape[1], n_bits, seed)
         buckets = _bucket_of(matn, planes)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # each vector lands in its own bucket + every 1-bit flip
         variants = np.empty((len(ids), n_bits + 1), dtype=np.int64)
         variants[:, 0] = buckets
@@ -277,10 +265,8 @@ def embedding_near_dup_pairs(
         if len(ids) < 2:
             return _PAIRS_SCHEMA.empty_table()
         table, idx = get_broadcast_payload(handle)
-        blobs = table["vecn"]
-        mat = np.stack(
-            [np.frombuffer(blobs[idx[int(i)]].as_py(), dtype=np.float64) for i in ids]
-        )
+        rows = [idx[int(i)] for i in ids]
+        mat = V.blob_matrix(table["vecn"].take(pa.array(rows, pa.int64())))
         gram = mat @ mat.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = gram[iu, ju] >= threshold
@@ -364,14 +350,11 @@ def embedding_cosine_pairs_exact(
                     "vecn": pa.array([], pa.binary()),
                 }
             )
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        matn = mat / norms
+        _, matn = V.normalized_matrix(batch)
         return pa.table(
             {
                 "vec_id": batch["vec_id"].cast(pa.int64()),
-                "vecn": pa.array([r.tobytes() for r in matn], pa.binary()),
+                "vecn": V.matrix_blob_array(matn),
             }
         )
 
@@ -400,12 +383,7 @@ def embedding_cosine_pairs_exact(
         if cached is None:
             payload, _ = get_broadcast_payload(handle, need_index=False)
             ids = payload["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            rows = payload["vecn"].to_pylist()
-            mat = (
-                np.stack([np.frombuffer(r, dtype=np.float64) for r in rows])
-                if rows
-                else np.empty((0, 0))
-            )
+            mat = V.blob_matrix(payload["vecn"])
             _EXACT_PAIR_MATRIX_CACHE.clear()  # one live handle per worker
             cached = (ids, mat)
             _EXACT_PAIR_MATRIX_CACHE[key] = cached
@@ -418,9 +396,7 @@ def embedding_cosine_pairs_exact(
         if len(all_ids) == 0:
             return _SCHEMA.empty_table()
         my_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        my_mat = np.stack(
-            [np.frombuffer(r, dtype=np.float64) for r in batch["vecn"].to_pylist()]
-        )
+        my_mat = V.blob_matrix(batch["vecn"])
         sims = my_mat @ all_mat.T  # (block rows, corpus)
         keep = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
         ai, bj = np.nonzero(keep)
@@ -458,12 +434,11 @@ _SEM_ASSIGN_SCHEMA = pa.schema(
 
 
 def _normalized_f64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(vec_ids, row-normalized float64 matrix) for one Arrow batch."""
-    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms < 1e-12] = 1.0
-    return ids, mat / norms
+    """(vec_ids, row-normalized float64 matrix) for one Arrow batch —
+    zero-copy ``veccodec`` ingest (the round-4 ``weak`` fix: the old
+    ``to_pylist`` path materialized every vector as Python floats on
+    EVERY corpus pass, and kmeans re-scans the corpus iters+2 times)."""
+    return V.normalized_matrix(batch)
 
 
 def kmeans_embeddings(
@@ -495,9 +470,7 @@ def kmeans_embeddings(
             {
                 "vec_id": pa.array(ids[top], pa.int64()),
                 "rank": pa.array(ranks[top], pa.string()),
-                "vecn": pa.array(
-                    [matn[i].tobytes() for i in top], pa.binary()
-                ),
+                "vecn": V.matrix_blob_array(matn[top]),
             }
         )
 
@@ -526,17 +499,19 @@ def kmeans_embeddings(
             cents = ray.get(ref)
             _, matn = _normalized_f64(batch)
             assign = np.argmax(matn @ cents.T, axis=1)
-            clusters, counts, sums = [], [], []
-            for c in np.unique(assign):
+            uniq = np.unique(assign)
+            clusters, counts = [], []
+            sums = np.empty((len(uniq), matn.shape[1]), dtype=np.float64)
+            for j, c in enumerate(uniq):
                 rows = matn[assign == c]
                 clusters.append(int(c))
                 counts.append(len(rows))
-                sums.append(rows.sum(axis=0).tobytes())
+                sums[j] = rows.sum(axis=0)
             return pa.table(
                 {
                     "cluster": pa.array(clusters, pa.int64()),
                     "n": pa.array(counts, pa.int64()),
-                    "vsum": pa.array(sums, pa.binary()),
+                    "vsum": V.matrix_blob_array(sums),
                 }
             )
 
@@ -544,25 +519,25 @@ def kmeans_embeddings(
 
     def combine(batch: pa.Table) -> pa.Table:
         # tree-reduce partials within a batch: n_blocks*k rows -> <=k
+        # (row order within a cluster is preserved, so the pairwise
+        # float sums match the previous pandas-groupby reduction)
         if batch.num_rows == 0:
             return _KM_PARTIAL_SCHEMA.empty_table()
-        df = batch.to_pandas()
-        clusters, counts, sums = [], [], []
-        for c, g in df.groupby("cluster", sort=True):
-            clusters.append(int(c))
-            counts.append(int(g["n"].sum()))
-            vs = np.sum(
-                np.stack(
-                    [np.frombuffer(b, dtype=np.float64) for b in g["vsum"]]
-                ),
-                axis=0,
-            )
-            sums.append(vs.tobytes())
+        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        mats = V.blob_matrix(batch["vsum"])
+        uniq = np.unique(clusters)
+        counts = np.empty(len(uniq), dtype=np.int64)
+        sums = np.empty((len(uniq), mats.shape[1]), dtype=np.float64)
+        for j, c in enumerate(uniq):
+            rows = clusters == c
+            counts[j] = ns[rows].sum()
+            sums[j] = mats[rows].sum(axis=0)
         return pa.table(
             {
-                "cluster": pa.array(clusters, pa.int64()),
+                "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
                 "n": pa.array(counts, pa.int64()),
-                "vsum": pa.array(sums, pa.binary()),
+                "vsum": V.matrix_blob_array(sums),
             }
         )
 
@@ -639,12 +614,154 @@ def kmeans_assign_embeddings(
     return emb_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _cluster_sizes_exact(
+    emb_ds: "ray.data.Dataset", cents_ref, k: int
+) -> np.ndarray:
+    """Exact per-cluster member counts under the FINAL centroids: one
+    ids-never-leave-the-worker pass emitting a <=k-row bincount table
+    per batch, summed driver-side (k rows total reach the driver)."""
+    schema = pa.schema([("cluster", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        cents = ray.get(cents_ref)
+        _, matn = _normalized_f64(batch)
+        a = np.argmax(matn @ cents.T, axis=1)
+        cnt = np.bincount(a, minlength=len(cents))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cluster": pa.array(nz.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    sizes = np.zeros(k, dtype=np.int64)
+    for t in ray.get(
+        emb_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            np.add.at(
+                sizes,
+                t["cluster"].to_numpy(zero_copy_only=False),
+                t["cnt"].to_numpy(zero_copy_only=False),
+            )
+    return sizes
+
+
+def _sample_oversized(
+    emb_ds: "ray.data.Dataset",
+    cents_ref,
+    oversized: np.ndarray,
+    seed: int,
+    sample_per_cluster: int,
+) -> dict[int, np.ndarray]:
+    """Deterministic hash-rank top-S sample of each oversized cluster's
+    normalized vectors (same seeded-uniform recipe as the kmeans init):
+    per-batch top-S combiner, one re-top combine pass, driver head-S.
+    Returns {cluster: (<=S, dim) matrix, rows in rank order}."""
+    schema = pa.schema(
+        [("cluster", pa.int64()), ("rank", pa.string()), ("vecn", pa.binary())]
+    )
+    over_ref = ray.put(np.asarray(sorted(oversized), dtype=np.int64))
+
+    def _top_per_cluster(
+        cl: np.ndarray, ranks: np.ndarray, ids: np.ndarray, matn: np.ndarray
+    ) -> pa.Table:
+        parts = []
+        for c in np.unique(cl):
+            idx = np.flatnonzero(cl == c)
+            top = idx[np.lexsort((ids[idx], ranks[idx]))][:sample_per_cluster]
+            parts.append(
+                pa.table(
+                    {
+                        "cluster": pa.array(
+                            np.full(len(top), c, dtype=np.int64), pa.int64()
+                        ),
+                        "rank": pa.array(ranks[top], pa.string()),
+                        "vecn": V.matrix_blob_array(matn[top]),
+                    },
+                    schema=schema,
+                )
+            )
+        return pa.concat_tables(parts) if parts else schema.empty_table()
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        cents = ray.get(cents_ref)
+        over = ray.get(over_ref)
+        ids, matn = _normalized_f64(batch)
+        a = np.argmax(matn @ cents.T, axis=1)
+        m = np.isin(a, over)
+        if not m.any():
+            return schema.empty_table()
+        ids, matn, a = ids[m], matn[m], a[m]
+        ranks = np.array(
+            H.sha256_hex_many(f"{seed}:sub:{i}" for i in ids), dtype=object
+        )
+        # rank doubles as the unique tiebreak (it hashes the vec_id)
+        return _top_per_cluster(a, ranks, ids, matn)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        ranks = np.asarray(batch["rank"].to_pylist(), dtype=object)
+        matn = V.blob_matrix(batch["vecn"])
+        return _top_per_cluster(cl, ranks, np.zeros(len(cl)), matn)
+
+    tbls = [
+        t
+        for t in ray.get(
+            emb_ds.map_batches(sample_partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow", batch_size=8192)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out: dict[int, np.ndarray] = {}
+    if not tbls:
+        return out
+    allt = pa.concat_tables(tbls)
+    cl = allt["cluster"].to_numpy(zero_copy_only=False)
+    ranks = np.asarray(allt["rank"].to_pylist(), dtype=object)
+    matn = V.blob_matrix(allt["vecn"])
+    for c in np.unique(cl):
+        idx = np.flatnonzero(cl == c)
+        top = idx[np.argsort(ranks[idx], kind="stable")][:sample_per_cluster]
+        out[int(c)] = matn[top]
+    return out
+
+
+def _local_spherical_lloyd(
+    X: np.ndarray, k: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-side spherical Lloyd's on a bounded sample (rows already
+    unit-norm and in deterministic rank order; init = first k rows)."""
+    k = min(k, len(X))
+    cents = X[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ cents.T, axis=1)
+        for c in range(k):
+            members = X[a == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+    return cents
+
+
 def semdedup_embeddings(
     emb_ds: "ray.data.Dataset",
     k: int = 8,
     iters: int = 6,
     threshold: float = 0.6,
     seed: int = 31,
+    max_cluster_rows: int = 16384,
 ):
     """SemDeDup semantic near-dedup (arXiv:2303.09540 §3): k-means
     cluster the embedding space with ``kmeans_embeddings``, then
@@ -659,59 +776,145 @@ def semdedup_embeddings(
     Ray shape: centroids broadcast once; a stateless assign pass ships
     (id, cluster, normalized-vector blob); ONE hash exchange on
     ``cluster``; the O(|c|^2) Gram prune runs per cluster inside
-    ``map_groups``. Partitioning assumption (document per SURVEY
-    §2.4): one k-means cluster fits a worker — size k so corpus/k is
-    bounded (the paper uses 11k clusters at LAION scale; skewed
-    clusters want a larger k, not a bigger worker).
+    ``map_groups``.
+
+    Oversized-cluster guard (``max_cluster_rows``, 0 disables): the
+    prune is quadratic in cluster size, so a skewed embedding
+    distribution (one modal cluster holding a large corpus fraction)
+    would OOM a worker regardless of k. When an exact ids-only size
+    pass finds clusters over the cap, their members are hierarchically
+    re-clustered: sub-centroids trained driver-side on a deterministic
+    hash-rank sample (the bounded-sample recipe ``ivf_knn_cosine``
+    uses), plus an integer-hash salt split for sub-groups the sample
+    predicts will STILL exceed the cap (k-means cannot split a mass of
+    identical vectors; salting can — the same fallback the LSH band
+    path uses for hot buckets). The prune then groups by the guarded
+    key, while the OUTPUT ``cluster`` column keeps the original
+    k-means label. Semantics: dedup comparisons never cross sub-group
+    boundaries, so a pathological cluster keeps at most one
+    representative per sub-group instead of one overall — bounded
+    over-keep, traded for a hard per-worker memory bound. Non-skewed
+    corpora (every cluster under the cap) take the exact original
+    path; the guard then costs one extra ids-only corpus pass.
     """
     centroids = kmeans_embeddings(emb_ds, k=k, iters=iters, seed=seed)
     ref = ray.put(centroids)
+    k_eff = len(centroids)
+
+    sub_map: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    if max_cluster_rows:
+        sizes = _cluster_sizes_exact(emb_ds, ref, k_eff)
+        oversized = np.flatnonzero(sizes > max_cluster_rows)
+        if len(oversized):
+            samples = _sample_oversized(
+                emb_ds,
+                ref,
+                oversized,
+                seed,
+                sample_per_cluster=4096,
+            )
+            next_gid = k_eff
+            for c in sorted(samples):
+                n_c = int(sizes[c])
+                X = samples[c]
+                sub_k = min(
+                    max(2, -(-n_c // max_cluster_rows) * 2), 1024, len(X)
+                )
+                subc = _local_spherical_lloyd(X, sub_k)
+                # estimate final sub-group sizes from the sample; salt
+                # any sub-group projected to still exceed the cap (2x
+                # safety factor: the estimate has sampling error)
+                est = np.bincount(
+                    np.argmax(X @ subc.T, axis=1), minlength=len(subc)
+                ) * (n_c / max(1, len(X)))
+                salts = np.maximum(
+                    1, np.ceil(2.0 * est / max_cluster_rows)
+                ).astype(np.int64)
+                offs = next_gid + np.concatenate(
+                    ([0], np.cumsum(salts)[:-1])
+                ).astype(np.int64)
+                next_gid = int(offs[-1] + salts[-1])
+                sub_map[int(c)] = (subc, offs, salts)
+    sub_ref = ray.put(sub_map) if sub_map else None
+
+    assign_schema = _SEM_ASSIGN_SCHEMA
+    if sub_ref is not None:
+        assign_schema = assign_schema.append(pa.field("pgroup", pa.int64()))
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _SEM_ASSIGN_SCHEMA.empty_table()
+            return assign_schema.empty_table()
         cents = ray.get(ref)
         ids, matn = _normalized_f64(batch)
         sims = matn @ cents.T
         cluster = np.argmax(sims, axis=1)
         ccos = sims[np.arange(len(ids)), cluster]
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(cluster.astype(np.int64), pa.int64()),
-                "centroid_cos5": pa.array(np.round(ccos, 5), pa.float64()),
-                "vecn": pa.array(
-                    [matn[i].tobytes() for i in range(len(ids))],
-                    pa.binary(),
-                ),
-            }
-        )
+        cols = {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cluster.astype(np.int64), pa.int64()),
+            "centroid_cos5": pa.array(np.round(ccos, 5), pa.float64()),
+            "vecn": V.matrix_blob_array(matn),
+        }
+        if sub_ref is not None:
+            smap = ray.get(sub_ref)
+            pgroup = cluster.astype(np.int64).copy()
+            for c, (subc, offs, salts) in smap.items():
+                rows = np.flatnonzero(cluster == c)
+                if not len(rows):
+                    continue
+                sub = np.argmax(matn[rows] @ subc.T, axis=1)
+                salt = (
+                    (
+                        ids[rows].astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                    )
+                    >> np.uint64(33)
+                ).astype(np.int64) % salts[sub]
+                pgroup[rows] = offs[sub] + salt
+            cols["pgroup"] = pa.array(pgroup, pa.int64())
+        return pa.table(cols)
 
-    def prune(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["centroid_cos5", "vec_id"], ascending=[True, True]
-        ).reset_index(drop=True)
-        mat = np.stack(
-            [np.frombuffer(b, dtype=np.float64) for b in g["vecn"]]
-        )
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("centroid_cos5", pa.float64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def prune(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = group["centroid_cos5"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cos))  # farthest-from-centroid first
+        mat = V.blob_matrix(group["vecn"])[order]
         gram = mat @ mat.T
-        keep = np.zeros(len(g), dtype=bool)
+        keep = np.zeros(len(ids), dtype=bool)
         kept: list[int] = []
-        for i in range(len(g)):
+        for i in range(len(ids)):
             if not kept or gram[i, kept].max() < threshold:
                 keep[i] = True
                 kept.append(i)
-        g = g[["vec_id", "cluster", "centroid_cos5"]].copy()
-        g["keep"] = keep
-        return g
+        cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cluster": pa.array(cl[order], pa.int64()),
+                "centroid_cos5": pa.array(cos[order], pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            },
+            schema=out_schema,
+        )
 
     return (
         # numeric batch_size: the batcher coalesces away the
         # zero-column empty blocks sparse parquet read tasks emit
         # (see util.scrub_empty_blocks) before the sort exchange
         emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
-        .groupby("cluster")
-        .map_groups(prune, batch_format="pandas")
+        .groupby("pgroup" if sub_ref is not None else "cluster")
+        .map_groups(prune, batch_format="pyarrow")
     )
 
 
@@ -795,9 +998,7 @@ def pq_encode(
             {
                 "vec_id": pa.array(ids, pa.int64()),
                 "cell": pa.array(cells, pa.int32()),
-                "codes": pa.array(
-                    [row.tolist() for row in codes], pa.list_(pa.uint8())
-                ),
+                "codes": V.matrix_list_array(codes, pa.uint8()),
             }
         )
 
@@ -1015,14 +1216,19 @@ def prototype_prune_embeddings(
     def hist(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return hist_schema.empty_table()
-        df = (
+        g = (
             batch.select(["cluster", "centroid_cos5"])
-            .to_pandas()
-            .groupby(["cluster", "centroid_cos5"], sort=False)
-            .size()
-            .reset_index(name="cnt")
+            .group_by(["cluster", "centroid_cos5"])
+            .aggregate([([], "count_all")])
         )
-        return pa.Table.from_pandas(df, schema=hist_schema)
+        return pa.table(
+            {
+                "cluster": g["cluster"].cast(pa.int64()),
+                "centroid_cos5": g["centroid_cos5"],
+                "cnt": g["count_all"].cast(pa.int64()),
+            },
+            schema=hist_schema,
+        )
 
     agg = (
         # numeric batch_size: the batcher coalesces away zero-column
@@ -1088,6 +1294,7 @@ def d4_prune_embeddings(
     threshold: float = 0.6,
     prune_frac: float = 0.25,
     seed: int = 31,
+    max_cluster_rows: int = 16384,
 ):
     """The full D4 pipeline (Tirumala et al. 2023 arXiv:2308.12284):
     SemDeDup first (remove pairwise semantic near-copies), then
@@ -1117,7 +1324,12 @@ def d4_prune_embeddings(
         ]
     )
     sem = semdedup_embeddings(
-        emb_ds, k=k, iters=iters, threshold=threshold, seed=seed
+        emb_ds,
+        k=k,
+        iters=iters,
+        threshold=threshold,
+        seed=seed,
+        max_cluster_rows=max_cluster_rows,
     ).materialize()
 
     def dropped_rows(batch: pa.Table) -> pa.Table:
@@ -1141,16 +1353,11 @@ def d4_prune_embeddings(
     # Acero hash joins reject list<double> non-key fields: ship the
     # embedding through the join as a float64 blob and decode after
     def to_blob(batch: pa.Table) -> pa.Table:
-        vecs = batch["embedding"].to_pylist()
         return pa.table(
             {
                 "vec_id": batch["vec_id"].cast(pa.int64()),
-                "emb_blob": pa.array(
-                    [
-                        np.asarray(v, dtype=np.float64).tobytes()
-                        for v in vecs
-                    ],
-                    pa.binary(),
+                "emb_blob": V.matrix_blob_array(
+                    V.list_matrix(batch["embedding"], np.float64)
                 ),
             }
         )
@@ -1159,12 +1366,8 @@ def d4_prune_embeddings(
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
-                "embedding": pa.array(
-                    [
-                        np.frombuffer(b, dtype=np.float64)
-                        for b in batch["emb_blob"].to_pylist()
-                    ],
-                    pa.list_(pa.float64()),
+                "embedding": V.matrix_list_array(
+                    V.blob_matrix(batch["emb_blob"]), pa.float64()
                 ),
             }
         )
@@ -1178,10 +1381,17 @@ def d4_prune_embeddings(
     )
     # materialize the decoded survivors: kmeans re-executes its input
     # Dataset once per pass (init + iters + assign), and without the
-    # barrier the blob encode + hash join would re-run ~(iters+2)x
+    # barrier the blob encode + hash join would re-run ~(iters+2)x.
+    # The sort pins the hash join's otherwise-unstable block order /
+    # boundaries so the re-cluster's float-summation order (and hence
+    # the composed result) is deterministic run-to-run — the join
+    # output order is the one nondeterministic exchange in the D4
+    # composition (survivor rows are a strict subset of the corpus, so
+    # the sort cost is bounded by one exchange of the kept set).
     proto = prototype_prune_embeddings(
         scrub_empty_blocks(survivors)
         .map_batches(from_blob, batch_format="pyarrow")
+        .sort("vec_id")
         .materialize(),
         k=k,
         iters=iters,

@@ -167,3 +167,88 @@ def test_d4_composition(ray_session):
     assert len(got_dropped ^ proto_dropped) <= max(
         2, len(proto_dropped) // 20
     )
+
+
+def test_d4_composition_deterministic_across_runs(ray_session):
+    """The composed pipeline must be run-to-run deterministic: the
+    survivor re-cluster input is sorted by vec_id before kmeans, which
+    pins the one nondeterministic exchange (the hash join's block
+    order) out of the float-summation path."""
+    from clonehunter_ray.pipelines.similarity import d4_prune_embeddings
+
+    rows = _clustered_rows(n=200)
+    dups = [
+        {"vec_id": 1000 + i, "embedding": rows[i]["embedding"]}
+        for i in range(15)
+    ]
+    ds = ray.data.from_items(rows + dups)
+
+    def run():
+        return (
+            d4_prune_embeddings(
+                ds, k=4, iters=8, threshold=0.95, prune_frac=0.25, seed=1
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(), run()
+    assert a.equals(b)
+
+
+def test_semdedup_oversized_cluster_guard(ray_session):
+    """A degenerate corpus — most vectors pointing in ONE direction —
+    must complete under a per-group row cap (the O(|c|^2) prune would
+    otherwise build a quadratic Gram over the modal cluster), keeping
+    at most one representative per guarded sub-group, and the guard
+    must not change results on corpora where no cluster exceeds it."""
+    import pandas as pd
+
+    from clonehunter_ray.pipelines.similarity import semdedup_embeddings
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=12)
+    rows = [
+        {"vec_id": i, "embedding": (base * (1.0 + 1e-9 * i)).tolist()}
+        for i in range(320)  # identical direction: kmeans cannot split
+    ] + [
+        {"vec_id": 1000 + i, "embedding": v.tolist()}
+        for i, v in enumerate(rng.normal(size=(80, 12)))
+    ]
+    ds = ray.data.from_items(rows)
+    cap = 64
+    got = semdedup_embeddings(
+        ds, k=4, iters=6, threshold=0.99, seed=1, max_cluster_rows=cap
+    ).to_pandas()
+    assert len(got) == len(rows)
+    assert sorted(got["vec_id"]) == sorted(r["vec_id"] for r in rows)
+    # the modal direction dedupes to at most one keeper per sub-group;
+    # with 320 identical vectors and cap 64 the salt split yields >= 5
+    # groups but far fewer than 320 keepers
+    modal = got[got["vec_id"] < 1000]
+    assert 1 <= modal["keep"].sum() <= 2 * (320 // cap + 2)
+    # cluster column still carries the ORIGINAL k-means label
+    assert got["cluster"].between(0, 3).all()
+
+    # no-skew parity: cap far above every cluster size -> identical
+    # result to the unguarded path
+    small = ray.data.from_items(rows[300:])  # 20 modal + 80 spread
+    guarded = (
+        semdedup_embeddings(
+            small, k=4, iters=6, threshold=0.99, seed=1,
+            max_cluster_rows=16384,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    unguarded = (
+        semdedup_embeddings(
+            small, k=4, iters=6, threshold=0.99, seed=1, max_cluster_rows=0
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(guarded, unguarded)
