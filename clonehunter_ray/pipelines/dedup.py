@@ -399,6 +399,9 @@ def incremental_dedup_stream(
     n_shards: int = 4,
     config: SignatureConfig | None = None,
     max_inflight_chunks: int = 8,
+    checkpoint_dir: str | None = None,
+    snapshot_every: int = 50,
+    _crash_after_chunks: int | None = None,
 ) -> "ray.data.Dataset":
     """Streaming-ingest near-dedup: documents arrive in doc_id order in
     chunks; each chunk is checked against everything indexed BEFORE it
@@ -420,12 +423,44 @@ def incremental_dedup_stream(
     come back as a ``ray.data.Dataset`` built from the per-chunk
     result refs — nothing corpus-scale is ever concatenated on the
     driver.
+
+    Checkpoint/resume (``checkpoint_dir``): every ``snapshot_every``
+    chunks the stream barriers, has each shard actor persist its full
+    postings+payload state to partitioned parquet (worker-side
+    writes), stores the flagged-row DELTA since the previous epoch
+    beside it, and commits the epoch with a manifest written last. A
+    restarted run restores the newest complete epoch, prunes
+    already-ingested docs AT THE READ (``doc_id > max_doc_id``
+    pushdown — chunk boundaries are doc_id-sorted, so the epoch cut is
+    a clean chunk boundary), and returns checkpointed flagged rows
+    unioned with the re-run tail — byte-identical to an uninterrupted
+    run. ``_crash_after_chunks`` is a test hook simulating driver
+    death mid-ingest.
     """
+    import os
+
     from clonehunter_ray.state.lsh_index import OUT_SCHEMA, ShardedLshIndex
     from clonehunter_ray.util import auto_actor_count
 
     cfg = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     index = ShardedLshIndex(n_shards=n_shards, config=cfg)
+
+    seq = 0
+    restored_flagged: list[str] = []
+    if checkpoint_dir:
+        resume = index.restore_latest(checkpoint_dir)
+        if resume is not None:
+            seq = int(resume["seq"])
+            docs_ds = docs_ds.filter(
+                expr=f"doc_id > {int(resume['max_doc_id'])}"
+            )
+            restored_flagged = [
+                f
+                for m in index.list_epochs(checkpoint_dir)
+                if m["seq"] <= seq
+                for f in [os.path.join(m["epoch_dir"], "flagged.parquet")]
+                if os.path.exists(f)
+            ]
 
     # distributed signature stage FIRST, ingest-order sort LAST (the
     # sort being the final op keeps iter_batches in sorted order even
@@ -445,6 +480,8 @@ def incremental_dedup_stream(
 
     flagged_refs = []
     prev_add_refs: list = []
+    chunks_this_run = 0
+    unsnapshotted: list = []  # flagged refs since the last epoch
     try:
         for batch in sig.iter_batches(
             batch_size=chunk_rows, batch_format="pyarrow"
@@ -463,19 +500,46 @@ def incremental_dedup_stream(
             )
             qb_refs = index.submit_query_bands(ids, bands)
             add_refs = index.submit_add(ids, blobs, bands)
-            flagged_refs.append(
-                _route_and_verify_chunk.remote(
-                    index.shards,
-                    n_shards,
-                    ids,
-                    blobs,
-                    threshold,
-                    len(qb_refs),
-                    *qb_refs,
-                    *prev_add_refs,
-                )
+            ref = _route_and_verify_chunk.remote(
+                index.shards,
+                n_shards,
+                ids,
+                blobs,
+                threshold,
+                len(qb_refs),
+                *qb_refs,
+                *prev_add_refs,
             )
+            flagged_refs.append(ref)
+            unsnapshotted.append(ref)
             prev_add_refs = add_refs
+            seq += 1
+            chunks_this_run += 1
+            if (
+                _crash_after_chunks is not None
+                and chunks_this_run >= _crash_after_chunks
+            ):
+                raise RuntimeError(
+                    "incremental_dedup_stream: simulated crash (test hook)"
+                )
+            if checkpoint_dir and seq % snapshot_every == 0:
+                # epoch barrier: the LAST chunk's adds done on every
+                # shard implies all earlier adds are too (actor tasks
+                # run in submission order); the delta flagged rows are
+                # bounded by snapshot_every chunks
+                ray.get(prev_add_refs)
+                delta = [t for t in ray.get(unsnapshotted) if t.num_rows]
+                index.snapshot(
+                    checkpoint_dir,
+                    seq,
+                    max_doc_id=int(ids[-1]),
+                    flagged=(
+                        pa.concat_tables(delta)
+                        if delta
+                        else OUT_SCHEMA.empty_table()
+                    ),
+                )
+                unsnapshotted = []
             if len(flagged_refs) > max_inflight_chunks:
                 # bounded pipeline: block until the chunk that is
                 # max_inflight behind has fully verified
@@ -487,9 +551,17 @@ def incremental_dedup_stream(
             ray.wait(flagged_refs, num_returns=len(flagged_refs))
     finally:
         index.shutdown()
-    if not flagged_refs:
+    parts = []
+    if restored_flagged:
+        parts.append(ray.data.read_parquet(restored_flagged))
+    if flagged_refs:
+        parts.append(ray.data.from_arrow_refs(flagged_refs))
+    if not parts:
         return ray.data.from_arrow(OUT_SCHEMA.empty_table())
-    return ray.data.from_arrow_refs(flagged_refs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def minhash_dedup_keep(

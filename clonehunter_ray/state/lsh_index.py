@@ -107,6 +107,87 @@ class _LshIndexShard:
     def stats(self) -> dict:
         return {"band_keys": len(self._postings), "docs": len(self._blobs)}
 
+    def snapshot(self, epoch_dir: str, shard_idx: int) -> dict:
+        """Persist this shard's full state as two parquet files inside
+        ``epoch_dir`` (worker-side write — the driver never sees the
+        payloads). Postings are compacted first; the flattened
+        (band_key, doc_id) layout plus the (doc_id, blob) table is the
+        complete mutable state, so restore is a pure rebuild."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(epoch_dir, exist_ok=True)
+        keys, ids = [], []
+        for k, posts in self._postings.items():
+            arr = np.concatenate(posts) if len(posts) > 1 else posts[0]
+            self._postings[k] = [arr]
+            keys.append(np.full(arr.size, k, dtype=np.uint64))
+            ids.append(arr.astype(np.int64))
+        postings = pa.table(
+            {
+                "band_key": pa.array(
+                    np.concatenate(keys) if keys else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(ids) if ids else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        blob_ids = np.fromiter(
+            self._blobs.keys(), dtype=np.int64, count=len(self._blobs)
+        )
+        blobs = pa.table(
+            {
+                "doc_id": pa.array(blob_ids, pa.int64()),
+                "blob": pa.array(
+                    [self._blobs[int(d)] for d in blob_ids], pa.binary()
+                ),
+            }
+        )
+        pq.write_table(
+            postings, os.path.join(epoch_dir, f"shard_{shard_idx}_postings.parquet")
+        )
+        pq.write_table(
+            blobs, os.path.join(epoch_dir, f"shard_{shard_idx}_blobs.parquet")
+        )
+        return {"postings": postings.num_rows, "docs": blobs.num_rows}
+
+    def restore(self, epoch_dir: str, shard_idx: int) -> dict:
+        """Rebuild shard state from a ``snapshot`` epoch (replaces any
+        current state)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        postings = pq.read_table(
+            os.path.join(epoch_dir, f"shard_{shard_idx}_postings.parquet")
+        )
+        blobs = pq.read_table(
+            os.path.join(epoch_dir, f"shard_{shard_idx}_blobs.parquet")
+        )
+        self._postings = {}
+        keys = postings["band_key"].to_numpy(zero_copy_only=False)
+        ids = postings["doc_id"].to_numpy(zero_copy_only=False)
+        if keys.size:
+            order = np.argsort(keys, kind="stable")
+            ks, ds = keys[order], ids[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ks[1:] != ks[:-1]])
+            )
+            ends = np.append(starts[1:], ks.size)
+            for s, e in zip(starts, ends):
+                self._postings[int(ks[s])] = [ds[s:e].copy()]
+        self._blobs = dict(
+            zip(
+                blobs["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+                blobs["blob"].to_pylist(),
+            )
+        )
+        return self.stats()
+
 
 OUT_SCHEMA = pa.schema(
     [
@@ -296,6 +377,99 @@ class ShardedLshIndex:
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def _manifest_payload(self) -> dict:
+        c = self.config
+        return {
+            "n_shards": self.n,
+            "shingle_k": c.shingle_k,
+            "num_bands": c.num_bands,
+            "band_rows": c.band_rows,
+            "num_perm": c.num_perm,
+            "seed": c.seed,
+        }
+
+    def snapshot(
+        self,
+        checkpoint_dir: str,
+        seq: int,
+        max_doc_id: int,
+        flagged: pa.Table | None = None,
+    ) -> str:
+        """Write a complete epoch snapshot: every shard persists its own
+        state in parallel (partitioned parquet, one pair of files per
+        shard), the flagged-rows DELTA since the previous epoch lands
+        beside them, then the driver commits the epoch by writing
+        MANIFEST.json LAST — manifest presence marks the epoch
+        complete, so a crash mid-snapshot leaves only ignorable
+        partial files."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        epoch_dir = os.path.join(checkpoint_dir, f"epoch_{seq:08d}")
+        refs = [
+            s.snapshot.remote(epoch_dir, i)
+            for i, s in enumerate(self.shards)
+        ]
+        if flagged is not None:
+            os.makedirs(epoch_dir, exist_ok=True)
+            pq.write_table(
+                flagged, os.path.join(epoch_dir, "flagged.parquet")
+            )
+        ray.get(refs)
+        manifest = dict(
+            self._manifest_payload(), seq=seq, max_doc_id=int(max_doc_id)
+        )
+        tmp = os.path.join(epoch_dir, "MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(epoch_dir, "MANIFEST.json"))
+        return epoch_dir
+
+    @staticmethod
+    def list_epochs(checkpoint_dir: str) -> list[dict]:
+        """Complete (manifest-committed) epochs, ascending by seq."""
+        import glob
+        import json
+        import os
+
+        out = []
+        for mf in sorted(
+            glob.glob(os.path.join(checkpoint_dir, "epoch_*", "MANIFEST.json"))
+        ):
+            with open(mf) as fh:
+                m = json.load(fh)
+            m["epoch_dir"] = os.path.dirname(mf)
+            out.append(m)
+        return sorted(out, key=lambda m: m["seq"])
+
+    def restore_latest(self, checkpoint_dir: str) -> dict | None:
+        """Restore shard state from the newest complete epoch under
+        ``checkpoint_dir`` (no-op returning None when there is none).
+        Raises if the checkpoint was written with a different shard
+        count or signature config — hash routing and band keys would
+        silently mismatch otherwise."""
+        epochs = self.list_epochs(checkpoint_dir)
+        if not epochs:
+            return None
+        m = epochs[-1]
+        want = self._manifest_payload()
+        got = {k: m[k] for k in want}
+        if got != want:
+            raise ValueError(
+                f"lsh checkpoint config mismatch: snapshot {got} != index {want}"
+            )
+        ray.get(
+            [
+                s.restore.remote(m["epoch_dir"], i)
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        return m
 
     def shutdown(self) -> None:
         for s in self.shards:

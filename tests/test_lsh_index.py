@@ -130,3 +130,75 @@ def test_incremental_stream_batch_boundary_semantics(ray_session):
     ).to_pandas()
     assert sorted(res2.doc_id) == [2, 3]
     assert list(res2.dup_of) == [1, 1]
+
+
+def test_incremental_stream_checkpoint_resume_after_crash(
+    ray_session, tmp_path
+):
+    """Kill mid-ingest, resume from the latest complete epoch: the
+    union of checkpointed + re-run flagged rows must equal an
+    uninterrupted run exactly."""
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    ds = ray.data.from_arrow(t)
+    want = (
+        incremental_dedup_stream(ds, threshold=0.8, chunk_rows=17, config=CFG)
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+
+    ckpt = str(tmp_path / "lsh_ckpt")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_dedup_stream(
+            ds,
+            threshold=0.8,
+            chunk_rows=17,
+            config=CFG,
+            checkpoint_dir=ckpt,
+            snapshot_every=5,
+            _crash_after_chunks=13,  # dies between epochs 10 and 15
+        )
+    epochs = ShardedLshIndex.list_epochs(ckpt)
+    assert epochs and epochs[-1]["seq"] == 10
+
+    got = (
+        incremental_dedup_stream(
+            ds,
+            threshold=0.8,
+            chunk_rows=17,
+            config=CFG,
+            checkpoint_dir=ckpt,
+            snapshot_every=5,
+        )
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_incremental_stream_checkpoint_config_mismatch(ray_session, tmp_path):
+    """Resuming with a different signature config must fail loudly —
+    band keys and hash routing would silently mismatch otherwise."""
+    texts = [f"some distinct text body number {i} " * 6 for i in range(40)]
+    ds = ray.data.from_arrow(_mk_batch(list(range(40)), texts))
+    ckpt = str(tmp_path / "lsh_ckpt2")
+    incremental_dedup_stream(
+        ds,
+        threshold=0.8,
+        chunk_rows=10,
+        config=CFG,
+        checkpoint_dir=ckpt,
+        snapshot_every=2,
+    )
+    other = SignatureConfig(shingle_k=4, num_bands=32, band_rows=4)
+    with pytest.raises(ValueError, match="config mismatch"):
+        incremental_dedup_stream(
+            ds,
+            threshold=0.8,
+            chunk_rows=10,
+            config=other,
+            checkpoint_dir=ckpt,
+        )
