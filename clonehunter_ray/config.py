@@ -186,7 +186,15 @@ class ExecConfig:
     # stateless prefix (sha256/extract/snippets) fuses INTO this pool,
     # so undersizing it leaves most of the cluster idle.
     signature_actors: int = 0
-    shuffle_partitions: int = 0  # 0 = let Ray decide
+    shuffle_partitions: int = 0  # 0 = auto (scale with corpus size)
+    # auto mode only: target BAND rows per band-shuffle partition. The
+    # band exchange is (snippets x num_bands) rows; fixed partition
+    # counts go superlinear once per-partition sort/emit work outgrows
+    # the target (measured: 64 partitions fine at 90M band rows / 400k
+    # files, superlinear at 180M / 800k). partitions =
+    # clamp(band_rows / target, 64, 4096) — the cap bounds tiny-block
+    # overhead on small corpora and scheduler pressure on huge ones.
+    shuffle_target_rows: int = 1_500_000
     checkpoint_dir: str | None = None  # None = no checkpointing
     # pair verification joins the candidate list back to signature
     # payloads. When the signature table is <= this many snippets the

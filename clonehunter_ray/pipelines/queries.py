@@ -1235,25 +1235,30 @@ def events_asof_latest_view(sf_dir: str):
         ]
     )
 
-    def asof_group(g: pd.DataFrame) -> pa.Table:
-        views = g[g["event_type"] == "view"].sort_values("ts")
-        buys = g[g["event_type"] == "purchase"]
-        if views.empty or buys.empty:
+    def asof_group(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = et == "view"
+        bm = et == "purchase"
+        if not vm.any() or not bm.any():
             return asof_schema.empty_table()
-        vt = views["ts"].to_numpy()
-        vid = views["event_id"].to_numpy()
-        idx = np.searchsorted(vt, buys["ts"].to_numpy(), side="left") - 1
+        vord = np.argsort(ts[vm], kind="stable")
+        vt = ts[vm][vord]
+        vid = eid[vm][vord]
+        idx = np.searchsorted(vt, ts[bm], side="left") - 1
         keep = idx >= 0
-        return pa.Table.from_pydict(
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "purchase_id": buys["event_id"].to_numpy()[keep],
-                "user_id": buys["user_id"].to_numpy()[keep],
-                "view_id": vid[idx[keep]],
+                "purchase_id": pa.array(eid[bm][keep], pa.int64()),
+                "user_id": pa.array(uid[bm][keep], pa.int64()),
+                "view_id": pa.array(vid[idx[keep]], pa.int64()),
             },
             schema=asof_schema,
         )
 
-    return ev.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+    return ev.groupby("user_id").map_groups(asof_group, batch_format="pyarrow")
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 3):
@@ -1263,22 +1268,23 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     the partition column, no global sort."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(k)
+    def topk(g: pa.Table) -> pa.Table:
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((okey, -price))[:k]
+        ckey = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "o_custkey": pa.array(g["o_custkey"].to_numpy(), pa.int64()),
-                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+                "o_custkey": pa.array(ckey[top], pa.int64()),
+                "o_orderkey": pa.array(okey[top], pa.int64()),
                 "o_totalprice": pa.array(
-                    g["o_totalprice"].round(2).to_numpy(), pa.float64()
+                    np.round(price[top], 2), pa.float64()
                 ),
-                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+                "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pyarrow")
 
 
 def distinct_users_per_event_type(sf_dir: str):
@@ -1634,18 +1640,18 @@ def events_sessionization(sf_dir: str, gap_minutes: int = 30):
     gap = np.timedelta64(gap_minutes * 60, "s")
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pa.Table:
-        ts = np.sort(g["ts"].to_numpy())
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy(zero_copy_only=False))
         n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
         return pa.table(
             {
-                "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
                 "n_sessions": pa.array([n_sessions], pa.int64()),
                 "n_events": pa.array([len(ts)], pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
 def customers_without_orders(sf_dir: str):
@@ -2013,7 +2019,7 @@ def events_rolling_7d(sf_dir: str):
     Ray shape: the raw stream is first reduced to one row per
     (day, type) — the full-size shuffle happens on PRE-AGGREGATED data
     — then the tiny daily series is windowed per type inside
-    ``map_groups`` with a pandas rolling sum. At 100 TB the daily
+    ``map_groups`` with a vectorized cumsum sliding diff. At 100 TB the daily
     series stays small (days x types), so the window step never sees
     raw rows.
     """
@@ -2031,27 +2037,25 @@ def events_rolling_7d(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_events"))
     )
 
-    def rolling(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("day")
+    def rolling(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        n = g["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        # rolling(window=7, min_periods=1).sum() == cumsum sliding diff
+        c = np.cumsum(n)
+        n7 = c.copy()
+        n7[7:] = c[7:] - c[:-7]
+        et = g["event_type"].to_numpy(zero_copy_only=False)[order]
         return pa.table(
             {
-                "day": pa.array(g["day"], pa.string()),
-                "event_type": pa.array(g["event_type"], pa.string()),
-                "n_events": pa.array(
-                    g["n_events"].astype("int64").to_numpy(), pa.int64()
-                ),
-                "n_7d": pa.array(
-                    g["n_events"]
-                    .rolling(window=7, min_periods=1)
-                    .sum()
-                    .astype("int64")
-                    .to_numpy(),
-                    pa.int64(),
-                ),
+                "day": pa.array(day[order], pa.string()),
+                "event_type": pa.array(et, pa.string()),
+                "n_events": pa.array(n, pa.int64()),
+                "n_7d": pa.array(n7, pa.int64()),
             }
         )
 
-    return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
+    return daily.groupby("event_type").map_groups(rolling, batch_format="pyarrow")
 
 
 def revenue_by_nation(sf_dir: str, customer_broadcast_limit: int = 1_000_000):
@@ -4958,7 +4962,7 @@ def token_kl_by_source(sf_dir: str):
         ]
     )
     if totals.empty:
-        return out_schema.empty_table()
+        return ray.data.from_arrow(out_schema.empty_table())
     ns = {
         s: float(n) for s, n in zip(totals["source"], totals["sum(cnt)"])
     }
@@ -5211,7 +5215,7 @@ def pmi_top_bigrams(
         ]
     )
     if n2 == 0:
-        return out_schema.empty_table()
+        return ray.data.from_arrow(out_schema.empty_table())
 
     cand_schema = pa.schema(
         [("w1", pa.string()), ("w2", pa.string()), ("n12", pa.int64())]
@@ -5244,7 +5248,7 @@ def pmi_top_bigrams(
         .materialize()
     )
     if cand.count() == 0:
-        return out_schema.empty_table()
+        return ray.data.from_arrow(out_schema.empty_table())
     uni = (
         scrub_empty_blocks(parts.filter(expr="kind == 'u'"))
         .groupby("w1")
@@ -5307,7 +5311,7 @@ def pmi_top_bigrams(
             if t.num_rows
         ]
         if not blocks:
-            return out_schema.empty_table()
+            return ray.data.from_arrow(out_schema.empty_table())
         uni_all = pa.concat_tables(blocks).combine_chunks()
         words = np.asarray(uni_all["w1"].to_pylist(), dtype=object)
         counts = uni_all["sum(cnt)"].to_numpy(zero_copy_only=False).astype(
@@ -5320,8 +5324,22 @@ def pmi_top_bigrams(
             vocab, cv = ray.get(uni_ref)
             w1 = np.asarray(batch["w1"].to_pylist(), dtype=object)
             w2 = np.asarray(batch["w2"].to_pylist(), dtype=object)
-            c1 = cv[np.searchsorted(vocab, w1)]
-            c2 = cv[np.searchsorted(vocab, w2)]
+            i1 = np.searchsorted(vocab, w1)
+            i2 = np.searchsorted(vocab, w2)
+            # a candidate word missing from the unigram vocab means the
+            # two partial kinds tokenized differently — corrupt PMI;
+            # fail loudly instead of attaching a neighbor's count
+            if (
+                (i1 >= len(vocab)).any()
+                or (i2 >= len(vocab)).any()
+                or (vocab[np.minimum(i1, len(vocab) - 1)] != w1).any()
+                or (vocab[np.minimum(i2, len(vocab) - 1)] != w2).any()
+            ):
+                raise ValueError(
+                    "pmi_top_bigrams: bigram word absent from unigram vocab"
+                )
+            c1 = cv[i1]
+            c2 = cv[i2]
             return batch.append_column(
                 "c1", pa.array(c1.astype(np.int64), pa.int64())
             ).append_column(

@@ -185,11 +185,27 @@ def build_pairs(
     flow and two partitioned hash joins attach the payloads.
     """
     cap = config.signature.max_bucket_pairs_full
-    nparts = config.exec.shuffle_partitions or 64
     limit = config.exec.broadcast_signatures_limit
     payload_cols = _join_payload(config)
 
-    if limit and signatures.count() <= limit:
+    n_sigs = signatures.count()
+    nparts = config.exec.shuffle_partitions
+    if not nparts:
+        # autoscale the band exchange with the corpus: fixed counts go
+        # superlinear when per-partition band rows outgrow the target
+        # (see ExecConfig.shuffle_target_rows)
+        band_rows = n_sigs * config.signature.num_bands
+        nparts = int(
+            max(
+                64,
+                min(
+                    4096,
+                    -(-band_rows // max(1, config.exec.shuffle_target_rows)),
+                ),
+            )
+        )
+
+    if limit and n_sigs <= limit:
         return _pairs_broadcast(
             signatures, config, cap, nparts, payload_cols, metrics
         )

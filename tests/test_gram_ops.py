@@ -148,5 +148,9 @@ def test_pmi_empty_candidates_both_paths(ray_session):
         r = Q.pmi_top_bigrams(
             SF_DIR, min_count=10**9, vocab_broadcast_limit=limit
         )
-        df = r.to_pandas() if hasattr(r, "to_pandas") else r
-        assert len(df) == 0
+        # uniform return type: empty paths must be a Dataset too, so
+        # Dataset-only call sites never break on degenerate inputs
+        import ray.data
+
+        assert isinstance(r, ray.data.Dataset)
+        assert r.count() == 0
