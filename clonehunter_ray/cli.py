@@ -33,9 +33,11 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument(
             "--progress",
             action="store_true",
+            default=None,
             help="show live per-stage progress bars (Ray Data's native "
             "bars — the analogue of the reference tqdm bar, "
-            "core/pipeline.py:97-116); off by default so JSON stdout "
+            "core/pipeline.py:97-116) plus per-stage summary log "
+            "lines (progress.py); off by default so JSON stdout "
             "stays clean",
         )
         sp.add_argument("--files-parquet", help="parquet files table input")
@@ -186,6 +188,7 @@ def _overrides(args) -> dict:
         "exec.materialize_pairs": (
             True if getattr(args, "save_tables", None) else None
         ),
+        "exec.log_progress": getattr(args, "progress", None),
     }
 
 

@@ -220,6 +220,10 @@ class ExecConfig:
     # a streamed pairs view re-runs the whole band shuffle + verify on
     # every extra consumption.
     materialize_pairs: bool = False
+    # per-stage driver log lines (label, rows, wall, rows/s) — the
+    # reference's tqdm pipeline-bar analogue (progress.py). Off by
+    # default so bench/test output stays parseable.
+    log_progress: bool = False
 
 
 @dataclass(frozen=True)

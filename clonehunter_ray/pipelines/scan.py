@@ -552,6 +552,11 @@ def scan(
     # per-run shared counters (capped LSH buckets etc.) live in a
     # zero-CPU actor whose HANDLE rides the UDF closures
     metrics_handle = M.new_metrics_actor()
+    _log = None
+    if config.exec.log_progress:
+        from clonehunter_ray.progress import get_logger
+
+        _log = get_logger()
     timing: dict[str, float] = {}
     ckpt_stats: dict[str, str] = {}
     t_start = time.monotonic()
@@ -566,6 +571,8 @@ def scan(
         root, "signatures", fp, ckpt_stats,
     )
     timing["signatures"] = round(time.monotonic() - t0, 3)
+    if _log:
+        _log.info("Build signatures: done in %.2fs", timing["signatures"])
     t0 = time.monotonic()
     if root is None and not config.exec.materialize_pairs:
         # STREAMING pairs -> findings: without a checkpoint root there
@@ -582,17 +589,23 @@ def scan(
             batch_format="pyarrow",
         )
         timing["pairs"] = 0.0  # fused into the findings stage below
+        if _log:
+            _log.info("Verify pairs: streamed (fused into findings)")
     else:
         pairs = ckpt.checkpoint_or_compute(
             lambda: build_pairs(signatures, config, metrics_handle),
             root, "pairs", fp, ckpt_stats,
         )
         timing["pairs"] = round(time.monotonic() - t0, 3)
+        if _log:
+            _log.info("Verify pairs: done in %.2fs", timing["pairs"])
     t0 = time.monotonic()
     findings = ckpt.checkpoint_or_compute(
         lambda: build_findings(pairs, config), root, "findings", fp, ckpt_stats,
     )
     timing["findings"] = round(time.monotonic() - t0, 3)
+    if _log:
+        _log.info("Rollup findings: done in %.2fs", timing["findings"])
 
     t0 = time.monotonic()
     n_findings = findings.count()
@@ -658,6 +671,13 @@ def scan(
             n_findings = findings.count()
     timing["clustering"] = round(time.monotonic() - t0, 3)
     timing["total"] = round(time.monotonic() - t_start, 3)
+    if _log:
+        _log.info(
+            "Scan: %d findings, %d clusters in %.2fs",
+            n_findings,
+            n_clusters,
+            timing["total"],
+        )
 
     # reference ScanStats/timing parity (core/pipeline.py:124-247):
     # stage wall clock, dataset counts (cheap: signatures/pairs are

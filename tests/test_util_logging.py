@@ -106,3 +106,29 @@ def test_safe_join_survives_zero_column_blocks(ray_session):
     )
     assert list(out["k"]) == [2, 3]
     assert list(out["w"]) == [200, 300]
+
+
+def test_stage_progress_logs_label_rows_and_rate(caplog):
+    from clonehunter_ray.progress import LOGGER_NAME, stage_progress
+
+    with caplog.at_level(logging.INFO, logger=LOGGER_NAME):
+        with stage_progress("Demo stage") as p:
+            p.set_rows(1234)
+        with stage_progress("Quiet stage", enabled=False):
+            pass
+        with stage_progress("No-rows stage"):
+            pass
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("Demo stage: 1234 rows in" in m and "rows/s" in m for m in msgs)
+    assert any(m.startswith("No-rows stage: done in") for m in msgs)
+    assert not any("Quiet stage" in m for m in msgs)
+
+
+def test_get_logger_reference_format():
+    from clonehunter_ray.progress import get_logger
+
+    logger = get_logger()
+    assert logger.handlers, "handler installed once"
+    fmt = logger.handlers[0].formatter._fmt
+    assert fmt == "[%(levelname)s] %(message)s"
+    assert get_logger() is logger  # idempotent
