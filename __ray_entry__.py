@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": Q.weighted_sample_documents,
         "lexical_diversity_by_source": Q.lexical_diversity_by_source,
         "pmi_top_bigrams": Q.pmi_top_bigrams,
+        "fuzzy_decontaminate_documents": Q.fuzzy_decontaminate_documents,
+        "blocklist_filter_documents": Q.blocklist_filter_documents,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1338,6 +1340,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON u2.w = bc.w2
             WHERE bc.n12 >= 5
             ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50
+        """,
+        "fuzzy_decontaminate_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                        '[a-z0-9_]+')) AS ts
+                FROM documents
+            ), bench AS (
+                SELECT * FROM toks WHERE doc_id % 13 = 0
+            ), train AS (
+                SELECT * FROM toks WHERE doc_id % 13 <> 0
+            ), mj AS (
+                SELECT t.doc_id,
+                       max(CASE WHEN len(t.ts) + len(b.ts)
+                                     - len(list_intersect(t.ts, b.ts)) > 0
+                           THEN CAST(len(list_intersect(t.ts, b.ts)) AS DOUBLE)
+                                / (len(t.ts) + len(b.ts)
+                                   - len(list_intersect(t.ts, b.ts)))
+                           ELSE 0.0 END) AS mj
+                FROM train t CROSS JOIN bench b
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id, round(mj, 6) AS max_jac6, mj < 0.5 AS keep
+            FROM mj
+        """,
+        "blocklist_filter_documents": """
+            SELECT doc_id,
+                   regexp_matches(lower(text), '\\b(spark|vector|dup)\\b')
+                       AS blocked
+            FROM documents
         """,
         "lexical_diversity_by_source": """
             WITH toks AS (

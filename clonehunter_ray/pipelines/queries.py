@@ -278,6 +278,172 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
     )
 
 
+def fuzzy_decontaminate_documents(
+    sf_dir: str, threshold: float = 0.5, bench_mod: int = 13
+):
+    """Near-duplicate benchmark decontamination: for every TRAINING
+    document (``doc_id % bench_mod != 0``), its exact maximum token-set
+    Jaccard against ANY held-out benchmark document (``doc_id %
+    bench_mod == 0``), and ``keep = max < threshold`` — the fuzzy
+    companion of ``decontaminate_documents``'s exact-n-gram test (a
+    paraphrased eval item shares few verbatim 4-grams but a high token
+    Jaccard; D4/GPT-4-style decontamination runs both).
+
+    Ray shape: the benchmark side is SMALL by design (eval sets are
+    thousands of docs at any corpus scale), so a CSR inverted index
+    (sorted unique bench token hash -> owning bench-set ids) broadcasts
+    once via ray.put; each training batch then computes ALL its
+    (doc, bench) intersection counts in one vectorized pass —
+    searchsorted membership, ragged-range expansion, one bincount into
+    the (rows x n_bench) count matrix — and takes the row max. Exact
+    (no LSH recall caveat), no shuffle, nothing corpus-sized on the
+    driver. jac uses the empty-union-is-0 convention on both engines;
+    max_jac6 is Python-rounded per row for DuckDB hash parity.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % bench_mod == 0) == want_bench
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return f
+
+    # driver-side CSR index over the (small) benchmark token sets
+    bench_sets: list[np.ndarray] = []
+    for t in ray.get(
+        docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+        .select_columns(["text"])
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            th = H.tokenize_hash_texts(t["text"])
+            bench_sets.extend(H.token_set_hashes(x) for x in th)
+    nb = len(bench_sets)
+    if nb:
+        flat = np.concatenate(bench_sets) if nb else np.empty(0, np.uint64)
+        owner = np.repeat(
+            np.arange(nb, dtype=np.int64),
+            [len(s) for s in bench_sets],
+        )
+        order = np.argsort(flat, kind="stable")
+        flat, owner = flat[order], owner[order]
+        uniq, start = np.unique(flat, return_index=True)
+        off = np.append(start, len(flat))
+        bench_len = np.array([len(s) for s in bench_sets], dtype=np.int64)
+        idx_ref = ray.put((uniq, off, owner, bench_len))
+    else:
+        idx_ref = ray.put(None)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("max_jac6", pa.float64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        index = ray.get(idx_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if index is None:
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "max_jac6": pa.array(
+                        np.zeros(len(ids)), pa.float64()
+                    ),
+                    "keep": pa.array(np.ones(len(ids), bool), pa.bool_()),
+                },
+                schema=out_schema,
+            )
+        uniq, off, owner, bench_len = index
+        th = H.tokenize_hash_texts(batch["text"])
+        sets = [H.token_set_hashes(x) for x in th]
+        train_len = np.array([len(s) for s in sets], dtype=np.int64)
+        tflat = (
+            np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        )
+        rows = np.repeat(np.arange(len(sets), dtype=np.int64), train_len)
+        pos = np.searchsorted(uniq, tflat)
+        hit = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == tflat)
+        h, r = pos[hit], rows[hit]
+        # ragged expansion of each hit hash's bench-owner range
+        lens = off[h + 1] - off[h]
+        total = int(lens.sum())
+        starts = np.repeat(off[h], lens)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        owners_exp = owner[starts + within]
+        rows_exp = np.repeat(r, lens)
+        n_b = len(bench_len)
+        inter = np.bincount(
+            rows_exp * n_b + owners_exp, minlength=len(sets) * n_b
+        ).reshape(len(sets), n_b)
+        union = train_len[:, None] + bench_len[None, :] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        mx = jac.max(axis=1) if n_b else np.zeros(len(sets))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                # Python round: correctly-rounded decimal, matching
+                # DuckDB's round() where np.round can differ by 1 ulp
+                "max_jac6": pa.array(
+                    [round(float(v), 6) for v in mx], pa.float64()
+                ),
+                "keep": pa.array(mx < threshold, pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(_mod_filter(False), batch_format="pyarrow").map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def blocklist_filter_documents(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("spark", "vector", "dup"),
+):
+    """Blocklist (bad-words) filter — the C4 recipe's term-filter step:
+    flag every document whose lowercased text contains any blocked term
+    at a word boundary. Returns one row per document
+    (doc_id, blocked) so the audit side (how much would be dropped per
+    term list) is as cheap as the filter itself.
+
+    Ray shape: ONE stateless vectorized pass — Arrow's RE2
+    ``match_substring_regex`` kernel over the lowercased text column
+    (DuckDB's ``regexp_matches`` is also RE2, so the word-boundary
+    semantics match bit-for-bit). No shuffle, no Python per row; the
+    alternation pattern compiles once per task. At 100 TB a large
+    blocklist (tens of thousands of terms) would swap the alternation
+    for an Aho-Corasick actor pool, same batch signature.
+    """
+    import pyarrow.compute as pc
+
+    if not terms:
+        raise ValueError("blocklist_filter_documents: empty term list")
+    pattern = r"\b(" + "|".join(terms) + r")\b"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        blocked = pc.match_substring_regex(
+            pc.utf8_lower(batch["text"]), pattern
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "blocked": blocked,
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 def duplicate_clusters_documents(
     sf_dir: str, threshold: float = 0.6, max_id: int = 500
 ):
