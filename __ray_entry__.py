@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_bigrams": Q.pmi_top_bigrams,
         "fuzzy_decontaminate_documents": Q.fuzzy_decontaminate_documents,
         "blocklist_filter_documents": Q.blocklist_filter_documents,
+        "zipf_token_audit": Q.zipf_token_audit,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_documents": lambda sf: dedup.minhash_dedup_keep(
             _docs(sf), threshold=0.8
@@ -1370,6 +1371,27 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(lower(text), '\\b(spark|vector|dup)\\b')
                        AS blocked
             FROM documents
+        """,
+        "zipf_token_audit": """
+            WITH u AS (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS n
+                FROM u GROUP BY tok
+            ), r AS (
+                SELECT tok, n,
+                       row_number() OVER (ORDER BY n DESC, tok) AS rnk
+                FROM c
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   round(CAST((SELECT sum(n) FROM r WHERE rnk <= 10) AS DOUBLE)
+                         / sum(n), 6) AS top10_coverage,
+                   round(regr_slope(ln(CAST(n AS DOUBLE)),
+                                    ln(CAST(rnk AS DOUBLE))), 6) AS zipf_alpha
+            FROM r
         """,
         "lexical_diversity_by_source": """
             WITH toks AS (

@@ -1488,6 +1488,89 @@ def _flat_tokens_lower(text_col):
 _MG_ERR_KEY = "\x00__mg_err__"
 
 
+def zipf_token_audit(
+    sf_dir: str, top_k: int = 10, vocab_limit: int = 2_000_000
+):
+    """Corpus-health audit: type/token counts, top-``top_k``-type
+    coverage, and the Zipf slope (OLS of ln(freq) on ln(rank) over the
+    frequency-ranked vocabulary, rank ties broken by token) — the
+    three numbers a tokenizer-budget or crawl-quality review reads
+    first (natural text sits near alpha = -1; boilerplate-heavy or
+    template corpora flatten the head and steepen the tail).
+
+    Ray shape: per-batch token-count folds -> ONE vocab-bounded
+    groupby(tok) exchange; the ranked walk then runs on the collected
+    (tok, n) table — vocabulary-sized, not corpus-sized, same bounded
+    collect the PMI broadcast path documents (``vocab_limit`` guards
+    it; a 100 TB-vocabulary variant would rank via a count-histogram
+    prefix scan instead). Coverage is integer-exact; the slope is the
+    standard centered-moments formula, matching DuckDB ``regr_slope``
+    to ~1e-12 before the shared 6 dp rounding.
+    """
+    docs = _read(sf_dir, "documents", ["text"])
+    cnt_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        flat, _ = H.flat_tokens(batch["text"], with_parent=True)
+        if len(flat) == 0:
+            return cnt_schema.empty_table()
+        w = flat.to_numpy(zero_copy_only=False)
+        uw, un = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(list(uw), pa.string()),
+                "n": pa.array(un.astype(np.int64), pa.int64()),
+            },
+            schema=cnt_schema,
+        )
+
+    from clonehunter_ray.util import scrub_empty_blocks
+
+    counts = scrub_empty_blocks(
+        docs.map_batches(fold, batch_format="pyarrow").groupby("tok").sum("n")
+    )
+    blocks = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    out_schema = pa.schema(
+        [
+            ("n_types", pa.int64()),
+            ("n_tokens", pa.int64()),
+            (f"top{top_k}_coverage", pa.float64()),
+            ("zipf_alpha", pa.float64()),
+        ]
+    )
+    if not blocks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    allc = pa.concat_tables(blocks).combine_chunks()
+    if allc.num_rows > vocab_limit:
+        raise ValueError(
+            f"zipf_token_audit: vocabulary {allc.num_rows} exceeds "
+            f"vocab_limit={vocab_limit}; use a histogram-rank variant"
+        )
+    toks = np.asarray(allc["tok"].to_pylist(), dtype=object)
+    ns = allc["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((toks, -ns))  # freq desc, token asc
+    ns = ns[order]
+    n_tokens = int(ns.sum())
+    cov = float(ns[:top_k].sum()) / n_tokens
+    x = np.log(np.arange(1, len(ns) + 1, dtype=np.float64))
+    y = np.log(ns.astype(np.float64))
+    xc = x - x.mean()
+    alpha = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_types": pa.array([len(ns)], pa.int64()),
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                f"top{top_k}_coverage": pa.array(
+                    [round(cov, 6)], pa.float64()
+                ),
+                "zipf_alpha": pa.array([round(alpha, 6)], pa.float64()),
+            },
+            schema=out_schema,
+        )
+    )
+
+
 def heavy_hitter_tokens(
     sf_dir: str,
     k: int = 10,
