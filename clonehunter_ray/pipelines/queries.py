@@ -425,9 +425,11 @@ def blocklist_filter_documents(
     """
     import pyarrow.compute as pc
 
+    import re
+
     if not terms:
         raise ValueError("blocklist_filter_documents: empty term list")
-    pattern = r"\b(" + "|".join(terms) + r")\b"
+    pattern = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def flag(batch: pa.Table) -> pa.Table:
