@@ -345,6 +345,19 @@ def run_bench() -> dict:
 
     timed("pq_knn_cosine", _pq_knn)
 
+    # ---- expansion-enabled scan (EXP call-graph snippets) -------------
+    # one rep over the same corpus as the headline; measures the
+    # autoscaling (1, N) signature pool + the per-repo groupby the EXP
+    # path adds (scan.py:142-156)
+    if not scan_only:
+        from clonehunter_ray.config import ExpansionConfig
+
+        exp_cfg = EngineConfig(expansion=ExpansionConfig(enabled=True))
+        t0 = time.monotonic()
+        exp_res = scan(read_corpus(), exp_cfg)
+        exp_findings = exp_res.findings.count()
+        timings["clone_scan_expansion"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),
@@ -354,6 +367,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_files": n_files,
         "findings": n_findings,
+        "expansion_findings": exp_findings if not scan_only else None,
         "files_per_sec": round(n_files / headline, 1),
         "clone_scan_runs": scan_runs,
     }

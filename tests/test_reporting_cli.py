@@ -280,7 +280,11 @@ def test_cli_progress_flag_parses():
     on = p.parse_args(["scan", "x", "--progress"])
     off = p.parse_args(["scan", "x"])
     assert on.progress is True
-    assert off.progress is False
+    # unset parses as None (tri-state: the config-override dict treats
+    # None as "no CLI override, use the config file value"); runtime
+    # behavior stays off (bool(None) is False at cli.py:251)
+    assert off.progress is None
+    assert not off.progress
 
 
 def test_cli_ray_address_flag_parses():
