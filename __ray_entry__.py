@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_docs_per_source": Q.cap_docs_per_source,
         "tfidf_top_terms_documents": Q.tfidf_top_terms_documents,
         "cluster_aware_split_documents": Q.cluster_aware_split_documents,
+        "stratified_split_documents": Q.stratified_split_documents,
         "bm25_search_documents": Q.bm25_search_documents,
         "cross_corpus_dedup_documents": Q.cross_corpus_dedup_documents,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,
@@ -316,6 +317,7 @@ _ROUND5_WINDOW = [
     "fuzzy_decontaminate_documents",
     "blocklist_filter_documents",
     "zipf_token_audit",
+    "stratified_split_documents",
     "suppliers_per_region",
     "top_orders_per_customer",
     "top_users_by_value",
@@ -1846,6 +1848,23 @@ def oracle_sql() -> dict[str, str]:
                                     1, 2) < '20'
                         THEN 'test' ELSE 'train' END AS split
             FROM clustered
+        """,
+        "stratified_split_documents": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents
+                WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, source,
+                   CASE WHEN rk <= (n + 9) // 10 THEN 'test'
+                        WHEN rk <= 2 * ((n + 9) // 10) THEN 'val'
+                        ELSE 'train' END AS split
+            FROM ranked
         """,
         "bm25_search_documents": """
             WITH t AS (

@@ -5659,3 +5659,178 @@ def dup_cluster_size_histogram(
         .count()
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def stratified_split_documents(
+    sf_dir: str, test_tenths: int = 1, val_tenths: int = 1
+):
+    """Exact-quota stratified train/val/test split: every source
+    contributes EXACTLY ceil(n_s/10) docs to test and the next
+    ceil(n_s/10) to val (rank order = sha256(doc_id) priority, the
+    same deterministic-priority convention as ``sample_k_documents``),
+    so per-source proportions hold exactly — unlike the hash-threshold
+    split (``cluster_aware_split_documents``) whose per-source counts
+    are only binomially close to the target fraction.
+
+    Ray shape (NO global or per-source sort of the corpus — the same
+    16-bit priority-bucket prefix scan as ``token_budget_select``,
+    here run per source):
+      (1) one pass ships per-(source, bucket) COUNTS (<= 65536 rows
+          per source per block, in practice the nonzero buckets);
+      (2) the driver prefix-sums each source's histogram and finds the
+          two boundary buckets (test cutoff, val cutoff);
+      (3) boundary-bucket rows (~n_s/65536 per source) collect
+          driver-side for the exact in-bucket rank cut, yielding one
+          (priority, doc_id) threshold tuple per source per cutoff;
+      (4) one stateless assign pass compares each row's bucket /
+          threshold tuple — thresholds broadcast in the task closure
+          (a few tuples per source).
+    At 10^12 docs per source the boundary bucket is ~10^7 rows;
+    recurse on the next 2 priority bytes if that is still too large
+    (same documented assumption as token_budget_select).
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _pri_bucket(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        pri = H.sha256_hex_many(str(i) for i in ids)
+        bucket = np.fromiter(
+            (int(p[:4], 16) for p in pri), dtype=np.int64, count=len(pri)
+        )
+        return ids, srcs, pri, bucket
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        ids, srcs, _, bucket = _pri_bucket(batch)
+        if any(s is None for s in srcs):
+            # a NULL source would need its own NULL-partition quota
+            # (the sf tables have none); fail loudly rather than
+            # silently diverging from the SQL window oracle
+            raise ValueError("stratified_split_documents: NULL source")
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"source": srcs, "bucket": bucket})
+        g = (
+            df.groupby(["source", "bucket"], dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "bucket": pa.array(g["bucket"], pa.int64()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(bucket_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "bucket"], dropna=False, sort=True)["n"]
+        .sum()
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("split", pa.string())]
+    )
+    if hist.empty:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # per source: quota ranks and the bucket holding each cutoff
+    plans: dict = {}  # source -> (test_bkt, test_rank_in_bkt, val_bkt, val_rank_in_bkt)
+    boundary_buckets: dict = {}  # source -> set of buckets needing exact rank
+    for source, h in hist.groupby(level=0, dropna=False):
+        counts = h.droplevel(0)
+        n_s = int(counts.sum())
+        n_test = -(-n_s * test_tenths // 10)  # ceil
+        n_val = -(-n_s * val_tenths // 10)
+        cum = counts.cumsum()
+        cuts = []
+        for rank in (n_test, n_test + n_val):
+            if rank <= 0:
+                cuts.append((-1, 0))
+                continue
+            bkt = int(cum[cum >= rank].index[0])
+            before = int(cum.loc[bkt] - counts.loc[bkt])
+            cuts.append((bkt, rank - before))
+        plans[source] = tuple(cuts)
+        boundary_buckets[source] = {b for b, _ in cuts if b >= 0}
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        ids, srcs, pri, bucket = _pri_bucket(batch)
+        srcs_arr = np.array(srcs, dtype=object)
+        keep = np.zeros(len(ids), dtype=bool)
+        for s in set(srcs):
+            bkts = boundary_buckets.get(s)
+            if bkts:
+                keep |= (srcs_arr == s) & np.isin(bucket, list(bkts))
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "source": pa.array(list(srcs_arr[idx]), pa.string()),
+                "bucket": pa.array(bucket[idx], pa.int64()),
+                "pri": pa.array(list(np.array(pri, dtype=object)[idx]), pa.string()),
+            }
+        )
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow").to_pandas()
+    # exact (priority, doc_id) threshold per source per cutoff: the
+    # LAST row (inclusive) of each split within its boundary bucket
+    thresholds: dict = {}  # source -> [(bkt, pri, doc_id) or None, ...]
+    for source, (tcut, vcut) in plans.items():
+        e = edges[edges["source"].isna()] if source is None else edges[
+            edges["source"] == source
+        ]
+        ths = []
+        for bkt, rank_in in (tcut, vcut):
+            if bkt < 0:
+                ths.append(None)
+                continue
+            rows = e[e["bucket"] == bkt].sort_values(["pri", "doc_id"])
+            row = rows.iloc[rank_in - 1]
+            ths.append((bkt, str(row["pri"]), int(row["doc_id"])))
+        thresholds[source] = ths
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, srcs, pri, bucket = _pri_bucket(batch)
+        n = len(ids)
+        srcs_arr = np.array(srcs, dtype=object)
+        pri_arr = np.array(pri, dtype=object)
+        split = np.full(n, "train", dtype=object)
+
+        def at_most(th):  # vectorized (bucket, pri, doc_id) <= threshold
+            t_bkt, t_pri, t_id = th
+            return (bucket < t_bkt) | (
+                (bucket == t_bkt)
+                & ((pri_arr < t_pri) | ((pri_arr == t_pri) & (ids <= t_id)))
+            )
+
+        for s in set(srcs):
+            ths = thresholds.get(s)
+            if ths is None:
+                continue
+            in_s = srcs_arr == s
+            t_th, v_th = ths
+            if v_th is not None:
+                split[in_s & at_most(v_th)] = "val"
+            if t_th is not None:
+                split[in_s & at_most(t_th)] = "test"
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "split": pa.array(list(split), pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")

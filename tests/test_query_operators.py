@@ -1036,3 +1036,22 @@ def test_weighted_sample_biases_toward_weight(ray_session):
     # determinism: a second run returns the identical sample
     again = Q.weighted_sample_documents(SF_DIR, k=50).to_pandas()
     assert got["doc_id"].tolist() == again["doc_id"].tolist()
+
+
+def test_stratified_split_exact_quotas(ray_session):
+    """Every source contributes EXACTLY ceil(n_s/10) docs to test and
+    the next ceil(n_s/10) to val (the property the hash-threshold
+    split only approximates), and the assignment is deterministic
+    across runs (sha256-priority rank, no RNG)."""
+    df = Q.stratified_split_documents(SF_DIR).to_pandas()
+    for _, g in df.groupby("source"):
+        n = len(g)
+        quota = -(-n // 10)  # ceil(n/10)
+        counts = g["split"].value_counts()
+        assert counts.get("test", 0) == quota
+        assert counts.get("val", 0) == quota
+        assert counts.get("train", 0) == n - 2 * quota
+    df2 = Q.stratified_split_documents(SF_DIR).to_pandas()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"].values == b["split"].values).all()
