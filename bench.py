@@ -358,6 +358,16 @@ def run_bench() -> dict:
         exp_findings = exp_res.findings.count()
         timings["clone_scan_expansion"] = round(time.monotonic() - t0, 3)
 
+        # suffix-array substring rescue (the third leg of the
+        # MinHash/SimHash/substring triad), same corpus, one rep
+        from clonehunter_ray.config import SubstringConfig
+
+        sub_cfg = EngineConfig(substring=SubstringConfig(enabled=True))
+        t0 = time.monotonic()
+        sub_res = scan(read_corpus(), sub_cfg)
+        sub_res.findings.count()
+        timings["clone_scan_substring"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "end-to-end near-dup code scan (files/sec) + query suite",
         "value": round(headline, 3),
