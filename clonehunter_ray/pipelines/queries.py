@@ -5758,6 +5758,10 @@ def stratified_split_documents(
             if rank <= 0:
                 cuts.append((-1, 0))
                 continue
+            # a source smaller than its combined quotas assigns every
+            # row (SQL: rk <= quota is vacuously true past n_s) — clamp
+            # the cutoff rank to the last row
+            rank = min(rank, n_s)
             bkt = int(cum[cum >= rank].index[0])
             before = int(cum.loc[bkt] - counts.loc[bkt])
             cuts.append((bkt, rank - before))

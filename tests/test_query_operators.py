@@ -1055,3 +1055,42 @@ def test_stratified_split_exact_quotas(ray_session):
     a = df.sort_values("doc_id").reset_index(drop=True)
     b = df2.sort_values("doc_id").reset_index(drop=True)
     assert (a["split"].values == b["split"].values).all()
+
+
+def test_stratified_split_tiny_sources(ray_session, tmp_path):
+    """Sources smaller than their combined quotas must not crash and
+    must match the SQL semantics: rk <= quota is vacuously true past
+    n_s, so a 1-doc source is all test and a 2-doc source is
+    test+val."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": list(range(6)),
+            "source": ["a", "b", "b", "c", "c", "c"],
+            "text": ["x"] * 6,
+            "lang": ["en"] * 6,
+            "n_chars": [1] * 6,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        Q.stratified_split_documents(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    import __ray_entry__ as entry
+
+    want = (
+        con.execute(entry.oracle_sql()["stratified_split_documents"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["split"].values == want["split"].values).all()
+    assert set(got[got["source"] == "a"]["split"]) == {"test"}
