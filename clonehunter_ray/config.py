@@ -195,6 +195,20 @@ class ExecConfig:
     # clamp(band_rows / target, 64, 4096) — the cap bounds tiny-block
     # overhead on small corpora and scheduler pressure on huge ones.
     shuffle_target_rows: int = 1_500_000
+    # band-exchange sort-shuffle strategy: "auto" switches the session
+    # to Ray's push-based sort shuffle once the estimated band-row
+    # volume passes push_shuffle_band_rows; "push"/"pull" force it.
+    # Measured (BASELINE.md round 5): identical findings, push 3.3x
+    # faster at 1.6M files (611 s vs 2,000 s — the pull-based sort
+    # spilled 53 GB and went I/O-bound), 3-6% slower at 20k files.
+    # NOTE: applies to the session DataContext (Ray Data has no
+    # per-operator strategy), so it affects later sorts in the same
+    # session; auto never downgrades a session already set to push.
+    shuffle_strategy: str = "auto"
+    # auto mode's cutover: measured spill onset on a 37.6 GiB object
+    # store lies between 181M band rows (800k files, no spill) and
+    # 362M (1.6M files, spilled) — cut over midway.
+    push_shuffle_band_rows: int = 250_000_000
     checkpoint_dir: str | None = None  # None = no checkpointing
     # pair verification joins the candidate list back to signature
     # payloads. When the signature table is <= this many snippets the

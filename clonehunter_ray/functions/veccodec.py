@@ -27,6 +27,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# int32 offset capacity; module-level so tests can shrink it to
+# exercise the large_binary / large_list fallback without 2 GiB RAM
+_INT32_MAX = int(np.iinfo(np.int32).max)
+
 
 def _combined(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -106,11 +110,26 @@ def blob_matrix(
 def matrix_blob_array(mat: np.ndarray) -> pa.Array:
     """Encode an ``(n, w)`` matrix as a ``pa.binary()`` array of
     row-major ``mat.dtype`` payloads — ONE contiguous data buffer and
-    a vectorized offsets vector, no per-row ``tobytes()``."""
+    a vectorized offsets vector, no per-row ``tobytes()``. Payloads
+    past the 2 GiB int32-offset limit switch to ``large_binary``
+    (int64 offsets) instead of silently wrapping; ``blob_matrix``
+    reads both."""
     n = len(mat)
     if n == 0:
         return pa.array([], pa.binary())
     byte_w = mat.shape[1] * mat.dtype.itemsize
+    total = n * byte_w
+    if total > _INT32_MAX:
+        offsets64 = np.arange(n + 1, dtype=np.int64) * np.int64(byte_w)
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(offsets64.tobytes()),
+                pa.py_buffer(np.ascontiguousarray(mat).tobytes()),
+            ],
+        )
     offsets = np.arange(n + 1, dtype=np.int32) * np.int32(byte_w)
     return pa.Array.from_buffers(
         pa.binary(),
@@ -125,13 +144,17 @@ def matrix_blob_array(mat: np.ndarray) -> pa.Array:
 
 def matrix_list_array(mat: np.ndarray, value_type=None) -> pa.Array:
     """Encode an ``(n, dim)`` matrix as ``pa.list_(value_type)`` from
-    one flat values array + vectorized offsets."""
+    one flat values array + vectorized offsets (``large_list`` with
+    int64 offsets past the int32 element-count limit)."""
     n = len(mat)
     dim = mat.shape[1] if mat.ndim == 2 else 0
     values = pa.array(
         np.ascontiguousarray(mat).reshape(-1),
         value_type if value_type is not None else None,
     )
+    if n * dim > _INT32_MAX:
+        offsets64 = pa.array(np.arange(n + 1, dtype=np.int64) * np.int64(dim))
+        return pa.LargeListArray.from_arrays(offsets64, values)
     offsets = pa.array(np.arange(n + 1, dtype=np.int32) * np.int32(dim))
     return pa.ListArray.from_arrays(offsets, values)
 

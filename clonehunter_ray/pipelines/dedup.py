@@ -448,7 +448,14 @@ def incremental_dedup_stream(
     seq = 0
     restored_flagged: list[str] = []
     if checkpoint_dir:
-        resume = index.restore_latest(checkpoint_dir)
+        # shutdown on restore failure too: a config/shard-count
+        # mismatch raises here, and without the guard the n_shards
+        # live shard actors created above would leak into the session
+        try:
+            resume = index.restore_latest(checkpoint_dir)
+        except BaseException:
+            index.shutdown()
+            raise
         if resume is not None:
             seq = int(resume["seq"])
             docs_ds = docs_ds.filter(

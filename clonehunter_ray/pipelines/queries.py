@@ -278,6 +278,21 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_id: int = 500):
     )
 
 
+def _bench_mod_filter(bench_mod: int, want_bench: bool):
+    """Benchmark-partition predicate shared by every decontamination
+    query (``doc_id % bench_mod == 0`` is the held-out side), kept in
+    ONE place so the mask semantics cannot drift between the four
+    decontamination pipelines and their SQL oracles' ``doc_id % 13 =
+    0`` predicate."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % bench_mod == 0) == want_bench
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return f
+
+
 def fuzzy_decontaminate_documents(
     sf_dir: str, threshold: float = 0.5, bench_mod: int = 13
 ):
@@ -302,18 +317,10 @@ def fuzzy_decontaminate_documents(
     """
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _mod_filter(want_bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            mask = (ids % bench_mod == 0) == want_bench
-            return t.filter(pa.array(mask, pa.bool_()))
-
-        return f
-
     # driver-side CSR index over the (small) benchmark token sets
     bench_sets: list[np.ndarray] = []
     for t in ray.get(
-        docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+        docs.map_batches(_bench_mod_filter(bench_mod, True), batch_format="pyarrow")
         .select_columns(["text"])
         .to_arrow_refs()
     ):
@@ -400,7 +407,7 @@ def fuzzy_decontaminate_documents(
             schema=out_schema,
         )
 
-    return docs.map_batches(_mod_filter(False), batch_format="pyarrow").map_batches(
+    return docs.map_batches(_bench_mod_filter(bench_mod, False), batch_format="pyarrow").map_batches(
         score, batch_format="pyarrow"
     )
 
@@ -724,16 +731,8 @@ def decontaminate_documents(sf_dir: str, k: int = 4, bench_mod: int = 13):
     """
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _mod_filter(want_bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            mask = (ids % bench_mod == 0) == want_bench
-            return t.filter(pa.array(mask, pa.bool_()))
-
-        return f
-
     bench_set = _collect_gram_set(
-        docs.map_batches(_mod_filter(True), batch_format="pyarrow"), k
+        docs.map_batches(_bench_mod_filter(bench_mod, True), batch_format="pyarrow"), k
     )
     set_ref = ray.put(bench_set)
 
@@ -750,7 +749,7 @@ def decontaminate_documents(sf_dir: str, k: int = 4, bench_mod: int = 13):
             }
         )
 
-    return docs.map_batches(_mod_filter(False), batch_format="pyarrow").map_batches(
+    return docs.map_batches(_bench_mod_filter(bench_mod, False), batch_format="pyarrow").map_batches(
         flag, batch_format="pyarrow"
     )
 
@@ -770,12 +769,11 @@ def contamination_by_source(sf_dir: str, k: int = 4, bench_mod: int = 13):
     """
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
-    def _bench_only(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % bench_mod == 0, pa.bool_()))
-
     bench_set = _collect_gram_set(
-        docs.map_batches(_bench_only, batch_format="pyarrow"), k
+        docs.map_batches(
+            _bench_mod_filter(bench_mod, True), batch_format="pyarrow"
+        ),
+        k,
     )
     set_ref = ray.put(bench_set)
 
@@ -788,8 +786,7 @@ def contamination_by_source(sf_dir: str, k: int = 4, bench_mod: int = 13):
     )
 
     def flag_partial(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array(ids % bench_mod != 0, pa.bool_()))
+        batch = _bench_mod_filter(bench_mod, False)(batch)
         if batch.num_rows == 0:
             return _partial_schema.empty_table()
         gs = ray.get(set_ref)
@@ -1513,7 +1510,9 @@ def zipf_token_audit(
     cnt_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
 
     def fold(batch: pa.Table) -> pa.Table:
-        flat, _ = H.flat_tokens(batch["text"], with_parent=True)
+        # with_parent=False: this scan only needs the token stream —
+        # skip the per-token parent-index materialization
+        flat, _ = H.flat_tokens(batch["text"], with_parent=False)
         if len(flat) == 0:
             return cnt_schema.empty_table()
         w = flat.to_numpy(zero_copy_only=False)
@@ -1541,7 +1540,19 @@ def zipf_token_audit(
         ]
     )
     if not blocks:
-        return ray.data.from_arrow(out_schema.empty_table())
+        # the oracle is a no-GROUP-BY aggregate: one row even over an
+        # empty vocabulary (count 0, NULL sums/slope), never zero rows
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_types": pa.array([0], pa.int64()),
+                    "n_tokens": pa.array([None], pa.int64()),
+                    f"top{top_k}_coverage": pa.array([None], pa.float64()),
+                    "zipf_alpha": pa.array([None], pa.float64()),
+                },
+                schema=out_schema,
+            )
+        )
     allc = pa.concat_tables(blocks).combine_chunks()
     if allc.num_rows > vocab_limit:
         raise ValueError(
@@ -1557,7 +1568,13 @@ def zipf_token_audit(
     x = np.log(np.arange(1, len(ns) + 1, dtype=np.float64))
     y = np.log(ns.astype(np.float64))
     xc = x - x.mean()
-    alpha = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    denom = float((xc * xc).sum())
+    # single-type vocabulary: zero rank variance -> regr_slope is NULL
+    alpha = (
+        round(float((xc * (y - y.mean())).sum() / denom), 6)
+        if denom > 0.0
+        else None
+    )
     return ray.data.from_arrow(
         pa.table(
             {
@@ -1566,7 +1583,7 @@ def zipf_token_audit(
                 f"top{top_k}_coverage": pa.array(
                     [round(cov, 6)], pa.float64()
                 ),
-                "zipf_alpha": pa.array([round(alpha, 6)], pa.float64()),
+                "zipf_alpha": pa.array([alpha], pa.float64()),
             },
             schema=out_schema,
         )
@@ -3328,16 +3345,8 @@ def decontaminate_documents_distributed(
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _mod_filter(want_bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            mask = (ids % bench_mod == 0) == want_bench
-            return t.filter(pa.array(mask, pa.bool_()))
-
-        return f
-
-    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
-    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    bench = docs.map_batches(_bench_mod_filter(bench_mod, True), batch_format="pyarrow")
+    train = docs.map_batches(_bench_mod_filter(bench_mod, False), batch_format="pyarrow")
 
     def bench_grams(batch: pa.Table) -> pa.Table:
         th = H.tokenize_hash_texts(batch["text"])

@@ -63,6 +63,27 @@ _JOIN_PAYLOAD = [
 ]
 
 
+def _apply_shuffle_strategy(config: EngineConfig, band_rows: int) -> None:
+    """Pick the band exchange's sort-shuffle implementation
+    (ExecConfig.shuffle_strategy): push-based once the estimated band
+    volume would overflow the object store and go spill-I/O-bound
+    (measured 3.3x at 1.6M files, BASELINE.md round 5), pull-based
+    below it where push costs a few percent. Session-level knob — Ray
+    Data has no per-operator strategy — and auto only ever UPGRADES
+    the session to push (never silently downgrades a push session)."""
+    mode = getattr(config.exec, "shuffle_strategy", "auto")
+    if mode == "pull":
+        return
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if mode == "push" or (
+        mode == "auto" and band_rows > config.exec.push_shuffle_band_rows
+    ):
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+
 def _join_payload(config: EngineConfig) -> list[str]:
     # token_seq (ordered token hashes) only rides the shuffle when the
     # suffix-array substring rescue needs it
@@ -189,12 +210,13 @@ def build_pairs(
     payload_cols = _join_payload(config)
 
     n_sigs = signatures.count()
+    band_rows = n_sigs * config.signature.num_bands
+    _apply_shuffle_strategy(config, band_rows)
     nparts = config.exec.shuffle_partitions
     if not nparts:
         # autoscale the band exchange with the corpus: fixed counts go
         # superlinear when per-partition band rows outgrow the target
         # (see ExecConfig.shuffle_target_rows)
-        band_rows = n_sigs * config.signature.num_bands
         nparts = int(
             max(
                 64,
@@ -554,7 +576,7 @@ def scan(
     metrics_handle = M.new_metrics_actor()
     _log = None
     if config.exec.log_progress:
-        from clonehunter_ray.progress import get_logger
+        from clonehunter_ray.progress import get_logger, log_stage
 
         _log = get_logger()
     timing: dict[str, float] = {}
@@ -572,7 +594,7 @@ def scan(
     )
     timing["signatures"] = round(time.monotonic() - t0, 3)
     if _log:
-        _log.info("Build signatures: done in %.2fs", timing["signatures"])
+        log_stage("Build signatures", timing["signatures"])
     t0 = time.monotonic()
     if root is None and not config.exec.materialize_pairs:
         # STREAMING pairs -> findings: without a checkpoint root there
@@ -598,14 +620,14 @@ def scan(
         )
         timing["pairs"] = round(time.monotonic() - t0, 3)
         if _log:
-            _log.info("Verify pairs: done in %.2fs", timing["pairs"])
+            log_stage("Verify pairs", timing["pairs"])
     t0 = time.monotonic()
     findings = ckpt.checkpoint_or_compute(
         lambda: build_findings(pairs, config), root, "findings", fp, ckpt_stats,
     )
     timing["findings"] = round(time.monotonic() - t0, 3)
     if _log:
-        _log.info("Rollup findings: done in %.2fs", timing["findings"])
+        log_stage("Rollup findings", timing["findings"])
 
     t0 = time.monotonic()
     n_findings = findings.count()

@@ -33,6 +33,20 @@ def get_logger() -> logging.Logger:
     return logger
 
 
+def log_stage(label: str, seconds: float, rows: int | None = None) -> None:
+    """The one implementation of the per-stage summary line — used by
+    ``stage_progress`` on exit and called directly by ``scan()`` for
+    stages whose wall time is measured externally (checkpoint wrappers,
+    streamed/fused stages)."""
+    if rows is None:
+        get_logger().info("%s: done in %.2fs", label, seconds)
+    else:
+        rate = rows / seconds if seconds > 0 else float("inf")
+        get_logger().info(
+            "%s: %d rows in %.2fs (%.0f rows/s)", label, rows, seconds, rate
+        )
+
+
 @contextmanager
 def stage_progress(label: str, enabled: bool = True):
     """Bracket one pipeline stage; on exit, log its wall time and —
@@ -59,15 +73,4 @@ def stage_progress(label: str, enabled: bool = True):
         yield h
     finally:
         if enabled:
-            dt = time.monotonic() - t0
-            if h.rows is None:
-                get_logger().info("%s: done in %.2fs", label, dt)
-            else:
-                rate = h.rows / dt if dt > 0 else float("inf")
-                get_logger().info(
-                    "%s: %d rows in %.2fs (%.0f rows/s)",
-                    label,
-                    h.rows,
-                    dt,
-                    rate,
-                )
+            log_stage(label, time.monotonic() - t0, h.rows)

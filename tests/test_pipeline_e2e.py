@@ -122,3 +122,38 @@ def test_join_scale_path_matches_broadcast_path(ray_session, tiny_corpus):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9)
+
+
+def test_push_shuffle_strategy_findings_identical(ray_session, tiny_corpus):
+    """exec.shuffle_strategy='push' (the big-corpus auto path,
+    measured 3.3x at 1.6M files) must produce the identical findings
+    set as the default pull-based sort on the same corpus."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    from clonehunter_ray.config import ExecConfig
+
+    files, _ = tiny_corpus
+    ctx = DataContext.get_current()
+    saved = ctx.shuffle_strategy
+    try:
+        base = (
+            scan(ray.data.from_arrow(files), EngineConfig())
+            .findings.to_pandas()
+            .sort_values(["pair_key"])
+            .reset_index(drop=True)
+        )
+        pushed = (
+            scan(
+                ray.data.from_arrow(files),
+                EngineConfig(exec=ExecConfig(shuffle_strategy="push")),
+            )
+            .findings.to_pandas()
+            .sort_values(["pair_key"])
+            .reset_index(drop=True)
+        )
+        assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        assert len(base) == len(pushed)
+        assert (base["pair_key"].values == pushed["pair_key"].values).all()
+    finally:
+        ctx.shuffle_strategy = saved

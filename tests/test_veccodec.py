@@ -110,3 +110,32 @@ def test_normalized_matrix_parity():
     norms = np.linalg.norm(ref, axis=1, keepdims=True)
     norms[norms < 1e-12] = 1.0
     np.testing.assert_array_equal(matn, ref / norms)
+
+
+def test_blob_and_list_builders_large_offset_fallback(monkeypatch):
+    """Past the int32 offset capacity the builders must switch to
+    large_binary / large_list (int64 offsets) instead of silently
+    wrapping; decoders accept both. Threshold shrunk so the test
+    exercises the fallback without 2 GiB of payload."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clonehunter_ray.functions import veccodec as V
+
+    monkeypatch.setattr(V, "_INT32_MAX", 64)
+    mat = np.arange(24, dtype=np.float64).reshape(4, 6)  # 192 bytes > 64
+
+    blob = V.matrix_blob_array(mat)
+    assert pa.types.is_large_binary(blob.type)
+    assert (V.blob_matrix(blob, np.float64) == mat).all()
+
+    # list offsets count ELEMENTS (n*dim = 24), not bytes
+    monkeypatch.setattr(V, "_INT32_MAX", 16)
+    lst = V.matrix_list_array(mat, pa.float64())
+    assert pa.types.is_large_list(lst.type)
+    assert (V.list_matrix(lst, np.float64) == mat).all()
+
+    # under the threshold the narrow types stay
+    monkeypatch.setattr(V, "_INT32_MAX", 10**9)
+    assert pa.types.is_binary(V.matrix_blob_array(mat).type)
+    assert pa.types.is_list(V.matrix_list_array(mat, pa.float64()).type)
