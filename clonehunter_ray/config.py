@@ -198,17 +198,18 @@ class ExecConfig:
     # band-exchange sort-shuffle strategy: "auto" switches the session
     # to Ray's push-based sort shuffle once the estimated band-row
     # volume passes push_shuffle_band_rows; "push"/"pull" force it.
-    # Measured (BASELINE.md round 5): identical findings, push 3.3x
-    # faster at 1.6M files (611 s vs 2,000 s — the pull-based sort
-    # spilled 53 GB and went I/O-bound), 3-6% slower at 20k files.
-    # NOTE: applies to the session DataContext (Ray Data has no
-    # per-operator strategy), so it affects later sorts in the same
-    # session; auto never downgrades a session already set to push.
+    # Measured ladder (BASELINE.md round 5, findings identical at every
+    # point): push is 3-6% SLOWER at 20k files (4.5M band rows), ~17%
+    # faster at 100k (22M), ~8% faster at 400k (90M), ~1.4x at 800k
+    # (181M), and 3.3x at 1.6M (362M) where the pull-based sort spills
+    # 53 GB and goes I/O-bound. NOTE: applies to the session
+    # DataContext (Ray Data has no per-operator strategy), so it
+    # affects later sorts in the same session; auto never downgrades a
+    # session already set to push.
     shuffle_strategy: str = "auto"
-    # auto mode's cutover: measured spill onset on a 37.6 GiB object
-    # store lies between 181M band rows (800k files, no spill) and
-    # 362M (1.6M files, spilled) — cut over midway.
-    push_shuffle_band_rows: int = 250_000_000
+    # auto mode's cutover, between the measured push-slower 20k/4.5M
+    # point and the push-faster 100k/22M point
+    push_shuffle_band_rows: int = 10_000_000
     checkpoint_dir: str | None = None  # None = no checkpointing
     # pair verification joins the candidate list back to signature
     # payloads. When the signature table is <= this many snippets the
