@@ -257,6 +257,10 @@ class EngineConfig:
         self.signature.validate()
         self.expansion.validate()
         self.substring.validate()
+        if self.exec.shuffle_strategy not in ("auto", "push", "pull"):
+            # fail fast: a typo'd value would otherwise silently run
+            # pull-based and reintroduce the 3.3x spill-I/O slowdown
+            raise ValueError("shuffle_strategy must be auto|push|pull")
 
     def fingerprint(self) -> str:
         """Stable hash of every semantics-affecting knob — keys the

@@ -265,11 +265,10 @@ def build_pairs(
     # survivors — the scale-path twin of the broadcast path's
     # pre_gate_pairs_indexed
     from clonehunter_ray.stages.candidates import pre_gate_pairs_joined
-    from clonehunter_ray.util import safe_join_partitions
+    from clonehunter_ray.util import safe_join, safe_join_partitions
 
     th = config.thresholds
     narrow_cols = ["snippet_id", "kind", "n_shingles", "n_tokens"]
-    from clonehunter_ray.util import safe_join
 
     # zero candidate pairs (clone-free corpus above the broadcast
     # cutover) leave the join's left sequence globally empty, which
@@ -292,24 +291,31 @@ def build_pairs(
     # (ids no longer broadcastable) the prune is skipped and the
     # joins run unpruned exactly as before.
     if n_pairs <= config.exec.pair_id_prune_limit:
-        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # per-block local unique FIRST (a combiner: band-duplicated ids
+        # collapse in the workers), then one C-speed Arrow hash-unique
+        # over the collected remainder — no driver-side Python-object
+        # sort (np.unique on an object array compared ~40M strings
+        # element-by-element at the 20M-pair limit)
+        def _block_ids(t: pa.Table) -> pa.Table:
+            both = pa.chunked_array(
+                [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
+            )
+            return pa.table({"snippet_id": pc.unique(both)})
 
         id_parts = [
-            t.select(["a_id", "b_id"])
-            for t in ray.get(deduped.to_arrow_refs())
+            t
+            for t in ray.get(
+                deduped.select_columns(["a_id", "b_id"])
+                .map_batches(_block_ids, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
             if t.num_rows
         ]
-        id_tbl = pa.concat_tables(id_parts)
-        paired_ids = np.unique(
-            np.concatenate(
-                [
-                    id_tbl["a_id"].to_numpy(zero_copy_only=False),
-                    id_tbl["b_id"].to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        ids_ref = ray.put(pa.array(paired_ids, pa.string()))
+        paired_ids = pc.unique(pa.concat_tables(id_parts)["snippet_id"])
+        ids_ref = ray.put(paired_ids)
 
         def _only_paired(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -353,7 +359,9 @@ def build_pairs(
         )
         .select_columns(["a_id", "b_id", "capped"])
     )
-    joined = _attach_payload_join(gated, signatures, config, payload_cols)
+    joined = _attach_payload_join(
+        gated, signatures, config, payload_cols, nparts=nparts
+    )
     return joined.map_batches(
         verify_pairs_batch,
         fn_kwargs={
@@ -398,7 +406,6 @@ def _pairs_broadcast(
     # while the single combine (num_cpus=0, starts the moment the
     # signature blocks exist) overlaps for free.
     ref = make_broadcast_handle(signatures, payload_cols, "snippet_id")
-    light_ref = ref
 
     # packed band shuffle: each explode task pre-splits its band rows
     # by part and ships P blob rows, so the groupby sort handles
@@ -410,7 +417,7 @@ def _pairs_broadcast(
         ["snippet_id", "band_keys"]
     ).map_batches(
         explode_bands_packed,
-        fn_kwargs={"index_ref": light_ref, "num_partitions": nparts},
+        fn_kwargs={"index_ref": ref, "num_partitions": nparts},
         batch_format="pyarrow",
     )
     candidates = packed.groupby("part").map_groups(
@@ -436,7 +443,7 @@ def _pairs_broadcast(
     candidates = candidates.map_batches(
         pre_gate_pairs_indexed,
         fn_kwargs={
-            "index_ref": light_ref,
+            "index_ref": ref,
             "gates": (th.func, th.win, th.exp),
             "lexical_weight": th.lexical_weight,
             "lexical_min_ratio": th.lexical_min_ratio,
@@ -501,14 +508,19 @@ def _attach_payload_join(
     signatures: "ray.data.Dataset",
     config: EngineConfig,
     payload_cols: list[str],
+    nparts: int | None = None,
 ) -> "ray.data.Dataset":
     """Scale path: two partitioned hash joins pull each side's
-    signature payload onto the pair rows."""
-    from clonehunter_ray.util import safe_join_partitions
+    signature payload onto the pair rows. ``nparts`` carries the
+    corpus-autoscaled band partition count from build_pairs — the
+    payload side is the corpus-sized signature table, so it must scale
+    with the same driver (a fixed 16 here would hold ~1/16 of a
+    corpus-scale blob table per join aggregator)."""
+    from clonehunter_ray.util import safe_join, safe_join_partitions
 
-    from clonehunter_ray.util import safe_join
-
-    nparts = safe_join_partitions(config.exec.shuffle_partitions or 16)
+    nparts = safe_join_partitions(
+        nparts or config.exec.shuffle_partitions or 16
+    )
     sig_a = _prefixed(signatures, "a_", payload_cols)
     sig_b = _prefixed(signatures, "b_", payload_cols)
     return safe_join(
@@ -529,6 +541,12 @@ def build_findings(
     from clonehunter_ray.stages.rollup import add_rollup_partition, rollup_partition
 
     thresholds = config.thresholds
+    # rollup input is VERIFIED pairs — bounded by the banding
+    # accountant (cap x buckets), orders below the band-row volume the
+    # band exchange autoscales for. 64 partitions holds to ~10^8
+    # verified pairs (~1.5M/partition); past that set
+    # exec.shuffle_partitions explicitly (it feeds this and the
+    # cluster-attach join).
     nparts = config.exec.shuffle_partitions or 64
     return (
         pairs.map_batches(
@@ -691,6 +709,15 @@ def scan(
             # dataset (and the CLI's finding_count), not the pre-filter
             # edge count
             n_findings = findings.count()
+            # ...and so must n_clusters and cluster_map: a cluster
+            # whose findings were all filtered out must not survive in
+            # the stats or the map (dangling ids downstream)
+            surviving = set(findings.unique("cluster_id"))
+            n_clusters = len(surviving)
+            if cluster_map:
+                cluster_map = {
+                    u: c for u, c in cluster_map.items() if c in surviving
+                }
     timing["clustering"] = round(time.monotonic() - t0, 3)
     timing["total"] = round(time.monotonic() - t_start, 3)
     if _log:

@@ -53,21 +53,6 @@ def explode_bands(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays([flat, rep_ids], schema=BANDS_SCHEMA)
 
 
-def emit_pairs_group(
-    group: pa.Table, max_bucket_pairs_full: int = 256
-) -> pa.Table:
-    """One LSH bucket -> canonical candidate pairs (a_id < b_id)."""
-    ids = sorted(set(group["snippet_id"].to_pylist()))
-    out_a, out_b, capped = _bucket_pairs(ids, max_bucket_pairs_full)
-    return pa.Table.from_pydict(
-        {
-            "a_id": pa.array(out_a, pa.string()),
-            "b_id": pa.array(out_b, pa.string()),
-            "capped": pa.array([capped] * len(out_a), pa.bool_()),
-        }
-    )
-
-
 def _bucket_pairs(
     ids: list[str], max_bucket_pairs_full: int
 ) -> tuple[list[str], list[str], bool]:
@@ -207,7 +192,7 @@ _PAYLOAD_CACHE: dict[str, tuple[pa.Table, dict | None]] = {}
 _PAYLOAD_CACHE_MAX = 4
 
 
-def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
+def combine_payload_blocks(cols, key_col, *tables: pa.Table) -> pa.Table:
     """Remote combiner: concat + combine_chunks ONCE so the combined
     table lives in plasma a single time and every worker maps it
     zero-copy. Per-worker combine_chunks copies the full payload into
@@ -233,9 +218,21 @@ def combine_payload_blocks(cols, *tables: pa.Table) -> pa.Table:
             )
     if not usable:
         return pa.table({c: [] for c in cols})
-    return pa.concat_tables(
+    combined = pa.concat_tables(
         [t.select(list(cols)) for t in usable]
     ).combine_chunks()
+    # sort by the key column: block arrival order is NOT deterministic
+    # (preserve_order is off), and downstream the row index (sid) is
+    # used as the capped-bucket hub choice (min sid) and the salted
+    # sub-bucket hash input — sorting pins sid to the key's rank, so
+    # hub = lexicographically smallest id (agreeing with the string
+    # scale path's min-id convention) and the emitted pair set is
+    # identical run-to-run. Bounded by the broadcast cutover (<= 2M
+    # rows), one in-plasma sort in the zero-CPU combiner.
+    key = key_col if key_col in combined.column_names else cols[0]
+    if combined.num_rows:
+        combined = combined.sort_by([(key, "ascending")]).combine_chunks()
+    return combined
 
 
 def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):
@@ -252,7 +249,7 @@ def make_broadcast_handle(ds, cols: list[str], key_col: str = "snippet_id"):
     # behind the streaming executor's CPU reservation (observed: the
     # attach stage stalled ~100 s waiting for a 1-CPU combine task)
     combined_ref = ray.remote(num_cpus=0)(combine_payload_blocks).remote(
-        tuple(cols), *block_refs
+        tuple(cols), key_col, *block_refs
     )
     return (str(uuid.uuid4()), combined_ref, tuple(cols), key_col)
 
@@ -650,22 +647,25 @@ def dedupe_pairs_partition_indexed(partition: pa.Table) -> pa.Table:
 
 
 def add_pair_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
-    """Partition key for cross-band pair dedup: hash of (a_id, b_id)."""
+    """Partition key for cross-band pair dedup: hash of (a_id, b_id).
+
+    Vectorized (pd.util.hash_array is a process-stable siphash over
+    the string array, golden-ratio mix to combine the sides) — this
+    runs on the scale path's band-duplicated candidate stream, where
+    the previous per-row f-string + crc32 loop burned minutes of pure
+    Python per shuffle. Any deterministic function of the pair works:
+    identical (a_id, b_id) rows land in one partition either way."""
     import numpy as np
+    import pandas as pd
 
-    a = batch["a_id"].to_pylist()
-    b = batch["b_id"].to_pylist()
-    part = np.asarray(
-        [hash_pair_to_partition(x, y, num_partitions) for x, y in zip(a, b)],
-        dtype=np.int64,
-    )
+    a = batch["a_id"].to_numpy(zero_copy_only=False)
+    b = batch["b_id"].to_numpy(zero_copy_only=False)
+    with np.errstate(over="ignore"):
+        mixed = (
+            pd.util.hash_array(a) * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ pd.util.hash_array(b)
+    part = (mixed % np.uint64(num_partitions)).astype(np.int64)
     return batch.append_column("part", pa.array(part, pa.int64()))
-
-
-def hash_pair_to_partition(a_id: str, b_id: str, num_partitions: int) -> int:
-    import zlib
-
-    return zlib.crc32(f"{a_id}|{b_id}".encode()) % num_partitions
 
 
 _STR_PAIRS_SCHEMA = pa.schema(
@@ -683,19 +683,3 @@ def dedupe_pairs_partition(partition: pa.Table) -> pa.Table:
         capped=("capped", "any")
     )
     return pa.Table.from_pandas(out, preserve_index=False).cast(_STR_PAIRS_SCHEMA)
-
-
-def dedupe_pairs_group(group: pa.Table) -> pa.Table:
-    """Collapse one (a_id, b_id) group (pairs found in several bands)
-    to a single row; keep capped=True if any occurrence was capped."""
-    import pyarrow.compute as pc
-
-    first = group.slice(0, 1)
-    if group.num_rows > 1:
-        any_capped = pc.any(group["capped"]).as_py()
-        first = first.set_column(
-            first.schema.get_field_index("capped"),
-            "capped",
-            pa.array([bool(any_capped)], pa.bool_()),
-        )
-    return first

@@ -64,13 +64,6 @@ PAIRS_SCHEMA = pa.schema(
 )
 
 
-def _overlap_len(a_start: int, a_end: int, b_start: int, b_end: int) -> int:
-    """Reference rollup.py:115-120."""
-    start = max(a_start, b_start)
-    end = min(a_end, b_end)
-    return 0 if start > end else end - start + 1
-
-
 def _kind_gates(batch: pa.Table, col: str, thresholds: Thresholds) -> np.ndarray:
     k = np.asarray(batch[col].to_pylist(), dtype=object)
     return np.where(
@@ -205,16 +198,22 @@ def verify_pairs_batch(
         lex_ok = np.ones(m, dtype=bool)
     substr = np.zeros(m, dtype=np.float64)
     if substr_on:
-        seq_a = sub["a_token_seq"].to_pylist()
-        seq_b = sub["b_token_seq"].to_pylist()
-        for i in np.flatnonzero(~ok & lex_ok & (jac >= substring.floor)):
-            r = lcs_ratio(
-                np.frombuffer(seq_a[i], dtype=np.uint64),
-                np.frombuffer(seq_b[i], dtype=np.uint64),
-            )
-            if r >= substring.min_ratio:
-                substr[i] = r
-                ok[i] = True
+        # materialize token-seq blobs ONLY for the rows that actually
+        # need the LCS rescue (typically ~1% of gate survivors) — the
+        # token_seq columns are the heaviest payload in the batch
+        need = np.flatnonzero(~ok & lex_ok & (jac >= substring.floor))
+        if len(need):
+            sel = pa.array(need, pa.int64())
+            seq_a = sub["a_token_seq"].take(sel).to_pylist()
+            seq_b = sub["b_token_seq"].take(sel).to_pylist()
+            for k, i in enumerate(need):
+                r = lcs_ratio(
+                    np.frombuffer(seq_a[k], dtype=np.uint64),
+                    np.frombuffer(seq_b[k], dtype=np.uint64),
+                )
+                if r >= substring.min_ratio:
+                    substr[i] = r
+                    ok[i] = True
     ok &= lex_ok
 
     sub2 = sub.take(pa.array(np.flatnonzero(ok), pa.int64()))

@@ -445,3 +445,51 @@ def test_broadcast_handle_survives_schemaless_empty_blocks(ray_session):
     assert payload.num_rows == 12
     assert idx[5] == payload["doc_id"].to_pylist().index(5)
     assert payload["payload"][idx[7]].as_py() == "p7"
+
+
+def test_capped_bucket_scan_deterministic_across_runs(ray_session):
+    """Run-to-run determinism THROUGH a capped hot bucket on the
+    broadcast path: the hub sid / salted sub-bucket assignment derives
+    from the combined payload's row order, which is only deterministic
+    because combine_payload_blocks sorts by the key column (block
+    arrival order is not stable). Two scans over a corpus with a
+    boilerplate hot bucket must emit identical findings."""
+    import pyarrow as pa
+    import ray.data
+
+    from clonehunter_ray.config import EngineConfig, SignatureConfig
+    from clonehunter_ray.pipelines.scan import scan
+
+    # 60 near-identical files (one hot clone family -> capped bucket)
+    # plus filler; tiny cap forces the star/salt path
+    base = (
+        "def hot(a, b):\n"
+        "    total = a + b\n"
+        "    prod = a * b\n"
+        "    ratio = total / (prod + 1)\n"
+        "    return total, prod, ratio\n"
+    )
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "repo": f"r{i % 5}",
+                "path": f"src/hot_{i:03d}.py",
+                "commit": "c0",
+                "lang": "python",
+                "content": base + f"\n# tail {i % 3}\n",
+            }
+        )
+    files = pa.Table.from_pylist(rows)
+    cfg = EngineConfig(
+        signature=SignatureConfig(max_bucket_pairs_full=8, skew_mode="salted")
+    )
+
+    def run():
+        res = scan(ray.data.from_arrow(files), cfg)
+        df = res.findings.to_pandas()
+        return sorted(df["pair_key"].tolist())
+
+    first = run()
+    assert len(first) > 0
+    assert first == run()
