@@ -26,28 +26,53 @@ from clonehunter_ray.state.unionfind import cluster_labels
 
 
 class DocSignatureStage:
-    """Actor-pool stage: text -> shingle set + minhash bands + simhash."""
+    """Actor-pool stage: text -> shingle set + minhash bands + simhash.
 
-    def __init__(self, config: SignatureConfig | None = None) -> None:
+    Flat batch kernels throughout (one lexsort/reduceat over the whole
+    batch instead of per-row np.unique / (n_shingles x 64) expansions
+    — bit-identical to the per-row forms, pinned by
+    tests/test_hashing.py), mirroring the scan SignatureStage
+    (stages/signatures.py:99-126). ``emit`` selects the artifacts a
+    caller pays for: the SimHash pipeline does not compute 128-perm
+    MinHash signatures it will drop, and the MinHash pipelines skip
+    the simhash column."""
+
+    def __init__(
+        self,
+        config: SignatureConfig | None = None,
+        emit: tuple[str, ...] = ("shingles", "bands", "simhash"),
+    ) -> None:
         self.config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
-        self.hasher = H.MinHasher(self.config.num_perm, self.config.seed)
+        self.hasher = (
+            H.MinHasher(self.config.num_perm, self.config.seed)
+            if "bands" in emit
+            else None
+        )
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        th = H.tokenize_hash_texts(batch["text"])
-        shingles = [H.shingle_hashes(x, self.config.shingle_k) for x in th]
-        sigs = self.hasher.signatures_batch(shingles)
-        bands = H.band_hashes_batch(
-            sigs, self.config.num_bands, self.config.band_rows
+        from clonehunter_ray.stages.signatures import _binary_from_flat_u64
+
+        flat_tok, tok_lens = H.tokenize_hash_flat(batch["text"])
+        flat_sh, sh_counts = H.batch_shingle_sets(
+            flat_tok, tok_lens, self.config.shingle_k
         )
-        sim = H.simhash_batch(shingles)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "shingles": pa.array([s.tobytes() for s in shingles], pa.binary()),
-                "band_keys": pa.array(bands.tolist(), pa.list_(pa.uint64())),
-                "simhash": pa.array(sim.tolist(), pa.uint64()),
-            }
-        )
+        cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+        if "shingles" in self.emit:
+            cols["shingles"] = _binary_from_flat_u64(flat_sh, sh_counts)
+        if "bands" in self.emit:
+            sigs = self.hasher.signatures_flat(flat_sh, sh_counts)
+            bands = H.band_hashes_batch(
+                sigs, self.config.num_bands, self.config.band_rows
+            )
+            cols["band_keys"] = pa.array(
+                bands.tolist(), pa.list_(pa.uint64())
+            )
+        if "simhash" in self.emit:
+            cols["simhash"] = pa.array(
+                H.simhash_from_flat(flat_sh, sh_counts).tolist(), pa.uint64()
+            )
+        return pa.table(cols)
 
 
 def _explode_doc_bands_ids(batch: pa.Table) -> pa.Table:
@@ -193,7 +218,10 @@ def minhash_dedup_pairs(
     config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
         DocSignatureStage,
-        fn_constructor_kwargs={"config": config},
+        fn_constructor_kwargs={
+            "config": config,
+            "emit": ("shingles", "bands"),
+        },
         # autoscale to the cluster (a fixed constant caps the whole
         # stage; a fixed FULL-size pool pays mass actor startup even
         # for tiny inputs); small batches keep task count >> actor
@@ -476,7 +504,10 @@ def incremental_dedup_stream(
         docs_ds.select_columns(["doc_id", "text"])
         .map_batches(
             DocSignatureStage,
-            fn_constructor_kwargs={"config": cfg},
+            fn_constructor_kwargs={
+                "config": cfg,
+                "emit": ("shingles", "bands"),
+            },
             concurrency=(2, auto_actor_count()),
             batch_size=256,
             batch_format="pyarrow",
@@ -683,16 +714,26 @@ def simhash_dup_pairs(
     docs_ds: "ray.data.Dataset",
     max_hamming: int = 3,
     config: SignatureConfig | None = None,
+    max_bucket_pairs: int = 100_000,
 ) -> "ray.data.Dataset":
     """Near-identical pairs by SimHash: band the 64-bit fingerprint
     into 4 x 16-bit chunks (pigeonhole: hamming<=3 pairs share at
-    least one exact chunk), groupby chunk, verify hamming in-bucket."""
+    least one exact chunk), groupby chunk, verify hamming in-bucket.
+
+    Hot buckets are capped like the MinHash path: a bucket whose
+    all-pairs count would exceed ``max_bucket_pairs`` (e.g. a modal
+    fingerprint — boilerplate or empty-shingle docs all hash to one
+    value) emits a hub-spoke star from its min doc_id instead of
+    O(n^2) pairs. Connectivity within the near-identical mass is
+    preserved for downstream clustering; pair-level recall inside the
+    capped bucket is traded for bounded memory, same contract as
+    ``minhash_dedup_pairs``."""
     from clonehunter_ray.util import auto_actor_count
 
     config = config or SignatureConfig(shingle_k=5, num_bands=32, band_rows=4)
     sig = docs_ds.map_batches(
         DocSignatureStage,
-        fn_constructor_kwargs={"config": config},
+        fn_constructor_kwargs={"config": config, "emit": ("simhash",)},
         concurrency=(2, auto_actor_count()),
         batch_size=256,
         batch_format="pyarrow",
@@ -745,9 +786,22 @@ def simhash_dup_pairs(
             bsh = sh[s : s + c]
             uniq_idx = np.unique(bid, return_index=True)[1]
             bid, bsh = bid[uniq_idx], bsh[uniq_idx]
-            for x in range(len(bid) - 1):
+            n = len(bid)
+            if n * (n - 1) // 2 > max_bucket_pairs:
+                # hot bucket: hub-spoke star from the min doc_id (bid
+                # is np.unique-sorted, so bid[0] is deterministic),
+                # hamming-verified — O(n) memory instead of O(n^2)
                 hams = H.hamming_distance_u64(
-                    np.full(len(bid) - x - 1, bsh[x], dtype=np.uint64),
+                    np.full(n - 1, bsh[0], dtype=np.uint64), bsh[1:]
+                )
+                hits = np.nonzero(hams <= max_hamming)[0]
+                a.extend(int(bid[0]) for _ in hits)
+                b.extend(int(bid[1 + h]) for h in hits)
+                d.extend(int(hams[h]) for h in hits)
+                continue
+            for x in range(n - 1):
+                hams = H.hamming_distance_u64(
+                    np.full(n - x - 1, bsh[x], dtype=np.uint64),
                     bsh[x + 1 :],
                 )
                 hits = np.nonzero(hams <= max_hamming)[0]

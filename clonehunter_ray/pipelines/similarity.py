@@ -35,6 +35,45 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+def _query_matrix(queries) -> np.ndarray:
+    """Row-normalized float64 query matrix with the same guards as
+    every corpus-side normalization: loud error on an empty match set
+    (np.stack would raise a cryptic 'need at least one array'), and
+    the 1e-12 zero-norm clamp (a zero embedding otherwise yields NaN
+    cosines and garbage top-k ordering)."""
+    if len(queries) == 0:
+        raise ValueError("query_ids matched no corpus vectors")
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    return q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+
+
+def _uniform_sample_embeddings(emb_ds, n: int):
+    """Deterministic UNIFORM sample of ``n`` rows for quantizer
+    training: priority = mixed hash of vec_id, keep the n smallest. A
+    ``limit(n)`` prefix is NOT uniform — parquet written in
+    topic/source order would train every centroid on the first topic
+    and collapse the rest into a few far cells. Ray shape: per-batch
+    local top-n by priority (a combiner — at most n rows leave any
+    block), then one bounded sort over <= n x n_blocks survivors."""
+    from clonehunter_ray.functions.hashing import _mix64
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = _mix64(ids.astype(np.uint64))
+        keep = np.sort(np.argsort(pri, kind="stable")[:n])
+        out = batch.take(pa.array(keep, pa.int64()))
+        return out.append_column("_pri", pa.array(pri[keep], pa.uint64()))
+
+    return (
+        emb_ds.map_batches(local_top, batch_format="pyarrow")
+        .sort("_pri")
+        .limit(n)
+        .drop_columns(["_pri"])
+    )
+
+
 def lsh_knn_cosine(
     emb_ds: "ray.data.Dataset",
     query_ids: list[int],
@@ -53,8 +92,7 @@ def lsh_knn_cosine(
         return batch.filter(pa.array(np.isin(ids, wanted), pa.bool_()))
 
     queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
-    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _query_matrix(queries)
     planes = _hyperplanes(q_mat.shape[1], n_bits, seed)
     q_buckets = _bucket_of(q_mat, planes)
     probe: dict[int, list[int]] = {}
@@ -124,12 +162,11 @@ def ivf_knn_cosine(
 
     queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
     q_ids = queries["vec_id"].to_numpy()
-    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _query_matrix(queries)
 
     # train the coarse quantizer on a bounded sample (driver-side —
     # the sample is small by construction; the corpus never collects)
-    sample = emb_ds.limit(train_sample).to_pandas()
+    sample = _uniform_sample_embeddings(emb_ds, train_sample).to_pandas()
     s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     s_mat = s_mat / np.maximum(
         np.linalg.norm(s_mat, axis=1, keepdims=True), 1e-12
@@ -257,24 +294,43 @@ def embedding_near_dup_pairs(
     )
 
     def emit(group: pa.Table) -> pa.Table:
-        """Gram-matrix verification: one matmul per bucket; vectors come
-        from the broadcast table (zero-copy plasma map)."""
+        """Gram verification in ROW BLOCKS: compute (block x n) slabs
+        of the bucket's Gram matrix instead of the full n x n (and its
+        n^2/2 triu index arrays), bounding worker memory to ~64 MB per
+        slab regardless of bucket size — a modal bucket (e.g. one
+        dense region holding 100k vectors over the 2^n_bits bucket
+        domain) previously allocated multi-GB gram + index arrays.
+        Compute stays O(|bucket|^2) — that is the exact-verification
+        semantic of the LSH bucket, same contract as SemDeDup's
+        per-cluster prune. Vectors come from the broadcast table
+        (zero-copy plasma map)."""
         ids = np.unique(
             group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return _PAIRS_SCHEMA.empty_table()
         table, idx = get_broadcast_payload(handle)
         rows = [idx[int(i)] for i in ids]
         mat = V.blob_matrix(table["vecn"].take(pa.array(rows, pa.int64())))
-        gram = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = gram[iu, ju] >= threshold
+        block = max(64, min(4096, (64 << 20) // (8 * n)))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n - 1, block):
+            e = min(s + block, n)
+            g = mat[s:e] @ mat.T  # (block, n) slab
+            ii, jj = np.nonzero(g >= threshold)
+            keep = (ii + s) < jj  # upper triangle only
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + s])
+            out_b.append(ids[jj])
+            out_c.append(np.round(g[ii, jj], 5))
+        if not out_a:
+            return _PAIRS_SCHEMA.empty_table()
         return pa.table(
             {
-                "a_id": pa.array(ids[iu[hit]], pa.int64()),
-                "b_id": pa.array(ids[ju[hit]], pa.int64()),
-                "cos5": pa.array(np.round(gram[iu[hit], ju[hit]], 5), pa.float64()),
+                "a_id": pa.array(np.concatenate(out_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(out_b), pa.int64()),
+                "cos5": pa.array(np.concatenate(out_c), pa.float64()),
             },
             schema=_PAIRS_SCHEMA,
         )
@@ -1035,13 +1091,10 @@ def pq_knn_cosine(
 
     queries = emb_ds.map_batches(_pick, batch_format="pyarrow").to_pandas()
     q_ids = queries["vec_id"].to_numpy().astype(np.int64)
-    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
-    q_mat = q_mat / np.maximum(
-        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
-    )
+    q_mat = _query_matrix(queries)
 
     # bounded-sample training (coarse cells + PQ codebooks)
-    sample = emb_ds.limit(train_sample).to_pandas()
+    sample = _uniform_sample_embeddings(emb_ds, train_sample).to_pandas()
     s_mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     s_mat = s_mat / np.maximum(
         np.linalg.norm(s_mat, axis=1, keepdims=True), 1e-12

@@ -141,3 +141,35 @@ def test_window_hashes_respect_window_param():
             for b in run:
                 ref = (ref * base + int(b)) & mask
             assert int(got[i]) == ref, (window, i)
+
+
+def test_simhash_hot_bucket_cap(ray_session):
+    """A modal fingerprint mass (here: identical texts, one simhash
+    value shared by all) must emit the hamming-verified hub-spoke star
+    — O(n) pairs from the min doc_id — instead of O(n^2) pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from clonehunter_ray.pipelines.dedup import simhash_dup_pairs
+
+    n = 40
+    docs = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": ["the same boilerplate text repeated here"] * n,
+        }
+    )
+    pairs = simhash_dup_pairs(
+        ray.data.from_arrow(docs), max_bucket_pairs=50
+    ).to_pandas()
+    # star: exactly n-1 pairs, every pair anchored at the min doc_id
+    assert len(pairs) == n - 1
+    assert (pairs["a_id"] == 0).all()
+    assert set(pairs["b_id"]) == set(range(1, n))
+    assert (pairs["hamming"] == 0).all()
+
+    # below the cap the same corpus emits all pairs
+    full = simhash_dup_pairs(
+        ray.data.from_arrow(docs), max_bucket_pairs=10_000
+    ).to_pandas()
+    assert len(full) == n * (n - 1) // 2
