@@ -1557,10 +1557,10 @@ def oracle_sql() -> dict[str, str]:
                 WHEN source IN ('src0','src1','src2','src3','src4')
                     THEN TRUE
                 WHEN source IN ('src5','src6','src7','src8','src9')
-                    THEN substr(sha256('mix:' || text), 1, 2) < '80'
+                    THEN substr(sha256('mix:' || text), 1, 4) < '8000'
                 WHEN source IN ('src10','src11','src12','src13','src14')
-                    THEN substr(sha256('mix:' || text), 1, 2) < '40'
-                ELSE substr(sha256('mix:' || text), 1, 2) < '20'
+                    THEN substr(sha256('mix:' || text), 1, 4) < '4000'
+                ELSE substr(sha256('mix:' || text), 1, 4) < '2000'
               END)
         """,
         "export_training_shards": """
@@ -1570,10 +1570,10 @@ def oracle_sql() -> dict[str, str]:
                 WHEN source IN ('src0','src1','src2','src3','src4')
                     THEN TRUE
                 WHEN source IN ('src5','src6','src7','src8','src9')
-                    THEN substr(sha256('mix:' || text), 1, 2) < '80'
+                    THEN substr(sha256('mix:' || text), 1, 4) < '8000'
                 WHEN source IN ('src10','src11','src12','src13','src14')
-                    THEN substr(sha256('mix:' || text), 1, 2) < '40'
-                ELSE substr(sha256('mix:' || text), 1, 2) < '20'
+                    THEN substr(sha256('mix:' || text), 1, 4) < '4000'
+                ELSE substr(sha256('mix:' || text), 1, 4) < '2000'
               END)
             GROUP BY source
         """,
@@ -1584,10 +1584,10 @@ def oracle_sql() -> dict[str, str]:
                     CASE
                       WHEN source = 'src0' THEN 2
                       WHEN source = 'src1' THEN 2 + (
-                        CASE WHEN substr(sha256('mix:' || text), 1, 2) < '80'
+                        CASE WHEN substr(sha256('mix:' || text), 1, 4) < '8000'
                              THEN 1 ELSE 0 END)
                       WHEN source = 'src2' THEN (
-                        CASE WHEN substr(sha256('mix:' || text), 1, 2) < '80'
+                        CASE WHEN substr(sha256('mix:' || text), 1, 4) < '8000'
                              THEN 1 ELSE 0 END)
                       ELSE 1
                     END AS copies

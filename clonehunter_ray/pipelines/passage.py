@@ -133,7 +133,9 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
     col = batch["grams"]
     flat = pc.list_flatten(col)
     parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
-    ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)[parent]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[
+        parent
+    ]
     return pa.table({"band_key": flat, "doc_id": pa.array(ids, pa.int64())})
 
 
@@ -191,6 +193,11 @@ def passage_dup_span_pairs(
             f"gram_len ({gram_len}) + window ({window}) - 1 must equal "
             f"min_len ({min_len}) for the winnowing guarantee"
         )
+    if window < 1:
+        # window 0/negative passes the identity above (e.g. min_len=1,
+        # or gram_len > min_len) but crashes winnowing's
+        # sliding_window_view with an opaque error inside a Ray task
+        raise ValueError(f"derived winnow window ({window}) must be >= 1")
 
     sig = docs_ds.map_batches(
         lambda t: _fingerprint_batch(t, gram_len, window),
@@ -409,6 +416,9 @@ def passage_dedup_documents(
     anti-joined back to the corpus ids via one small broadcast-less
     left join on doc_id."""
     pairs = passage_dup_span_pairs(docs_ds, min_len=min_len, **kwargs)
+    # the summary join scales with the same knob as every other
+    # exchange in this pipeline (previously hardcoded to 16)
+    num_partitions = kwargs.get("num_partitions", 64)
 
     def per_doc(g: pa.Table) -> pa.Table:
         s, e = merge_intervals(
@@ -457,7 +467,7 @@ def passage_dedup_documents(
     joined = left_attach_or_nulls(
         ids,
         flagged,
-        16,
+        num_partitions,
         on=("doc_id",),
         right_on=("doc_id",),
         right_schema=_SUMMARY_SCHEMA,
@@ -794,6 +804,11 @@ def passage_decontaminate_spans(
             f"gram_len ({gram_len}) + window ({window}) - 1 must equal "
             f"min_len ({min_len}) for the winnowing guarantee"
         )
+    if window < 1:
+        # window 0/negative passes the identity above (e.g. min_len=1,
+        # or gram_len > min_len) but crashes winnowing's
+        # sliding_window_view with an opaque error inside a Ray task
+        raise ValueError(f"derived winnow window ({window}) must be >= 1")
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:

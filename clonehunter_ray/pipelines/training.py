@@ -36,17 +36,31 @@ from clonehunter_ray.functions.hashing import sha256_hex
 
 
 def _rate_threshold(rate: float) -> str | None:
-    """Map a sampling rate in [0, 1] to a 2-hex-char threshold on the
-    first byte of a sha256 hex digest (lexicographic compare on
+    """Map a sampling rate in [0, 1] to a 4-hex-char threshold on the
+    first two bytes of a sha256 hex digest (lexicographic compare on
     lowercase hex == numeric compare). ``None`` means keep-all.
 
-    Rates that round to a full byte range (>= 255.5/256) are keep-all:
-    format(256) would be the 3-char string '100', which INVERTS the
-    2-char lexicographic compare and silently drops ~94% of rows."""
-    t = int(round(rate * 256))
-    if t >= 256:
+    1/65536 quantization: the previous 1/256 grid rounded any rate
+    under 1/512 to the '00' threshold, silently dropping that source
+    ENTIRELY instead of sampling it (e.g. rate=0.001 kept nothing).
+    Byte-aligned rates (0.5 -> '8000') keep bit-identical decisions
+    vs the old 2-hex compare, so the SQL oracles move in lockstep by
+    appending '00'. Rates rounding to the full range are keep-all:
+    format(65536) would be a 5-char string, which INVERTS the
+    lexicographic compare and silently drops ~94% of rows.
+
+    A nonzero rate now keeps SOMETHING whenever it rounds to >= 1
+    (>= ~1/131072); rates below that still truncate to zero — raise
+    loudly rather than silently dropping the source."""
+    t = int(round(rate * 65536))
+    if t >= 65536:
         return None
-    return format(max(0, t), "02x")
+    if t == 0 and rate > 0.0:
+        raise ValueError(
+            f"sampling rate {rate} is below the 1/65536 quantization "
+            "grid; it would silently drop the source entirely"
+        )
+    return format(max(0, t), "04x")
 
 
 def mixture_sample_batch(
@@ -78,7 +92,7 @@ def mixture_sample_batch(
         if thresh is None:
             keep.append(True)
         else:
-            keep.append(sha256_hex(salt + t)[:2] < thresh)
+            keep.append(sha256_hex(salt + t)[:4] < thresh)
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
@@ -116,12 +130,12 @@ def mixture_upsample_batch(
         base, frac_thresh = per_source[s]
         extra = 0
         if frac_thresh is None:
-            # _rate_threshold returns None only for frac >= 255.5/256
-            # (integer rates produce '00', caught below) -> the
-            # fractional copy is effectively certain
+            # _rate_threshold returns None only for frac ~ 1 (integer
+            # rates produce '0000', caught below) -> the fractional
+            # copy is effectively certain
             extra = 1
-        elif frac_thresh != "00":
-            extra = int(sha256_hex(salt + t)[:2] < frac_thresh)
+        elif frac_thresh != "0000":
+            extra = int(sha256_hex(salt + t)[:4] < frac_thresh)
         copies[i] = base + extra
     idx = np.repeat(np.arange(n), copies)
     starts = np.repeat(np.cumsum(copies) - copies, copies)
@@ -461,6 +475,11 @@ def export_training_shards(
 
     params_fp = _json.dumps(
         {
+            # input identity: without it, re-exporting a DIFFERENT
+            # corpus into the same out_dir would skip-resume the old
+            # corpus's _SUCCESS partitions and report them in the
+            # manifest as if they came from this input
+            "input": sf_dir,
             "rates": {k: eff_rates[k] for k in sorted(eff_rates)},
             "default_rate": eff_default,
             "budget": budget,

@@ -41,13 +41,20 @@ def _norm(df):
 
 def test_rate_threshold_mapping():
     assert T._rate_threshold(1.0) is None
-    assert T._rate_threshold(0.5) == "80"
-    assert T._rate_threshold(0.25) == "40"
-    assert T._rate_threshold(0.125) == "20"
-    assert T._rate_threshold(0.0) == "00"  # keeps nothing
-    # rates rounding to the full byte range are keep-all, NOT the
-    # 3-char '100' whose lexicographic compare would drop ~94% of rows
-    assert T._rate_threshold(0.999) is None
+    assert T._rate_threshold(0.5) == "8000"
+    assert T._rate_threshold(0.25) == "4000"
+    assert T._rate_threshold(0.125) == "2000"
+    assert T._rate_threshold(0.0) == "0000"  # keeps nothing
+    # 1/65536 grid: small rates now sample instead of vanishing (the
+    # old 1/256 grid mapped 0.001 to '00' and dropped the source)
+    assert T._rate_threshold(0.001) == format(round(0.001 * 65536), "04x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # below the grid: loud, not silent
+        T._rate_threshold(1e-7)
+    # rates rounding to the full range are keep-all, NOT a 5-char
+    # string whose lexicographic compare would drop ~94% of rows
+    assert T._rate_threshold(0.9999961) is None
     batch = pa.table(
         {
             "doc_id": pa.array(range(200), pa.int64()),
